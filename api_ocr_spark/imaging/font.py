@@ -1,0 +1,112 @@
+"""Deterministic 5x7 bitmap font used by both the fixture renderer and the
+glyph OCR engine.
+
+The reference OCRs arbitrary rasters with Tesseract
+(/root/reference/ocr/engine.py:21-52); Tesseract is unavailable here, so the
+engine's OCR stage is a real template-matching recognizer over this font —
+deterministic, environment-independent, and exact by construction (SURVEY.md
+§5.2: fixtures are self-verifying, images rendered from known ground truth).
+
+Glyphs are single-case (lowercase keys, uppercase letterforms). All glyphs
+occupy a contiguous column span (no internal fully-blank columns), which the
+segmenter relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# fmt: off
+_GLYPHS_RAW: dict[str, str] = {
+    "a": ".###.|#...#|#...#|#####|#...#|#...#|#...#",
+    "b": "####.|#...#|#...#|####.|#...#|#...#|####.",
+    "c": ".###.|#...#|#....|#....|#....|#...#|.###.",
+    "d": "####.|#...#|#...#|#...#|#...#|#...#|####.",
+    "e": "#####|#....|#....|####.|#....|#....|#####",
+    "f": "#####|#....|#....|####.|#....|#....|#....",
+    "g": ".###.|#...#|#....|#.###|#...#|#...#|.###.",
+    "h": "#...#|#...#|#...#|#####|#...#|#...#|#...#",
+    "i": ".###.|..#..|..#..|..#..|..#..|..#..|.###.",
+    "j": "..###|...#.|...#.|...#.|...#.|#..#.|.##..",
+    "k": "#...#|#..#.|#.#..|##...|#.#..|#..#.|#...#",
+    "l": "#....|#....|#....|#....|#....|#....|#####",
+    "m": "#...#|##.##|#.#.#|#.#.#|#...#|#...#|#...#",
+    "n": "#...#|##..#|#.#.#|#..##|#...#|#...#|#...#",
+    "o": ".###.|#...#|#...#|#...#|#...#|#...#|.###.",
+    "p": "####.|#...#|#...#|####.|#....|#....|#....",
+    "q": ".###.|#...#|#...#|#...#|#.#.#|#..#.|.##.#",
+    "r": "####.|#...#|#...#|####.|#.#..|#..#.|#...#",
+    "s": ".####|#....|#....|.###.|....#|....#|####.",
+    "t": "#####|..#..|..#..|..#..|..#..|..#..|..#..",
+    "u": "#...#|#...#|#...#|#...#|#...#|#...#|.###.",
+    "v": "#...#|#...#|#...#|#...#|#...#|.#.#.|..#..",
+    "w": "#...#|#...#|#...#|#.#.#|#.#.#|##.##|#...#",
+    "x": "#...#|#...#|.#.#.|..#..|.#.#.|#...#|#...#",
+    "y": "#...#|#...#|.#.#.|..#..|..#..|..#..|..#..",
+    "z": "#####|....#|...#.|..#..|.#...|#....|#####",
+    "0": ".###.|#...#|#..##|#.#.#|##..#|#...#|.###.",
+    "1": "..#..|.##..|..#..|..#..|..#..|..#..|.###.",
+    "2": ".###.|#...#|....#|...#.|..#..|.#...|#####",
+    "3": ".###.|#...#|....#|..##.|....#|#...#|.###.",
+    "4": "...#.|..##.|.#.#.|#..#.|#####|...#.|...#.",
+    "5": "#####|#....|####.|....#|....#|#...#|.###.",
+    "6": ".###.|#....|#....|####.|#...#|#...#|.###.",
+    "7": "#####|....#|...#.|..#..|.#...|.#...|.#...",
+    "8": ".###.|#...#|#...#|.###.|#...#|#...#|.###.",
+    "9": ".###.|#...#|#...#|.####|....#|....#|.###.",
+    ":": ".....|.##..|.##..|.....|.##..|.##..|.....",
+    "-": ".....|.....|.....|.###.|.....|.....|.....",
+    ".": ".....|.....|.....|.....|.....|.##..|.##..",
+    ",": ".....|.....|.....|.....|..##.|..##.|..#..",
+    "(": "...#.|..#..|.#...|.#...|.#...|..#..|...#.",
+    ")": ".#...|..#..|...#.|...#.|...#.|..#..|.#...",
+    "/": "....#|....#|...#.|..#..|.#...|#....|#....",
+}
+# fmt: on
+
+GLYPH_W = 5
+GLYPH_H = 7
+SCALE = 2  # rendered glyphs are (GLYPH_H*SCALE) x (GLYPH_W*SCALE)
+CELL_W = GLYPH_W * SCALE + 4  # 4 px inter-char gap at render scale
+LINE_H = GLYPH_H * SCALE + 6  # 6 px inter-line gap
+CHARSET = set(_GLYPHS_RAW) | {" "}
+
+
+def _parse(raw: str) -> np.ndarray:
+    rows = raw.split("|")
+    assert len(rows) == GLYPH_H and all(len(r) == GLYPH_W for r in rows), raw
+    return np.array([[c == "#" for c in r] for r in rows], dtype=bool)
+
+
+GLYPHS: dict[str, np.ndarray] = {ch: _parse(raw) for ch, raw in _GLYPHS_RAW.items()}
+
+
+def scaled_glyph(ch: str) -> np.ndarray:
+    """Glyph bitmap at render scale (bool, (7*SCALE) x (5*SCALE))."""
+    g = GLYPHS[ch]
+    return np.kron(g, np.ones((SCALE, SCALE), dtype=bool))
+
+
+def ink_bbox(mask: np.ndarray) -> tuple[int, int, int, int]:
+    """(x, y, w, h) of the tight ink bounding box; (0,0,0,0) if blank."""
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return (0, 0, 0, 0)
+    return (int(xs.min()), int(ys.min()), int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1))
+
+
+# Precomputed, bbox-cropped scaled templates for the recognizer.
+_TEMPLATES: list[tuple[str, np.ndarray, tuple[int, int, int, int]]] | None = None
+
+
+def templates() -> list[tuple[str, np.ndarray, tuple[int, int, int, int]]]:
+    """[(char, cropped_scaled_bitmap, full-cell bbox)] for template matching."""
+    global _TEMPLATES
+    if _TEMPLATES is None:
+        out = []
+        for ch in sorted(GLYPHS):
+            sg = scaled_glyph(ch)
+            x, y, w, h = ink_bbox(sg)
+            out.append((ch, sg[y : y + h, x : x + w].copy(), (x, y, w, h)))
+        _TEMPLATES = out
+    return _TEMPLATES

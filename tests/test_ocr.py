@@ -1,0 +1,175 @@
+"""Glyph OCR engine: exact roundtrip per scenario, word/line semantics,
+association scoring, postprocess regexes (SURVEY.md §5.2.2-3)."""
+
+import numpy as np
+import pytest
+
+from api_ocr_spark.imaging import png, render
+from api_ocr_spark.kernels import checkbox as cbk
+from api_ocr_spark.kernels import enhance
+from api_ocr_spark.ocr import association, engine, postprocess
+
+CORPUS = [
+    "the fast key order sort table scan merge part window small hash scan join",
+    "a",
+    "spark group query row data slow small filter customer line the batch value",
+    "12:30 - 14:45 lunes 5 de enero de 2024",
+]
+
+
+@pytest.mark.parametrize("scenario", render.SCENARIOS)
+@pytest.mark.parametrize("seed", [1, 99])
+def test_roundtrip_exact(scenario, seed):
+    for text in CORPUS:
+        want = " ".join(text.lower().split())
+        img = render.render_text_image(text, scenario, seed=seed)
+        got = engine.ocr_image(png.decode_gray(png.encode_gray(img)))
+        assert got.replace("\n", " ") == want, (scenario, seed, text)
+
+
+def test_word_data_shape():
+    img = render.render_text_image("ab cd", "plain", 0)
+    words = engine.get_text_data(img)
+    assert [w["text"] for w in words] == ["ab", "cd"]
+    for w in words:
+        assert w["conf"] > 30
+        x, y, bw, bh = w["bbox"]
+        assert bw > 0 and bh > 0
+        assert w["line"] == 0
+
+
+def test_group_words_into_lines_union_bbox_mean_conf():
+    words = [
+        {"text": "ab", "bbox": (0, 0, 10, 10), "conf": 80.0, "line": 0, "block": 0, "par": 0},
+        {"text": "cd", "bbox": (20, 2, 10, 12), "conf": 60.0, "line": 0, "block": 0, "par": 0},
+        {"text": "ef", "bbox": (0, 30, 10, 10), "conf": 90.0, "line": 1, "block": 0, "par": 0},
+    ]
+    lines = engine.group_words_into_lines(words)
+    assert [ln["text"] for ln in lines] == ["ab cd", "ef"]
+    assert lines[0]["bbox"] == (0, 0, 30, 14)  # union
+    assert lines[0]["conf"] == 70.0  # mean
+    assert len(lines[0]["words"]) == 2
+
+
+def test_ocr_region_crop():
+    img = render.render_text_image("abc", "plain", 0)
+    h, w = img.shape
+    assert engine.ocr_region(img, (0, 0, w, h)) == "abc"
+    assert engine.ocr_region(img, (0, 0, 0, 0)) == ""
+
+
+def test_multiline_reading_order():
+    text = "first line words " * 4  # forces wrap at 32 chars
+    img = render.render_text_image(text.strip(), "plain", 0)
+    got = engine.ocr_image(img)
+    assert got.split("\n") == render.wrap_text(text.strip())
+
+
+# ----------------------------------------------------------- association
+
+def test_score_association_reference_formula():
+    cb = {"bbox": (0, 0, 20, 20)}  # center (10,10)
+    line = {"text": "x", "bbox": (40, 0, 20, 20), "conf": 80.0}  # center (50,10)
+    # dist=40 → 60; alignment |10-10|<20 → +50; text right → +20;
+    # font min(30,10)=10; conf/2=40 → total 180 → /2.6 = 69.23
+    s = association.score_association(cb, line)
+    assert abs(s - 180 / 2.6) < 1e-9
+
+
+def test_score_association_out_of_radius():
+    cb = {"bbox": (0, 0, 10, 10)}
+    line = {"text": "x", "bbox": (500, 0, 10, 10), "conf": 99.0}
+    assert association.score_association(cb, line) == 0.0
+
+
+def test_group_by_proximity_session_gap():
+    cbs = [{"bbox": (0, y, 10, 10)} for y in (0, 10, 60, 65, 130)]
+    groups = association.group_by_proximity(cbs, gap_threshold=30)
+    assert [len(g) for g in groups] == [2, 2, 1]
+
+
+def test_radio_group_correction_keeps_max_conf():
+    g = [
+        {"bbox": (0, 0, 10, 10), "marked": True, "confidence": 40.0, "tipo": "circle"},
+        {"bbox": (0, 12, 10, 10), "marked": True, "confidence": 70.0, "tipo": "circle"},
+        {"bbox": (0, 24, 10, 10), "marked": False, "confidence": 0.0, "tipo": "circle"},
+    ]
+    out = association.correct_radio_groups([g])
+    assert [cb["marked"] for cb in out] == [False, True, False]
+    assert out[0].get("corregido_por_grupo") is True
+
+
+def _overlaps(a, b):
+    ax, ay, aw, ah = a
+    bx, by, bw, bh = b
+    return ax < bx + bw and bx < ax + aw and ay < by + bh and by < ay + ah
+
+
+def test_checkbox_qa_end_to_end():
+    img, layout = render.render_checkbox_form(
+        [("acepta", True, "square"), ("rechaza", False, "circle")], seed=3)
+    b = enhance.binarize_otsu(img)
+    cbs = cbk.detect_checkboxes(b)
+    words = [w for w in engine.get_text_data(img)
+             if not any(_overlaps(w["bbox"], c["bbox"]) for c in cbs)]
+    qa = association.build_question_answer_pairs(cbs, engine.group_words_into_lines(words))
+    assert [(p["pregunta"], p["respuesta"]) for p in qa] == [
+        ("acepta", "marcado"), ("rechaza", "no marcado")]
+
+
+def test_radio_form_correction_end_to_end():
+    img, _ = render.render_checkbox_form(
+        [("si", True, "circle"), ("no", True, "circle")], seed=4, row_pitch=24)
+    b = enhance.binarize_otsu(img)
+    cbs = cbk.detect_checkboxes(b)
+    words = [w for w in engine.get_text_data(img)
+             if not any(_overlaps(w["bbox"], c["bbox"]) for c in cbs)]
+    qa = association.build_question_answer_pairs(cbs, engine.group_words_into_lines(words))
+    assert sum(p["respuesta"] == "marcado" for p in qa) == 1
+    assert any(p["corregido_por_grupo"] for p in qa)
+
+
+# ----------------------------------------------------------- postprocess
+
+def test_clean_text():
+    assert postprocess.clean_text("a  b\n\n  \nc\t d ") == "a b\nc d"
+
+
+def test_limpiar_texto_ocr():
+    assert postprocess.limpiar_texto_ocr("25* C") == "25° C"
+    assert postprocess.limpiar_texto_ocr("30%") == "30°"
+    assert postprocess.limpiar_texto_ocr("3,5 | x") == "3.5 x"
+
+
+def test_extraer_horarios():
+    got = postprocess.extraer_horarios("clase 12:30 - 14:45 y 9:00 am")
+    assert "12:30" in got and any("14:45" in h for h in got)
+    assert got == sorted(set(got))
+
+
+def test_extraer_dias():
+    got = postprocess.extraer_dias("Lunes y martes 15 vamos")
+    assert "lunes" in got and "martes" in got and "martes 15" in got
+
+
+def test_extraer_fechas():
+    got = postprocess.extraer_fechas("el 5 de enero de 2024 y el 7 de MARZO de 2025")
+    assert got == ["5 de enero de 2024", "7 de MARZO de 2025"]
+
+
+def test_extraer_materiales():
+    got = postprocess.extraer_materiales("los alumnos deben traer: lapiz, papel\ny regla.")
+    assert got == ["lapiz", "papel", "y regla"]
+
+
+def test_extraer_notas():
+    t = "linea normal\nNota: traer agua\nasisten el día lunes"
+    assert postprocess.extraer_notas(t) == "Nota: traer agua asisten el día lunes"
+
+
+def test_estructurar_texto_ocr_shape():
+    d = postprocess.estructurar_texto_ocr("clase lunes 12:30\nnota: ver 5 de enero de 2024")
+    assert set(d) == {"texto_limpio", "horarios", "dias", "materiales", "notas", "fechas"}
+    assert d["horarios"] == ["12:30"]
+    assert d["dias"] == ["lunes"]
+    assert d["fechas"] == ["5 de enero de 2024"]
