@@ -15,7 +15,7 @@ import re
 WEEKDAYS = ("lunes", "martes", "miercoles", "miércoles", "jueves",
             "viernes", "sabado", "sábado", "domingo")
 
-TIME_RE = r"\b\d{1,2}:\d{2}\s*(?:am|pm|a\.m\.|p\.m\.)?\b"
+TIME_RE = r"\b\d{1,2}:\d{2}(?:\s*(?:am|pm|a\.m\.|p\.m\.))?\b"
 TIME_RANGE_RE = TIME_RE + r"\s*[-–]\s*" + TIME_RE
 DATE_RE = r"\b\d{1,2}\s+de\s+[a-zA-Záéíóúñ]+\s+de\s+\d{4}\b"
 
@@ -65,7 +65,7 @@ def extraer_fechas(text: str) -> list[str]:
 def extraer_materiales(text: str) -> list[str]:
     """Material list after 'deben traer', comma/newline-split
     (/root/reference/ocr/postprocess.py:91-99)."""
-    m = re.search(r"deben\s+traer\s*:?\s*(.+?)(?:\.|\n|$)", text, re.IGNORECASE | re.DOTALL)
+    m = re.search(r"deben\s+traer\s*:?\s*(.+?)(?:\.|$)", text, re.IGNORECASE | re.DOTALL)
     if not m:
         return []
     items = re.split(r"[,\n]", m.group(1))
