@@ -206,8 +206,11 @@ def render_checkbox_form(
         if marked:
             m0 = 5
             img[cy + m0 : cy + s - m0, cx + m0 : cx + s - m0] = INK
+        # ground truth records the tight ink bbox (circle rings inscribe the
+        # cell, so their ink bbox is (s-2)x(s-2) at +1,+1)
+        ink_bbox = (cx, cy, s, s) if kind == "square" else (cx + 1, cy + 1, s - 2, s - 2)
         layout.append(
-            {"bbox": (cx, cy, s, s), "kind": kind, "marked": marked, "label": label,
+            {"bbox": ink_bbox, "kind": kind, "marked": marked, "label": label,
              "label_bbox": (x_label, y_label, len(label) * CELL_W, GLYPH_H_PX)}
         )
     return img, layout

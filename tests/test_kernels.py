@@ -133,7 +133,10 @@ def test_horizontal_line_census_routes_tables():
 
 
 def test_detect_tables_boxed():
-    img = render.render_text_image("inside the box text", "boxed", 0)
+    # long text → >=5 wrapped lines → box taller than the reference's h>100 gate
+    img = render.render_text_image(
+        "inside the box text with many more words to wrap into several lines "
+        "so the bordered region is taller than one hundred pixels", "boxed", 0)
     tables = detection.detect_tables(enhance.binarize_otsu(img))
     assert len(tables) == 1
     x, y, w, h = tables[0]["bbox"]

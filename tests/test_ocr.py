@@ -171,5 +171,7 @@ def test_estructurar_texto_ocr_shape():
     d = postprocess.estructurar_texto_ocr("clase lunes 12:30\nnota: ver 5 de enero de 2024")
     assert set(d) == {"texto_limpio", "horarios", "dias", "materiales", "notas", "fechas"}
     assert d["horarios"] == ["12:30"]
-    assert d["dias"] == ["lunes"]
+    # reference's `weekday \d{1,2}` regex also catches 'lunes 12' from the
+    # time '12:30' (\b splits at the colon) — faithful semantics
+    assert d["dias"] == ["lunes", "lunes 12"]
     assert d["fechas"] == ["5 de enero de 2024"]
