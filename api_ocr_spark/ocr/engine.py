@@ -207,6 +207,15 @@ def ocr_image(gray: np.ndarray, preprocess: bool = True) -> str:
     return "\n".join(ln["text"] for ln in group_words_into_lines(words))
 
 
+def ocr_image_stats(gray: np.ndarray, preprocess: bool = True) -> dict:
+    """OCR + word stats in one pass (text, n_words, mean_conf) — feeds the
+    per-partition metrics table without a second recognition pass."""
+    words = get_text_data(gray, preprocess=preprocess)
+    text = "\n".join(ln["text"] for ln in group_words_into_lines(words))
+    mean_conf = round(float(np.mean([w["conf"] for w in words])), 2) if words else 0.0
+    return {"text": text, "n_words": len(words), "mean_conf": mean_conf}
+
+
 def ocr_region(gray: np.ndarray, bbox: tuple[int, int, int, int]) -> str:
     """Crop-then-OCR (/root/reference/ocr/engine.py:55-73) without the
     reference's temp-PNG round trip (semantics unchanged: PNG is lossless)."""

@@ -1,0 +1,148 @@
+"""Per-image pipeline modes — the reference's endpoints as pure functions
+(np.ndarray → result dict), executed inside the Arrow-batched extraction UDF.
+
+Endpoint map (SURVEY.md §2.11):
+  basico             POST /ocr/basico             (/root/reference/main.py:718-800)
+  segmentado         POST /ocr/segmentado         (main.py:803-886)
+  tabla              POST /ocr/tabla              (main.py:889-972)
+  documento_completo POST /ocr/documento_completo (main.py:975-1152)
+  checkboxes         POST /ocr/checkboxes         (main.py:1155-1303)
+
+Each returns {"text": str, "route": str, ...extras}. Text is the raw
+newline-joined OCR output; whitespace normalization happens in the Spark
+layer so span equality is whitespace-insensitive exactly once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import (
+    MAX_DIMENSION_BASIC, MAX_DIMENSION_BASIC_RETRY, MAX_DIMENSION_DOCUMENTO,
+    MAX_DIMENSION_SEGMENTADO, MAX_SIZE_MB_DOCUMENTO, TABLE_ROUTE_MIN_HLINES,
+)
+from ..kernels import checkbox as cbk
+from ..kernels import detection, enhance
+from ..ocr import association, engine
+
+MODES = ("basico", "segmentado", "tabla", "documento_completo", "checkboxes")
+
+
+def _bbox_overlaps(a, b) -> bool:
+    ax, ay, aw, ah = a
+    bx, by, bw, bh = b
+    return ax < bx + bw and bx < ax + aw and ay < by + bh and by < ay + ah
+
+
+def run_basico(gray: np.ndarray) -> dict:
+    """No preprocessing beyond decode; degradation ladder on failure
+    (/root/reference/main.py:660-696: 1000 px then 850 px retry)."""
+    for max_dim in (MAX_DIMENSION_BASIC, MAX_DIMENSION_BASIC_RETRY):
+        img = enhance.cap_max_dimension(gray, max_dim)
+        try:
+            out = engine.ocr_image_stats(img)
+            out["route"] = "basico"
+            return out
+        except Exception:  # noqa: BLE001 — ladder: degrade, never fail the task
+            continue
+    return {"text": "", "route": "basico_failed"}
+
+
+def run_segmentado(gray: np.ndarray, detectar_tablas: bool = True) -> dict:
+    """deskew_and_clean → segment_regions (+ tables via containment anti-join)
+    → sort (y,x) → per-region OCR → re-join (/root/reference/main.py:495-559).
+    The reference's bounded 3-way concurrency is superseded by Spark task
+    parallelism (SURVEY.md §2.12)."""
+    gray = enhance.cap_max_dimension(gray, MAX_DIMENSION_SEGMENTADO)
+    deskewed, _ = enhance.correct_skew(gray)
+    binary = enhance.binarize(deskewed, "otsu")
+    regions = detection.segment_regions(binary)
+    if detectar_tablas:
+        tables = detection.detect_tables(binary)
+        # containment anti-join: add tables not fully inside an existing region
+        # (/root/reference/main.py:148-164)
+        for t in tables:
+            if not any(detection.contains(r["bbox"], t["bbox"]) for r in regions):
+                regions.append(t)
+    regions.sort(key=lambda r: (r["bbox"][1], r["bbox"][0]))  # reading order
+    if not regions:
+        return {"text": engine.ocr_image(deskewed, preprocess=False), "route": "segmentado_empty"}
+    texts = [engine.ocr_region(deskewed, r["bbox"]) for r in regions]
+    return {
+        "text": "\n".join(t for t in texts),
+        "route": "segmentado",
+        "n_regions": len(regions),
+    }
+
+
+def run_tabla(gray: np.ndarray) -> dict:
+    """Largest-table crop → OCR (/root/reference/main.py:562-586); falls back
+    to segmentation when no table is found (main.py:293-296 semantics)."""
+    deskewed, _ = enhance.correct_skew(gray)
+    binary = enhance.binarize(deskewed, "otsu")
+    tables = detection.detect_tables(binary)
+    if not tables:
+        out = run_segmentado(gray)
+        out["route"] = "tabla_fallback_segmentacion"
+        return out
+    largest = max(tables, key=lambda t: t["bbox"][2] * t["bbox"][3])  # main.py:231
+    return {
+        "text": engine.ocr_region(deskewed, largest["bbox"]),
+        "route": "tabla",
+        "n_tables": len(tables),
+    }
+
+
+def run_documento_completo(gray: np.ndarray, optimizar_para: str = "auto") -> dict:
+    """Auto-routing by horizontal-line census (/root/reference/main.py:999-1054):
+    >10 rules or optimizar_para='tablas' → table path (with segmentation
+    fallback); else plain preprocessing path."""
+    gray = enhance.cap_max_dimension(gray, MAX_DIMENSION_DOCUMENTO)
+    gray = enhance.area_budget_resize(gray, MAX_SIZE_MB_DOCUMENTO)
+    binary = enhance.binarize(gray, "otsu")
+    num_horizontal = detection.count_horizontal_lines(binary)
+    if num_horizontal > TABLE_ROUTE_MIN_HLINES or optimizar_para == "tablas":
+        out = run_tabla(gray)
+        out["num_horizontal"] = num_horizontal
+        return out
+    out = engine.ocr_image_stats(gray)
+    out["route"] = "texto"
+    out["num_horizontal"] = num_horizontal
+    return out
+
+
+def run_checkboxes(gray: np.ndarray) -> dict:
+    """deskew_and_clean → detect_checkboxes → words/lines → QA pairs + a
+    separate full-text pass (/root/reference/main.py:1155-1303; the reference
+    OCRs the same image twice with different PSM — here one engine pass feeds
+    both, SURVEY.md §3.2)."""
+    deskewed, _ = enhance.correct_skew(gray)
+    binary = enhance.binarize(deskewed, "otsu")
+    checkboxes = cbk.detect_checkboxes(binary)
+    words = engine.get_text_data(deskewed, preprocess=False)
+    clear_words = [
+        w for w in words
+        if not any(_bbox_overlaps(w["bbox"], cb["bbox"]) for cb in checkboxes)
+    ]
+    lines = engine.group_words_into_lines(clear_words)
+    qa = association.build_question_answer_pairs(checkboxes, lines)
+    return {
+        "text": "\n".join(ln["text"] for ln in lines),
+        "route": "checkboxes",
+        "qa_pairs": qa,
+        "n_checkboxes": len(checkboxes),
+    }
+
+
+def run_mode(gray: np.ndarray, mode: str) -> dict:
+    if mode == "basico":
+        return run_basico(gray)
+    if mode == "segmentado":
+        return run_segmentado(gray)
+    if mode == "tabla":
+        return run_tabla(gray)
+    if mode == "documento_completo":
+        return run_documento_completo(gray)
+    if mode == "checkboxes":
+        return run_checkboxes(gray)
+    raise ValueError(f"unknown mode {mode!r}")

@@ -1,0 +1,161 @@
+"""The distributed extraction pipeline (SURVEY.md §3.1 Spark lifecycle):
+
+  documents → flat spans → media join → salted repartition →
+  mapInPandas(decode → route → preprocess → OCR) →
+  union passthrough text spans → offset-ordered reassembly.
+
+Exactly one shuffle beyond the media join: the reassembly groupBy. The OCR
+stage streams Arrow batches (generator mapInPandas — a partition is never
+materialized), mirroring the reference's memory hygiene
+(/root/reference/main.py:207-209 del/gc) as bounded batch sizes.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, StringType, StructField, StructType,
+)
+
+OCR_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("offset", IntegerType()),
+        StructField("media_ref", StringType()),
+        StructField("ocr_text", StringType()),
+        StructField("route", StringType()),
+        StructField("n_words", IntegerType()),
+        StructField("mean_conf", DoubleType()),
+        StructField("ocr_ms", DoubleType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+
+def _make_ocr_udf(mode: str):
+    def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ..imaging import png as png_codec
+        from . import modes as mode_lib
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "offset", "media_ref", "ocr_text", "route",
+                "n_words", "mean_conf", "ocr_ms", "partition_id")}
+            for doc_id, offset, media_ref, data in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["bytes"]
+            ):
+                t0 = time.perf_counter()
+                try:
+                    gray = png_codec.decode_gray(bytes(data))
+                    result = mode_lib.run_mode(gray, mode)
+                    text = result.get("text", "")
+                    route = result.get("route", mode)
+                    n_words = len(text.split())
+                    mean_conf = float(result.get("mean_conf", 0.0))
+                except Exception as exc:  # noqa: BLE001 — error rows, never task failures
+                    text, route = "", f"error:{type(exc).__name__}"
+                    n_words, mean_conf = 0, 0.0
+                rows["doc_id"].append(doc_id)
+                rows["offset"].append(int(offset))
+                rows["media_ref"].append(media_ref)
+                rows["ocr_text"].append(text)
+                rows["route"].append(route)
+                rows["n_words"].append(n_words)
+                rows["mean_conf"].append(round(mean_conf, 2))
+                rows["ocr_ms"].append(round((time.perf_counter() - t0) * 1e3, 3))
+                rows["partition_id"].append(pid)
+            yield pd.DataFrame(rows)
+
+    return ocr_batches
+
+
+def ocr_media_spans(
+    media_spans: DataFrame,
+    media: DataFrame,
+    mode: str = "documento_completo",
+    salt_partitions: int | None = None,
+    broadcast_media: bool = False,
+) -> DataFrame:
+    """media spans (doc_id, offset, media_ref) ⋈ media store → OCR stage.
+
+    Salting (SURVEY.md §4.3.1): span rows are independent until reassembly,
+    so any placement is correct — repartition on xxhash64(media_ref) spreads
+    a media-heavy document across all partitions instead of pinning it to
+    one hash bucket. AQE's skew-join split covers the join itself.
+    """
+    m = media.select("media_ref", "bytes")
+    if broadcast_media:
+        m = F.broadcast(m)
+    joined = media_spans.select("doc_id", "offset", "media_ref").join(m, "media_ref")
+    if salt_partitions:
+        joined = joined.repartition(salt_partitions, F.xxhash64("media_ref"))
+    else:
+        joined = joined.repartition(F.xxhash64("media_ref"))
+    return joined.mapInPandas(_make_ocr_udf(mode), schema=OCR_SCHEMA)
+
+
+NORMALIZE = "regexp_replace(trim(x), '\\\\s+', ' ')"
+
+
+def _norm(col):
+    """Whitespace-normalize: newlines/multi-space → single space, trim."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def reassemble(flat: DataFrame, ocr_out: DataFrame) -> DataFrame:
+    """Union passthrough text spans with OCR'd media spans and rebuild each
+    document as an offset-ordered span array (the engine's signature
+    aggregation, SURVEY.md §2.4) plus the concatenated extracted_text."""
+    text_rows = flat.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "offset",
+        F.lit("text").alias("kind"),
+        F.col("chunk").alias("text"),
+        F.col("media_ref"),
+    )
+    media_rows = ocr_out.select(
+        "doc_id",
+        "offset",
+        F.lit("media").alias("kind"),
+        _norm(F.col("ocr_text")).alias("text"),
+        F.col("media_ref"),
+    )
+    unioned = text_rows.unionByName(media_rows)
+    ordered = F.array_sort(F.collect_list(F.struct("offset", "kind", "text", "media_ref")))
+    spans = F.transform(
+        ordered,
+        lambda s: F.struct(
+            s.kind.alias("kind"), s.text.alias("text"),
+            s.media_ref.alias("media_ref"), s.offset.alias("offset"),
+        ),
+    )
+    return unioned.groupBy("doc_id").agg(
+        spans.alias("spans"),
+        F.concat_ws(" ", F.transform(ordered, lambda s: s.text)).alias("extracted_text"),
+    )
+
+
+def extract_documents(
+    documents: DataFrame,
+    media: DataFrame | None = None,
+    mode: str = "documento_completo",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """End-to-end: documents(doc_id, text) → interleaved spans → media render
+    (if no media table given) → OCR → reassembled spans + extracted_text."""
+    from ..sources.interleave import build_media, flat_spans
+
+    flat = flat_spans(documents)
+    if media is None:
+        media = build_media(documents)
+    media_spans = flat.filter(F.col("kind") == "media")
+    ocr_out = ocr_media_spans(media_spans, media, mode=mode, salt_partitions=salt_partitions)
+    return reassemble(flat, ocr_out)

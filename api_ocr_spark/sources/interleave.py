@@ -1,0 +1,126 @@
+"""Interleaved-document synthesis: documents(text) → spans table + media store.
+
+Produces the BASELINE.json input_hint shape
+  documents_spans: (doc_id:string, spans:array<struct<kind,text,media_ref,offset:int>>)
+plus the sidecar media table (FIXTURES.md §2) whose images are rendered from
+the ground-truth chunk text, so expected OCR output is known a priori.
+
+Everything here is deterministic in the source table alone — the synthesis
+rules (config.py: CHUNK_WORDS/MEDIA_MOD/...) are reproduced verbatim by the
+DuckDB oracle SQL in __spark_entry__, which is what makes the whole OCR
+pipeline oracle-checkable end-to-end.
+
+Spark-first notes: chunking/spans are pure Catalyst expressions (split/
+sequence/slice/concat_ws) — no Python. Only the render step is a mapInPandas
+stage (Arrow-batched; the per-image numpy work is the payload, not row-level
+Python dispatch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, StringType, StructField, StructType,
+)
+
+from ..config import CHUNK_WORDS, MEDIA_MOD, RENDER_SEED_MULT, SCENARIO_MULT
+
+SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("fmt", StringType()),
+        StructField("scenario", StringType()),
+        StructField("truth_text", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def flat_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id:bigint, text) → one row per span with ground truth:
+    (doc_id:string, doc_num:bigint, offset:int, kind, chunk, media_ref)."""
+    words = F.split(F.trim(F.col("text")), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(CHUNK_WORDS)).cast("int")
+    df = documents.select(
+        F.col("doc_id").alias("doc_num"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        words.alias("words"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("offset"),
+    )
+    chunk = F.concat_ws(" ", F.slice(F.col("words"), F.col("offset") * CHUNK_WORDS + 1, CHUNK_WORDS))
+    kind = F.when((F.col("doc_num") + F.col("offset")) % MEDIA_MOD == 0, F.lit("media")).otherwise(
+        F.lit("text")
+    )
+    media_ref = F.when(
+        kind == "media", F.concat(F.lit("m-"), F.col("doc_id"), F.lit("-"), F.col("offset").cast("string"))
+    )
+    return df.select(
+        "doc_id",
+        "doc_num",
+        F.col("offset").cast("int").alias("offset"),
+        kind.alias("kind"),
+        chunk.alias("chunk"),
+        media_ref.alias("media_ref"),
+    )
+
+
+def build_documents_spans(documents: DataFrame) -> DataFrame:
+    """The input_hint-shaped interleaved table: media spans carry null text
+    (their content exists only as rendered pixels in the media table)."""
+    fs = flat_spans(documents)
+    span = F.struct(
+        F.col("kind"),
+        F.when(F.col("kind") == "text", F.col("chunk")).alias("text"),
+        F.col("media_ref"),
+        F.col("offset"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("offset", "kind", "chunk", "media_ref"))),
+        lambda s: F.struct(
+            s.kind.alias("kind"),
+            F.when(s.kind == "text", s.chunk).alias("text"),
+            s.media_ref.alias("media_ref"),
+            s.offset.alias("offset"),
+        ),
+    )
+    _ = span
+    return fs.groupBy("doc_id").agg(ordered.alias("spans"))
+
+
+def _render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # imports inside the UDF body: executed on executors/Python workers
+    from ..imaging import png as png_codec
+    from ..imaging.render import SCENARIOS, render_text_image
+
+    for pdf in batches:
+        out = {k: [] for k in ("media_ref", "bytes", "fmt", "scenario", "truth_text", "width", "height")}
+        for doc_num, offset, chunk, media_ref in zip(
+            pdf["doc_num"], pdf["offset"], pdf["chunk"], pdf["media_ref"]
+        ):
+            scenario = SCENARIOS[(int(doc_num) * SCENARIO_MULT + int(offset)) % len(SCENARIOS)]
+            seed = int(doc_num) * RENDER_SEED_MULT + int(offset)
+            img = render_text_image(str(chunk), scenario, seed=seed)
+            out["media_ref"].append(media_ref)
+            out["bytes"].append(png_codec.encode_gray(img))
+            out["fmt"].append("png")
+            out["scenario"].append(scenario)
+            out["truth_text"].append(str(chunk).lower())
+            out["width"].append(img.shape[1])
+            out["height"].append(img.shape[0])
+        yield pd.DataFrame(out)
+
+
+def build_media(documents: DataFrame) -> DataFrame:
+    """Render every media span's ground-truth chunk into an encoded PNG.
+    Arrow-batched mapInPandas; deterministic in (doc_id, offset, text)."""
+    fs = flat_spans(documents).filter(F.col("kind") == "media")
+    fs = fs.select("doc_num", "offset", "chunk", "media_ref")
+    return fs.mapInPandas(_render_batches, schema=MEDIA_SCHEMA)
