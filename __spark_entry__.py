@@ -1,38 +1,660 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` smoke-runs the flagship extraction on sf0.001; `queries()`
+exposes each implemented operator family from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; `oracle_sql()` gives the DuckDB
+equivalent over the same parquet views.
+
+Determinism contracts making the OCR pipeline oracle-checkable end-to-end:
+  - span synthesis constants (api_ocr_spark/config.py) are reproduced
+    verbatim in SQL (CHUNK_WORDS=8, MEDIA_MOD=3, SCENARIO_MULT=31);
+  - rendered media images round-trip exactly through the glyph OCR engine
+    (proved by tests/test_ocr.py::test_roundtrip_exact), so extracted text
+    equals whitespace-normalized lowercase source text;
+  - float-sensitive queries quantize to integers first (cents, x*1000) so
+    aggregation order cannot perturb results between engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from api_ocr_spark.functions import text as T  # noqa: E402
+from api_ocr_spark.operators import dedup, pipeline, similarity  # noqa: E402
+from api_ocr_spark.sources.interleave import build_media, flat_spans  # noqa: E402
+from api_ocr_spark.sources.tables import load_table  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full interleaved-doc extraction (documento_completo mode)."""
+    docs = _docs(spark, "/root/testdata/sf0.001").limit(100)
+    return pipeline.extract_documents(docs, mode="documento_completo")
 
+
+# --------------------------------------------------------------------------
+# OCR pipeline family
+# --------------------------------------------------------------------------
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_ROUNDTRIP_ORACLE = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_NORM_SQL} AS extracted_text
+FROM documents
+"""
+
+
+def _ocr_roundtrip(mode: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        out = pipeline.extract_documents(docs, mode=mode)
+        return out.select("doc_id", "extracted_text")
+
+    return q
+
+
+_SPANS_CTE = """
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), c AS (
+  SELECT doc_id, ws, unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS off
+  FROM w
+)
+"""
+
+
+def q_span_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fs = flat_spans(_docs(spark, sf_dir))
+    return fs.select(
+        "doc_id",
+        F.col("offset").cast("int").alias("offset"),
+        "kind",
+        F.coalesce("media_ref", F.lit("")).alias("media_ref"),
+        "chunk",
+    )
+
+
+ORACLE_SPAN_SYNTHESIS = _SPANS_CTE + """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(off AS INTEGER) AS offset,
+       CASE WHEN (doc_id + off) % 3 = 0 THEN 'media' ELSE 'text' END AS kind,
+       CASE WHEN (doc_id + off) % 3 = 0
+            THEN 'm-' || CAST(doc_id AS VARCHAR) || '-' || CAST(off AS VARCHAR)
+            ELSE '' END AS media_ref,
+       array_to_string(ws[CAST(off*8+1 AS BIGINT):CAST(off*8+8 AS BIGINT)], ' ') AS chunk
+FROM c
+"""
+
+
+def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = build_media(_docs(spark, sf_dir))
+    return media.select("media_ref", "fmt", "scenario", "truth_text")
+
+
+ORACLE_MEDIA_MANIFEST = _SPANS_CTE + """
+SELECT 'm-' || CAST(doc_id AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
+       'png' AS fmt,
+       (['plain','skewed','noisy','shadow','ruled','boxed'])[CAST((doc_id*31 + off) % 6 AS BIGINT) + 1] AS scenario,
+       lower(array_to_string(ws[CAST(off*8+1 AS BIGINT):CAST(off*8+8 AS BIGINT)], ' ')) AS truth_text
+FROM c
+WHERE (doc_id + off) % 3 = 0
+"""
+
+
+def _enriched(col_doc_num, col_text):
+    hh = (col_doc_num % 24).cast("string")
+    mm = F.lpad((col_doc_num % 60).cast("string"), 2, "0")
+    day = (col_doc_num % 28 + 1).cast("string")
+    yd = (col_doc_num % 10).cast("string")
+    return F.concat_ws(
+        " ",
+        F.lower(col_text),
+        F.lit("lunes"),
+        F.concat(hh, F.lit(":"), mm),
+        F.concat(day, F.lit(" de enero de 202"), yd),
+    )
+
+
+_ENRICH_SQL = (
+    "lower(text) || ' lunes ' || CAST(doc_id % 24 AS VARCHAR) || ':' || "
+    "lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ' ' || "
+    "CAST(doc_id % 28 + 1 AS VARCHAR) || ' de enero de 202' || CAST(doc_id % 10 AS VARCHAR)"
+)
+
+
+def q_estructurar_texto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction (estructurar_texto_ocr) as native expressions
+    over deterministically enriched text (the corpus has no times/dates)."""
+    docs = _docs(spark, sf_dir)
+    enriched = _enriched(F.col("doc_id"), F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.normalize_ws(enriched).alias("texto_limpio"),
+        T.horarios_str(enriched).alias("horarios"),
+        T.dias_str(enriched).alias("dias"),
+        T.fechas_str(enriched).alias("fechas"),
+    )
+
+
+ORACLE_ESTRUCTURAR = f"""
+WITH e AS (SELECT doc_id, {_ENRICH_SQL} AS et FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(et, '\\s+', ' ', 'g')) AS texto_limpio,
+  array_to_string(list_sort(list_distinct(
+      list_concat(regexp_extract_all(et, '([0-9]{{1,2}}:[0-9]{{2}})', 1),
+                  regexp_extract_all(et, '([0-9]{{1,2}}:[0-9]{{2}} *[-–] *[0-9]{{1,2}}:[0-9]{{2}})', 1)))), ',') AS horarios,
+  array_to_string(list_sort(list_distinct(list_concat(
+      list_filter(['lunes','martes','miercoles','jueves','viernes','sabado','domingo'],
+                  d -> contains(lower(et), d)),
+      regexp_extract_all(lower(et), '((?:lunes|martes|miercoles|jueves|viernes|sabado|domingo) [0-9]{{1,2}})', 1)))), ',') AS dias,
+  array_to_string(list_sort(list_distinct(
+      regexp_extract_all(lower(et), '([0-9]{{1,2}} de [a-z]+ de [0-9]{{4}})', 1))), ',') AS fechas
+FROM e
+"""
+
+
+def q_limpiar_texto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limpiar_texto_ocr artifact cleanup on text with injected OCR junk."""
+    docs = _docs(spark, sf_dir)
+    junked = F.concat(F.col("text"), F.lit(" 3,5|x 25* c 30% fin"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.limpiar_texto_ocr_col(junked).alias("texto_limpio"),
+    )
+
+
+ORACLE_LIMPIAR = r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text || ' 3,5|x 25* c 30% fin', '\|', ' ', 'g'),
+          '([0-9]+)[%*]\s*([A-Za-z])', '\1° \2', 'g'),
+        '([0-9]+)[%*]', '\1°', 'g'),
+      '([0-9]+),([0-9]+)', '\1.\2', 'g'),
+    '\s+', ' ', 'g')) AS texto_limpio
+FROM documents
+"""
+
+
+def q_checkbox_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkbox pipeline end-to-end, oracle-checked: deterministic forms are
+    rendered from document words with rule-derived marked states, then the
+    full detect→OCR→associate→QA flow recovers labels and states."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id", "text")
+
+    def gen(batches):
+        from api_ocr_spark.imaging.render import render_checkbox_form
+        from api_ocr_spark.kernels import checkbox as cbk
+        from api_ocr_spark.kernels import enhance
+        from api_ocr_spark.ocr import association, engine
+        from api_ocr_spark.operators.modes import _bbox_overlaps
+
+        for pdf in batches:
+            out = {"doc_id": [], "pregunta": [], "respuesta": [], "tipo": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = str(text).split()
+                qs = [
+                    (words[0][:8], int(doc_id) % 2 == 0, "square"),
+                    (words[1][:8], int(doc_id) % 3 == 0, "circle"),
+                ]
+                img, _ = render_checkbox_form(qs, seed=int(doc_id))
+                binary = enhance.binarize_otsu(img)
+                cbs = cbk.detect_checkboxes(binary)
+                wds = [
+                    w for w in engine.get_text_data(img, preprocess=False)
+                    if not any(_bbox_overlaps(w["bbox"], c["bbox"]) for c in cbs)
+                ]
+                qa = association.build_question_answer_pairs(
+                    cbs, engine.group_words_into_lines(wds))
+                for p in qa:
+                    out["doc_id"].append(int(doc_id))
+                    out["pregunta"].append(p["pregunta"])
+                    out["respuesta"].append(p["respuesta"])
+                    out["tipo"].append(p["tipo"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, pregunta string, respuesta string, tipo string"
+    )
+
+
+ORACLE_CHECKBOX_QA = """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents WHERE doc_id < 60)
+SELECT doc_id, lower(substr(ws[1], 1, 8)) AS pregunta,
+       CASE WHEN doc_id % 2 = 0 THEN 'marcado' ELSE 'no marcado' END AS respuesta,
+       'square' AS tipo
+FROM w
+UNION ALL
+SELECT doc_id, lower(substr(ws[2], 1, 8)) AS pregunta,
+       CASE WHEN doc_id % 3 = 0 THEN 'marcado' ELSE 'no marcado' END AS respuesta,
+       'circle' AS tipo
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational operator family (SURVEY.md §2.2-2.6 analogues on TPC-H tables)
+# --------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavor aggregation; money quantized to cents so sums are
+    integer-exact in both engines (partial agg map-side; one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(cents * (100 - disc_pct)).alias("sum_disc_e4"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  round(SUM(l_quantity), 2) AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join orders⋈customer⋈nation; nation broadcast (tiny dim)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("revenue_cents"), F.count("*").alias("n_orders"))
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k (rank-1 pattern generalized): top-3 orders by price."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+ORACLE_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the checkbox proximity-grouping idiom,
+    SURVEY.md §2.4): new session when gap >= 30 min; sessions per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap >= 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+ORACLE_SESSIONIZE = """
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= 1800 * 1000000
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+def q_nearest_prior_login(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor theta-join + rank-1: for each error event, the most
+    recent prior signup by the same user (the relational analogue of the
+    checkbox nearest-above join, /root/reference/preprocessing/checkbox.py:157-190)."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id"), F.col("ts").alias("err_ts"))
+    sgn = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id"), F.col("ts").alias("sgn_ts"))
+    joined = err.join(sgn, ["user_id"]).filter(F.col("sgn_ts") < F.col("err_ts"))
+    w = Window.partitionBy("error_id").orderBy(F.desc("sgn_ts"), F.desc("signup_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("error_id", "signup_id", "user_id")
+    )
+
+
+ORACLE_NEAREST_PRIOR = """
+SELECT error_id, signup_id, user_id FROM (
+  SELECT e.event_id AS error_id, s.event_id AS signup_id, e.user_id,
+         row_number() OVER (PARTITION BY e.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn
+  FROM events e JOIN events s
+    ON e.user_id = s.user_id AND s.ts < e.ts
+  WHERE e.event_type = 'error' AND s.event_type = 'signup'
+) WHERE rn = 1
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the containment anti-join analogue, main.py:148-164)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_CUSTOMERS_WO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q_set_ops_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union+distinct / except (§2.6): event types of even users minus types
+    seen only... intersected with odd users' types, plus dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    even = ev.filter(F.col("user_id") % 2 == 0).select("event_type").distinct()
+    odd = ev.filter((F.col("user_id") % 3 == 0)).select("event_type").distinct()
+    return even.intersect(odd).unionByName(
+        even.exceptAll(odd).withColumn("event_type", F.concat(F.lit("only:"), "event_type"))
+    ).distinct()
+
+
+ORACLE_SET_OPS = """
+SELECT event_type FROM (
+  SELECT DISTINCT event_type FROM events WHERE user_id % 2 = 0
+  INTERSECT
+  SELECT DISTINCT event_type FROM events WHERE user_id % 3 = 0
+)
+UNION
+SELECT 'only:' || event_type AS event_type FROM (
+  SELECT DISTINCT event_type FROM events WHERE user_id % 2 = 0
+  EXCEPT
+  SELECT DISTINCT event_type FROM events WHERE user_id % 3 = 0
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline family (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint, MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.02, max_doc_id=150)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 150),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+  FROM w
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.02
+"""
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup (MinHash+LSH candidates, exact-Jaccard verify).
+    Probabilistic candidate recall → no SQL oracle (driver rows-only check)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_table(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+ORACLE_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), v AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN substr(md5(tok), CAST(j + 1 AS INTEGER), 1)
+                       IN ('8','9','a','b','c','d','e','f')
+             THEN 1 ELSE -1 END) AS s
+  FROM t, (SELECT unnest(range(16)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM v GROUP BY doc_id
+"""
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming pairs, half-blocked self-join (rows-only check —
+    expressible in SQL but quadratic; the blocked form is the point)."""
+    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=2)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.token_count(c).cast("long").alias("n_tokens"),
+        F.length(c).cast("long").alias("n_chars"),
+        T.distinct_token_ratio(c).alias("distinct_ratio"),
+        T.stopword_ratio(c).alias("stopword_ratio"),
+        T.avg_token_len(c).alias("avg_token_len"),
+        T.fingerprint_md5(c).alias("fingerprint"),
+        T.lang_guess(c).alias("lang_guess"),
+        T.quality_score(c).alias("quality"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+WITH d AS (SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS ws FROM documents)
+SELECT doc_id,
+  CAST(len(ws) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  round(len(list_distinct(ws)) / len(ws), 6) AS distinct_ratio,
+  round(len(list_filter(ws, x -> x IN ('the','a','de','la','el'))) / len(ws), 6) AS stopword_ratio,
+  round(list_sum(list_transform(ws, x -> length(x))) / len(ws), 6) AS avg_token_len,
+  md5(array_to_string(ws, ' ')) AS fingerprint,
+  CASE WHEN len(list_filter(ws, x -> x IN ('the','a','of')))
+            > len(list_filter(ws, x -> x IN ('de','la','el'))) THEN 'en'
+       WHEN len(list_filter(ws, x -> x IN ('de','la','el')))
+            > len(list_filter(ws, x -> x IN ('the','a','of'))) THEN 'es'
+       WHEN len(list_filter(ws, x -> x IN ('the','a','of'))) > 0 THEN 'en'
+       ELSE 'unknown' END AS lang_guess,
+  round(0.4 * least(len(ws) / 100.0, 1.0)
+      + 0.4 * (len(list_distinct(ws)) / len(ws))
+      + 0.2 * (1.0 - abs(len(list_filter(ws, x -> x IN ('the','a','de','la','el'))) / len(ws) - 0.1)), 6) AS quality
+FROM d
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_queries=8)
+
+
+ORACLE_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.qv, b.qv) / sqrt(a.norm2 * b.norm2), 6) AS cos,
+         CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.qv, b.qv) / sqrt(a.norm2 * b.norm2), 6) DESC,
+                      b.vec_id) AS INTEGER) AS rank
+  FROM n a JOIN n b ON a.vec_id < 8 AND a.vec_id <> b.vec_id
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.8, max_vec_id=300)
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 300
+), n AS (
+  SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.qv, b.qv) / sqrt(a.norm2 * b.norm2), 6) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.qv, b.qv) / sqrt(a.norm2 * b.norm2), 6) >= 0.8
+"""
+
+
+def q_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-dup (ANN semantics → rows-only check)."""
+    return similarity.lsh_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # OCR pipeline family
+        "ocr_documento_completo": _ocr_roundtrip("documento_completo"),
+        "ocr_basico": _ocr_roundtrip("basico"),
+        "ocr_segmentado": _ocr_roundtrip("segmentado"),
+        "ocr_tabla": _ocr_roundtrip("tabla"),
+        "span_synthesis": q_span_synthesis,
+        "media_manifest": q_media_manifest,
+        "estructurar_texto": q_estructurar_texto,
+        "limpiar_texto": q_limpiar_texto,
+        "checkbox_qa": q_checkbox_qa,
+        # relational operator family
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "sessionize_events": q_sessionize_events,
+        "nearest_prior_login": q_nearest_prior_login,
+        "customers_without_orders": q_customers_without_orders,
+        "set_ops_event_types": q_set_ops_event_types,
+        # training-data pipeline family
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "text_stats": q_text_stats,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "lsh_embedding_neardup": q_lsh_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ocr_documento_completo": _ROUNDTRIP_ORACLE,
+        "ocr_basico": _ROUNDTRIP_ORACLE,
+        "ocr_segmentado": _ROUNDTRIP_ORACLE,
+        "ocr_tabla": _ROUNDTRIP_ORACLE,
+        "span_synthesis": ORACLE_SPAN_SYNTHESIS,
+        "media_manifest": ORACLE_MEDIA_MANIFEST,
+        "estructurar_texto": ORACLE_ESTRUCTURAR,
+        "limpiar_texto": ORACLE_LIMPIAR,
+        "checkbox_qa": ORACLE_CHECKBOX_QA,
+        "agg_pricing_summary": ORACLE_AGG_PRICING,
+        "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+        "topk_orders_per_customer": ORACLE_TOPK_ORDERS,
+        "sessionize_events": ORACLE_SESSIONIZE,
+        "nearest_prior_login": ORACLE_NEAREST_PRIOR,
+        "customers_without_orders": ORACLE_CUSTOMERS_WO_ORDERS,
+        "set_ops_event_types": ORACLE_SET_OPS,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+        "simhash": ORACLE_SIMHASH,
+        "text_stats": ORACLE_TEXT_STATS,
+        "ann_cosine_topk": ORACLE_ANN_TOPK,
+        "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+        # minhash_lsh_neardup / simhash_neardup / lsh_embedding_neardup:
+        # probabilistic-recall or blocked variants → rows-only checks
+    }

@@ -1,0 +1,169 @@
+"""Spark-native column expressions — the JVM-side hot path.
+
+Every function here compiles to Catalyst expressions (whole-stage codegen;
+no Python in the loop). They re-express the reference's postprocess stage
+(/root/reference/ocr/postprocess.py) plus the text-analysis operators a
+training-data pipeline needs (token stats, quality, language ID, simhash,
+fingerprints). The pure-Python twins in api_ocr_spark.ocr.postprocess serve
+fixture building; these serve the 100 TB path.
+
+Regex note: patterns use [0-9] (not \\d) and are kept to the common subset of
+Java/RE2/DuckDB syntax so the DuckDB oracle SQL in __spark_entry__ can use
+the textually identical pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TIME_PATTERN = "[0-9]{1,2}:[0-9]{2}"
+DATE_PATTERN = "[0-9]{1,2} de [a-z]+ de [0-9]{4}"
+WEEKDAYS = ("lunes", "martes", "miercoles", "jueves", "viernes", "sabado", "domingo")
+STOPWORDS = ("the", "a", "de", "la", "el")
+
+
+def normalize_ws(col: Column) -> Column:
+    """clean_text's whitespace semantics (postprocess.py:17-21): collapse all
+    whitespace runs to single spaces and trim."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def limpiar_texto_ocr_col(col: Column) -> Column:
+    """limpiar_texto_ocr (postprocess.py:24-38) as native expressions."""
+    c = F.regexp_replace(col, r"\|", " ")
+    c = F.regexp_replace(c, r"([0-9]+)[%*]\s*([A-Za-z])", "$1° $2")
+    c = F.regexp_replace(c, r"([0-9]+)[%*]", "$1°")
+    c = F.regexp_replace(c, r"([0-9]+),([0-9]+)", "$1.$2")
+    return normalize_ws(c)
+
+
+def _sorted_unique_joined(arr: Column) -> Column:
+    """sorted-unique (the engine's pinned replacement for the reference's
+    order-unstable list(set(...)), SURVEY.md §5.2.5), comma-joined so the
+    result is a flat, hash-comparable string."""
+    return F.array_join(F.array_sort(F.array_distinct(arr)), ",")
+
+
+def horarios_str(col: Column) -> Column:
+    """extraer_horarios (postprocess.py:41-56): times + ranges, sorted-unique."""
+    times = F.regexp_extract_all(col, F.lit(f"({TIME_PATTERN})"), 1)
+    ranges = F.regexp_extract_all(
+        col, F.lit(f"({TIME_PATTERN} *[-–] *{TIME_PATTERN})"), 1
+    )
+    return _sorted_unique_joined(F.concat(times, ranges))
+
+
+def dias_str(col: Column) -> Column:
+    """extraer_dias (postprocess.py:59-80): weekday mentions + 'weekday N'."""
+    low = F.lower(col)
+    plain = F.filter(
+        F.array(*[F.when(low.contains(d), F.lit(d)) for d in WEEKDAYS]),
+        lambda x: x.isNotNull(),
+    )
+    alt = "|".join(WEEKDAYS)
+    numbered = F.regexp_extract_all(low, F.lit(f"((?:{alt}) [0-9]{{1,2}})"), 1)
+    return _sorted_unique_joined(F.concat(plain, numbered))
+
+
+def fechas_str(col: Column) -> Column:
+    """extraer_fechas (postprocess.py:83-88), lowercase input assumed."""
+    return _sorted_unique_joined(
+        F.regexp_extract_all(F.lower(col), F.lit(f"({DATE_PATTERN})"), 1)
+    )
+
+
+# ------------------------------------------------------- text analysis ops
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_ws(F.lower(col)), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_ratio(col: Column) -> Column:
+    t = tokens(col)
+    return F.round(F.size(F.array_distinct(t)) / F.size(t), 6)
+
+
+def stopword_ratio(col: Column) -> Column:
+    t = tokens(col)
+    sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    return F.round(sw / F.size(t), 6)
+
+
+def avg_token_len(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(total / F.size(t), 6)
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dedup document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_ws(F.lower(col)))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score: length saturation + lexical diversity +
+    stopword sanity. Deterministic, SQL-reproducible (integer/ratio algebra).
+    """
+    t = tokens(col)
+    n = F.size(t)
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(t)) / n
+    sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))) / n
+    sw_sanity = F.lit(1.0) - F.abs(sw - F.lit(0.1))
+    return F.round(0.4 * length_term + 0.4 * diversity + 0.2 * sw_sanity, 6)
+
+
+def lang_guess(col: Column) -> Column:
+    """Marker-token language heuristic (n-gram-class langid stand-in):
+    argmax over per-language marker counts with deterministic tie-break
+    (en > es > other by marker presence)."""
+    t = tokens(col)
+    en = F.size(F.filter(t, lambda x: x.isin("the", "a", "of")))
+    es = F.size(F.filter(t, lambda x: x.isin("de", "la", "el")))
+    return (
+        F.when(en > es, F.lit("en"))
+        .when(es > en, F.lit("es"))
+        .when((en > 0) & (en == es), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over the token multiset, md5-based so the DuckDB oracle
+    reproduces it bit-for-bit: bit j of a token's hash is the high bit of hex
+    digit j of md5(token); simhash bit j = sign of the sum of ±1 votes.
+
+    Built as a fold over hex digits — pure Catalyst expressions.
+    """
+    t = tokens(col)
+
+    def vote(j: int):
+        # single-arg lambda: F.transform dispatches (element, index) to
+        # two-arg lambdas, so the bit index must be bound via a closure
+        def f(x):
+            return F.when(
+                F.substring(F.md5(x), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+
+        return f
+
+    out = F.lit(0)
+    for j in range(16):
+        total = F.aggregate(F.transform(t, vote(j)), F.lit(0), lambda acc, v: acc + v)
+        out = out + F.when(total > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit simhashes (popcount via fold)."""
+    x = a.bitwiseXOR(b)
+    total = F.lit(0)
+    for j in range(16):
+        total = total + F.shiftright(x, j).bitwiseAND(F.lit(1))
+    return total

@@ -68,7 +68,12 @@ GLYPH_W = 5
 GLYPH_H = 7
 SCALE = 2  # rendered glyphs are (GLYPH_H*SCALE) x (GLYPH_W*SCALE)
 CELL_W = GLYPH_W * SCALE + 4  # 4 px inter-char gap at render scale
-LINE_H = GLYPH_H * SCALE + 6  # 6 px inter-line gap
+# Line gap (16) must exceed the region-segmenter's dilation reach (2*6=12)
+# so lines never merge vertically, while the word gap (space cell ≥ 22 px)
+# exceeds it horizontally too — document-like geometry: both gaps > reach,
+# and line pitch > any intra-line feature. See kernels/detection.py
+# segment_regions and SURVEY.md §2.8.
+LINE_H = GLYPH_H * SCALE + 16
 CHARSET = set(_GLYPHS_RAW) | {" "}
 
 

@@ -127,8 +127,11 @@ def _apply_box(img: np.ndarray) -> np.ndarray:
     """Enclose the whole render in a rectangle border (a 1-cell 'table')."""
     h, w = img.shape
     t = RULE_THICKNESS
-    out = np.full((h + 2 * (t + 4), w + 2 * (t + 4)), BG, dtype=np.uint8)
-    out[t + 4 : t + 4 + h, t + 4 : t + 4 + w] = img
+    # inner padding 16 > the region-segmenter's dilation reach (12) so the
+    # border never merges with the first/last text lines
+    pad = t + 16
+    out = np.full((h + 2 * pad, w + 2 * pad), BG, dtype=np.uint8)
+    out[pad : pad + h, pad : pad + w] = img
     out[:t, :] = INK
     out[-t:, :] = INK
     out[:, :t] = INK

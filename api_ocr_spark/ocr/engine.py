@@ -121,7 +121,9 @@ def get_text_data(gray: np.ndarray, preprocess: bool = True) -> list[dict]:
     if preprocess:
         binary = enhance.deskew_and_clean(gray)
     else:
-        binary = gray if set(np.unique(gray)) <= {0, 255} else enhance.binarize(gray, "auto")
+        # already-binary ROIs pass through; gray ROIs binarize with Otsu —
+        # the engine-wide global-threshold choice (see deskew_and_clean)
+        binary = gray if set(np.unique(gray)) <= {0, 255} else enhance.binarize(gray, "otsu")
     ink = binary > 0
     rr = rule_rows(binary)
     if rr.any():

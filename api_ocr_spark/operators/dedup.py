@@ -1,0 +1,200 @@
+"""Deduplication operators over the documents table — the training-data
+pipeline ops a 100 TB corpus needs (exact, n-gram Jaccard, MinHash+LSH,
+SimHash). All JVM-side Catalyst expressions; no Python UDFs.
+
+Scale notes (100 TB):
+  - exact: one shuffle on the md5 fingerprint; partial agg map-side.
+  - ngram_jaccard: exact pairwise — quadratic blowup on common shingles;
+    offered only bounded (scope filter) as a verification oracle. The scale
+    path is MinHash+LSH: candidates meet only within a band bucket, and the
+    band join is a plain shuffle join AQE can skew-split.
+  - simhash: linear signature pass + self-join on band keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, normalize_ws
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one keeper (min doc_id) per fingerprint."""
+    return (
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            fingerprint_md5(F.col("text")).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column (pure Catalyst: transform
+    over a sequence of start offsets + slice + concat_ws)."""
+    words = F.split(normalize_ws(F.lower(col)), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.array_distinct(grams)
+
+
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id:long, shingle:string) exploded distinct shingles."""
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(word_shingles(F.col("text"), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, max_doc_id: int | None = None, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b). Quadratic in shingle
+    co-occurrence — bound the scope with max_doc_id when used as an oracle;
+    use minhash_lsh_pairs for the full corpus."""
+    docs = documents
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signatures: min over shingles of xxhash64(shingle, seed_i).
+    One groupBy; signature is an array column ordered by seed index."""
+    sh = doc_shingles(documents)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature (rows = hashes/bands
+    per band), meet within (band_id, band_hash) buckets, optionally verify
+    with exact Jaccard on candidate pairs only (linear + bucket joins — the
+    scale path; no quadratic shingle join)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col("signature")[b * rows + r] for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    # exact-Jaccard verification restricted to candidate pairs
+    sh = doc_shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_table(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash:int) — 16-bit md5-vote SimHash (oracle-reproducible)."""
+    from ..functions.text import simhash16
+
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), simhash16(F.col("text")).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance; self-join blocked on the
+    two 8-bit halves (a pair within distance<=3 must agree exactly on at
+    least one half — pigeonhole), so the join is equi-key, not cross."""
+    from ..functions.text import hamming16
+
+    sh = simhash_table(documents)
+    halves = sh.select(
+        "doc_id",
+        "simhash",
+        F.col("simhash").bitwiseAND(F.lit(0xFF)).alias("lo"),
+        F.shiftright("simhash", 8).bitwiseAND(F.lit(0xFF)).alias("hi"),
+    )
+    pairs = None
+    for key in ("lo", "hi"):
+        a = halves.alias("a")
+        b = halves.alias("b")
+        p = a.join(
+            b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    out = (
+        pairs.distinct()
+        .withColumn("hamming", hamming16(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return out.select("doc_a", "doc_b", "hamming")

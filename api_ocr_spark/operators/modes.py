@@ -57,12 +57,24 @@ def run_segmentado(gray: np.ndarray, detectar_tablas: bool = True) -> dict:
     deskewed, _ = enhance.correct_skew(gray)
     binary = enhance.binarize(deskewed, "otsu")
     regions = detection.segment_regions(binary)
+    # keep innermost regions: a bbox that fully contains another region is a
+    # frame/envelope (e.g. a table border ring) — OCRing it would re-read the
+    # interior regions' text
+    regions = [
+        r for r in regions
+        if not any(
+            o is not r and detection.contains(r["bbox"], o["bbox"]) for o in regions
+        )
+    ]
     if detectar_tablas:
         tables = detection.detect_tables(binary)
         # containment anti-join: add tables not fully inside an existing region
-        # (/root/reference/main.py:148-164)
+        # (/root/reference/main.py:148-164). Deviation (documented): regions
+        # fully inside an appended table are dropped — OCRing both the table
+        # and its interior regions would emit the same text twice.
         for t in tables:
             if not any(detection.contains(r["bbox"], t["bbox"]) for r in regions):
+                regions = [r for r in regions if not detection.contains(t["bbox"], r["bbox"])]
                 regions.append(t)
     regions.sort(key=lambda r: (r["bbox"][1], r["bbox"][0]))  # reading order
     if not regions:

@@ -1,0 +1,118 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Embeddings are quantized to integers (round(x*1000)) before any arithmetic so
+dot products are exact integer sums — bit-identical between Spark and the
+DuckDB oracle regardless of float summation order. Cosine then divides by
+integer-exact norms under IEEE-754 (correctly-rounded sqrt/divide), keeping
+both engines in agreement.
+
+Scale notes: brute-force top-k is the correctness baseline (broadcast the
+query set; linear scan of the corpus — embarrassingly parallel). The scale
+path is sign-LSH bucketing: 8 deterministic ±1 hyperplanes → 256 buckets;
+candidates meet only within a bucket, then exact cosine verifies. All
+JVM-side (zip_with/aggregate folds; the hyperplanes are literal arrays).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1000
+LSH_BITS = 8
+LSH_SEED = 7
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id:long, qvec:array<long>, norm2:long)."""
+    qvec = F.transform(F.col("embedding"), lambda x: F.round(x * QUANT, 0).cast("long"))
+    df = emb.select(F.col("vec_id").cast("long").alias("vec_id"), qvec.alias("qvec"))
+    norm2 = F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    return df.withColumn("norm2", norm2)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def cosine(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
+    return F.round(dot_col / F.sqrt((norm_a * norm_b).cast("double")), 6)
+
+
+def brute_force_topk(
+    emb: DataFrame, k: int = 5, n_queries: int = 8
+) -> DataFrame:
+    """Exact cosine top-k: queries (vec_id < n_queries) against the corpus.
+    The query side is broadcast — the big side never shuffles."""
+    q = quantized(emb)
+    queries = F.broadcast(
+        q.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("norm2").alias("q_norm2"),
+        )
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec"), F.col("norm2")
+    )
+    scored = queries.join(corpus, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(dot(F.col("q_qvec"), F.col("qvec")), F.col("q_norm2"), F.col("norm2")).alias("cos"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def neardup_pairs(emb: DataFrame, threshold: float = 0.9, max_vec_id: int | None = None) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold. Bounded scope when used as
+    an oracle; the LSH-bucketed variant is the full-corpus path."""
+    q = quantized(emb)
+    if max_vec_id is not None:
+        q = q.filter(F.col("vec_id") < max_vec_id)
+    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qvec").alias("qa"), F.col("norm2").alias("na"))
+    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qvec").alias("qb"), F.col("norm2").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", cosine(dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cos")
+    )
+    return pairs.filter(F.col("cos") >= threshold)
+
+
+def lsh_hyperplanes(dim: int = 64, bits: int = LSH_BITS, seed: int = LSH_SEED) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes (seeded; literal arrays in the plan)."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(bits, dim)) * 2 - 1).tolist()
+
+
+def lsh_bucket(qvec: Column, planes: list[list[int]]) -> Column:
+    """Sign-LSH bucket id: bit j = sign(qvec · plane_j)."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(int(v)) for v in plane])
+        proj = dot(qvec, lit_plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.9, dim: int = 64) -> DataFrame:
+    """Scale path: bucket by sign-LSH, meet within buckets, verify exact
+    cosine. Misses cross-bucket pairs by design (ANN semantics)."""
+    planes = lsh_hyperplanes(dim)
+    q = quantized(emb).withColumn("bucket", lsh_bucket(F.col("qvec"), planes))
+    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qvec").alias("qa"),
+                 F.col("norm2").alias("na"), "bucket")
+    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qvec").alias("qb"),
+                 F.col("norm2").alias("nb"), "bucket")
+    pairs = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", cosine(dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cos")
+    )
+    return pairs.filter(F.col("cos") >= threshold)

@@ -1,0 +1,91 @@
+"""Benchmark harness.
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`--cores N --flagship-only` runs just the flagship extraction (used by
+tools/scaling.py to measure N-vs-4N throughput scaling in separate JVMs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "ocr_documento_completo",
+    "ocr_basico",
+    "span_synthesis",
+    "media_manifest",
+    "estructurar_texto",
+    "agg_pricing_summary",
+    "revenue_by_nation",
+    "topk_orders_per_customer",
+    "sessionize_events",
+    "dedup_exact",
+    "minhash_lsh_neardup",
+    "simhash",
+    "text_stats",
+    "ann_cosine_topk",
+    "lsh_embedding_neardup",
+]
+
+
+def materialize(df) -> int:
+    """Force full execution; count() keeps the whole plan (noop write would
+    too, but count also returns cardinality for docs/sec)."""
+    return df.count()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from api_ocr_spark.plans.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{args.cores}", cores=args.cores)
+    qs = entrymod.queries()
+    names = ["ocr_documento_completo"] if args.flagship_only else (args.queries or HEADLINE)
+
+    # warm the JVM/Python workers once (excluded from timings)
+    materialize(qs["span_synthesis"](spark, args.sf_dir))
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        counts[name] = materialize(qs[name](spark, args.sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).count()
+    flagship = timings.get("ocr_documento_completo")
+    docs_per_sec = round(n_docs / flagship, 2) if flagship else None
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "documents/sec end-to-end (flagship interleaved extraction), 100% span equality",
+        "value": docs_per_sec if docs_per_sec is not None else round(sum(timings.values()), 3),
+        "unit": "docs/sec" if docs_per_sec is not None else "sec",
+        "queries": timings,
+        "counts": counts,
+        "total_sec": round(sum(timings.values()), 3),
+        "docs": n_docs,
+        "cores": args.cores,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

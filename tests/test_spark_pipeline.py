@@ -1,0 +1,180 @@
+"""Spark-layer tests: span synthesis invariants, per-mode span-sequence
+equality vs golden (FIXTURES.md §3), skew handling, checkpoint/resume,
+streaming parity (SURVEY.md §5.2.3-4)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_ocr_spark.operators import pipeline
+from api_ocr_spark.plans import checkpoint
+from api_ocr_spark.sources import interleave, tables
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return tables.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < N_DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def golden(docs):
+    """Golden extracted text: normalized lowercase source (render→OCR is
+    exact by the fixture contract, proved in tests/test_ocr.py)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("want"),
+    )
+
+
+def test_flat_spans_invariants(docs):
+    fs = interleave.flat_spans(docs)
+    # offsets dense + unique per doc (FIXTURES.md §1)
+    per_doc = fs.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("offset").alias("nd"),
+        F.min("offset").alias("mn"),
+        F.max("offset").alias("mx"),
+    )
+    bad = per_doc.filter(
+        (F.col("n") != F.col("nd")) | (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
+    )
+    assert bad.count() == 0
+    # kind invariants: media ⇒ media_ref, text ⇒ no media_ref
+    assert fs.filter((F.col("kind") == "media") & F.col("media_ref").isNull()).count() == 0
+    assert fs.filter((F.col("kind") == "text") & F.col("media_ref").isNotNull()).count() == 0
+
+
+def test_documents_spans_input_hint_shape(docs):
+    ds = interleave.build_documents_spans(docs)
+    schema = ds.schema["spans"].dataType.elementType
+    assert [f.name for f in schema.fields] == ["kind", "text", "media_ref", "offset"]
+    row = ds.filter(F.size("spans") >= 3).first()
+    offsets = [s.offset for s in row.spans]
+    assert offsets == sorted(offsets) == list(range(len(offsets)))
+    for s in row.spans:
+        if s.kind == "media":
+            assert s.text is None and s.media_ref is not None
+        else:
+            assert s.text is not None and s.media_ref is None
+
+
+def test_media_table_schema_and_determinism(spark, docs):
+    m1 = interleave.build_media(docs).orderBy("media_ref").limit(5).collect()
+    m2 = interleave.build_media(docs).orderBy("media_ref").limit(5).collect()
+    assert [r.media_ref for r in m1] == [r.media_ref for r in m2]
+    assert [bytes(r.bytes) for r in m1] == [bytes(r.bytes) for r in m2]
+    for r in m1:
+        assert r.fmt == "png" and r.width > 0 and r.height > 0
+        assert r.scenario in ("plain", "skewed", "noisy", "shadow", "ruled", "boxed")
+
+
+@pytest.mark.parametrize("mode", ["basico", "segmentado", "tabla", "documento_completo"])
+def test_mode_span_equality(docs, golden, mode):
+    out = pipeline.extract_documents(docs, mode=mode)
+    joined = out.join(golden, "doc_id")
+    assert joined.count() == N_DOCS
+    mismatches = joined.filter(F.col("extracted_text") != F.col("want")).count()
+    assert mismatches == 0, f"mode={mode}"
+
+
+def test_span_sequence_fields(docs, golden):
+    out = pipeline.extract_documents(docs, mode="documento_completo")
+    row = out.filter(F.size("spans") >= 3).first()
+    for s in row.spans:
+        assert s.kind in ("text", "media")
+        assert s.text is not None  # media spans now carry OCR'd text
+        if s.kind == "media":
+            assert s.media_ref.startswith("m-")
+
+
+def test_permutation_invariance(spark, docs, golden):
+    """Reassembly is order-insensitive: shuffling span processing order
+    (different salt partition count) must not change output."""
+    a = pipeline.extract_documents(docs, mode="basico", salt_partitions=3)
+    b = pipeline.extract_documents(docs, mode="basico", salt_partitions=17)
+    diff = a.select("doc_id", "extracted_text").exceptAll(
+        b.select("doc_id", "extracted_text"))
+    assert diff.count() == 0
+
+
+def test_checkpoint_resume_after_kill(spark, docs, golden, tmp_path):
+    """Kill-at-50% + resume: no reprocessing, output equals one-shot run."""
+    base = os.path.join(str(tmp_path), "ckpt")
+    r1 = checkpoint.run_with_checkpoint(
+        spark, docs, base, run_group="g1", run_id="r1", mode="basico",
+        n_buckets=4, max_buckets=2)
+    assert len(r1["processed"]) == 2
+    partial = checkpoint.read_output(spark, base)
+    n_partial = partial.select("doc_id").distinct().count()
+    assert 0 < n_partial < N_DOCS
+    r2 = checkpoint.run_with_checkpoint(
+        spark, docs, base, run_group="g1", run_id="r2", mode="basico", n_buckets=4)
+    assert sorted(r1["processed"] + r2["processed"]) == [0, 1, 2, 3]
+    assert sorted(r2["skipped"]) == sorted(r1["processed"])
+    out = checkpoint.read_output(spark, base)
+    # no duplicates, full coverage, values correct
+    assert out.count() == out.select("doc_id").distinct().count() == N_DOCS
+    bad = out.join(golden, "doc_id").filter(F.col("extracted_text") != F.col("want"))
+    assert bad.count() == 0
+    # lineage recorded all four buckets exactly once
+    lin = checkpoint.read_lineage(spark, base)
+    assert lin.filter(F.col("status") == "done").count() == 4
+    # metrics present with positive span counts
+    met = checkpoint.read_metrics(spark, base)
+    assert met.agg(F.sum("n_spans")).first()[0] == \
+        interleave.flat_spans(docs).filter(F.col("kind") == "media").count()
+
+
+def test_checkpoint_idempotent_rerun(spark, docs, tmp_path):
+    base = os.path.join(str(tmp_path), "ckpt2")
+    checkpoint.run_with_checkpoint(spark, docs, base, run_group="g", run_id="a",
+                                   mode="basico", n_buckets=2)
+    r = checkpoint.run_with_checkpoint(spark, docs, base, run_group="g", run_id="b",
+                                       mode="basico", n_buckets=2)
+    assert r["processed"] == [] and sorted(r["skipped"]) == [0, 1]
+    out = checkpoint.read_output(spark, base)
+    assert out.count() == out.select("doc_id").distinct().count()
+
+
+def test_streaming_matches_batch(spark, docs, tmp_path):
+    """Streaming OCR over the same media rows equals the batch stage."""
+    from api_ocr_spark.streaming import stream as st
+
+    flat = interleave.flat_spans(docs)
+    media = interleave.build_media(docs)
+    joined = (
+        flat.filter(F.col("kind") == "media")
+        .select("doc_id", "offset", "media_ref")
+        .join(media.select("media_ref", "bytes"), "media_ref")
+        .withColumn("event_time", F.current_timestamp())
+        .select("doc_id", "offset", "media_ref", "bytes", "event_time")
+    )
+    in_dir = os.path.join(str(tmp_path), "stream_in")
+    joined.write.parquet(in_dir)
+    st.run_stream_to_memory(spark, in_dir, table_name="t_stream", mode="basico")
+    got = spark.table("t_stream").select("doc_id", "offset", "ocr_text")
+    batch = pipeline.ocr_media_spans(
+        flat.filter(F.col("kind") == "media"), media, mode="basico"
+    ).select("doc_id", "offset", "ocr_text")
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_skewed_doc_distribution(spark):
+    """A media-heavy doc's spans spread across partitions under salting
+    (SURVEY.md §4.3.1): no partition holds more than ~2x the mean."""
+    heavy_text = " ".join(["spark data row batch merge join sort scan"] * 60)  # 480 words
+    rows = [(999000, heavy_text)] + [(999001 + i, "small doc words here all ok") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flat = interleave.flat_spans(docs)
+    media = interleave.build_media(docs)
+    out = pipeline.ocr_media_spans(
+        flat.filter(F.col("kind") == "media"), media, mode="basico", salt_partitions=8)
+    per_part = out.groupBy("partition_id").count().collect()
+    counts = [r["count"] for r in per_part]
+    assert len(counts) >= 4  # heavy doc did not collapse into one partition
+    assert max(counts) <= 2 * (sum(counts) / len(counts)) + 1

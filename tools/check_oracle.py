@@ -1,0 +1,87 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+and its oracle_sql() on the same sf dir, compare row count + sorted-column
+value multiset. Usage: python tools/check_oracle.py [sf_dir] [name ...]"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from api_ocr_spark.plans.session import get_spark  # noqa: E402
+from api_ocr_spark.sources.tables import TPCH_TABLES  # noqa: E402
+
+
+def canon(df):
+    """pandas → sorted list of value-string tuples with sorted columns."""
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        return str(v)
+
+    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))
+    return cols, rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {str(e)[:300]}")
+            continue
+        scols, srows = canon(sdf)
+        ocols, orows = canon(odf)
+        if scols != ocols:
+            failures.append(name)
+            print(f"FAIL {name}: columns {scols} vs {ocols}")
+        elif len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+        elif srows != orows:
+            failures.append(name)
+            diff = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b][:3]
+            print(f"FAIL {name}: values differ; first diffs at {diff}")
+            for i in diff:
+                print(f"   spark: {srows[i]}")
+                print(f"   duck : {orows[i]}")
+        else:
+            print(f"OK   {name}: {len(srows)} rows")
+    spark.stop()
+    print("FAILURES:", failures if failures else "none")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
