@@ -102,6 +102,7 @@ def ink_bbox(mask: np.ndarray) -> tuple[int, int, int, int]:
 
 # Precomputed, bbox-cropped scaled templates for the recognizer.
 _TEMPLATES: list[tuple[str, np.ndarray, tuple[int, int, int, int]]] | None = None
+_EXACT: dict[bytes, tuple[str, tuple[int, int]]] | None = None
 
 
 def templates() -> list[tuple[str, np.ndarray, tuple[int, int, int, int]]]:
@@ -115,3 +116,15 @@ def templates() -> list[tuple[str, np.ndarray, tuple[int, int, int, int]]]:
             out.append((ch, sg[y : y + h, x : x + w].copy(), (x, y, w, h)))
         _TEMPLATES = out
     return _TEMPLATES
+
+
+def exact_templates() -> dict[bytes, tuple[str, tuple[int, int]]]:
+    """{cropped_bitmap_bytes: (char, shape)} — O(1) exact-match fast path for
+    cleanly binarized glyphs (the overwhelmingly common case; the Hamming
+    nearest-template search remains the fallback)."""
+    global _EXACT
+    if _EXACT is None:
+        _EXACT = {
+            tmpl.tobytes(): (ch, tmpl.shape) for ch, tmpl, _ in templates()
+        }
+    return _EXACT

@@ -172,11 +172,18 @@ def estimate_skew(binary: np.ndarray) -> float:
     under per-row x-shear, so the column profile is the shear-sensitive
     statistic: unshearing at the true angle re-aligns vertical strokes."""
     ink = binary > 0
-    u8 = ink.astype(np.uint8)
+    h, w = ink.shape
+    ys, xs = np.nonzero(ink)
+    if ys.size == 0:
+        return 0.0
+    yy = np.arange(h) - h / 2
     scores: dict[float, float] = {}
+    pad = int(np.ceil(np.tan(np.deg2rad(8)) * h / 2)) + 1
     for deg in SKEW_SEARCH_DEGREES:
-        sheared = _shear_rows(u8, -float(deg), 0)
-        prof = sheared.sum(axis=0).astype(np.float64)
+        # column profile of the unsheared image, computed directly from ink
+        # pixel coordinates (O(#ink) per angle — no image materialization)
+        shifts = np.round(np.tan(np.deg2rad(-float(deg))) * yy).astype(np.int64)
+        prof = np.bincount(xs + shifts[ys] + pad, minlength=w + 2 * pad).astype(np.float64)
         scores[float(deg)] = float((prof * prof).sum())
     best_deg = max(scores, key=lambda d: scores[d])
     # Hysteresis: profile noise on unskewed images can favor ±1° by <1%;

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..imaging.font import templates
+from ..imaging.font import exact_templates, templates
 from ..kernels import enhance
 from ..kernels.detection import rule_cols, rule_rows
 
@@ -33,7 +33,11 @@ CONF_FLOOR = 30   # reference drops words with conf <= 30 (ocr/engine.py:111)
 
 
 def _match_char(crop: np.ndarray) -> tuple[str, float]:
-    """Nearest template by Hamming distance on tight-bbox-aligned bitmaps."""
+    """Nearest template by Hamming distance on tight-bbox-aligned bitmaps,
+    with an O(1) exact-bytes fast path for clean glyphs."""
+    hit = exact_templates().get(crop.tobytes())
+    if hit is not None and hit[1] == crop.shape:
+        return hit[0], 100.0
     best_ch, best_conf = "", 0.0
     ch_h, ch_w = crop.shape
     for ch, tmpl, _ in templates():
