@@ -26,7 +26,7 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_gray(img: np.ndarray, compress_level: int = 6) -> bytes:
+def encode_gray(img: np.ndarray, compress_level: int = 1) -> bytes:
     """Encode an HxW uint8 array as a grayscale-8 PNG (filter 0 per row)."""
     if img.ndim != 2:
         raise ValueError(f"expected HxW grayscale array, got shape {img.shape}")

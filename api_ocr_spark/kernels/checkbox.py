@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .detection import component_stats, label_components
+from .detection import connected_components_stats
 
 MIN_AREA = 50
 MAX_AREA = 5000
@@ -48,9 +48,8 @@ def detect_checkboxes(binary: np.ndarray) -> list[dict]:
     (/root/reference/preprocessing/checkbox.py:64-90), reading-ordered (y,x).
     """
     ink = binary > 0
-    labels, n = label_components(binary)
     out = []
-    for st in component_stats(labels, n):
+    for st in connected_components_stats(ink):
         x, y, w, h = st["bbox"]
         bbox_area = w * h
         if not (MIN_AREA <= bbox_area <= MAX_AREA) or min(w, h) < MIN_SIDE:

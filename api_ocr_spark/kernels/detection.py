@@ -81,29 +81,108 @@ def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
 
 
 def component_stats(labels: np.ndarray, n: int) -> list[dict]:
-    """Per-component {bbox:(x,y,w,h), area} from a label image."""
-    out = []
-    for i in range(1, n + 1):
-        ys, xs = np.nonzero(labels == i)
-        out.append(
-            {
-                "bbox": (int(xs.min()), int(ys.min()),
-                         int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1)),
-                "area": int(ys.size),
-            }
-        )
-    return out
+    """Per-component {bbox:(x,y,w,h), area} from a label image — one pass
+    over the ink pixels (scatter-min/max), not one scan per component."""
+    if n == 0:
+        return []
+    ys, xs = np.nonzero(labels)
+    ls = labels[ys, xs]
+    area = np.bincount(ls, minlength=n + 1)
+    x0 = np.full(n + 1, np.iinfo(np.int64).max)
+    y0 = np.full(n + 1, np.iinfo(np.int64).max)
+    x1 = np.full(n + 1, -1)
+    y1 = np.full(n + 1, -1)
+    np.minimum.at(x0, ls, xs)
+    np.minimum.at(y0, ls, ys)
+    np.maximum.at(x1, ls, xs)
+    np.maximum.at(y1, ls, ys)
+    return [
+        {
+            "bbox": (int(x0[i]), int(y0[i]), int(x1[i] - x0[i] + 1), int(y1[i] - y0[i] + 1)),
+            "area": int(area[i]),
+        }
+        for i in range(1, n + 1)
+    ]
 
 
 def max_run_lengths(ink: np.ndarray, axis: int) -> np.ndarray:
-    """Per row (axis=1) or column (axis=0): longest contiguous ink run."""
-    a = ink if axis == 1 else ink.T
-    run = np.zeros(a.shape[0], dtype=np.int32)
-    best = np.zeros(a.shape[0], dtype=np.int32)
-    for j in range(a.shape[1]):
-        run = (run + 1) * a[:, j]
-        np.maximum(best, run, out=best)
-    return best
+    """Per row (axis=1) or column (axis=0): longest contiguous ink run.
+    Fully vectorized via the segmented-cumsum trick: running run length =
+    cumsum - cummax(cumsum at zeros)."""
+    a = (ink if axis == 1 else ink.T).astype(np.int32)
+    cs = np.cumsum(a, axis=1)
+    resets = np.where(a == 0, cs, 0)
+    running = cs - np.maximum.accumulate(resets, axis=1)
+    return running.max(axis=1)
+
+
+def connected_components_stats(mask: np.ndarray) -> list[dict]:
+    """4-connected component {bbox, area} stats straight from row runs —
+    no label image is materialized. Run extraction is one flat vectorized
+    pass; the union-find merge loop touches each run once with binary-search
+    overlap lookup into the previous row."""
+    h, w = mask.shape
+    ink = mask > 0
+    flat = np.zeros((h, w + 1), dtype=bool)
+    flat[:, :w] = ink
+    f = flat.ravel()
+    d = np.diff(f.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1
+    if f.size and f[0]:
+        starts = np.concatenate([[0], starts])
+    n_runs = len(starts)
+    if n_runs == 0:
+        return []
+    rows = starts // (w + 1)
+    s_col = starts % (w + 1)
+    e_col = ends - rows * (w + 1)  # exclusive end column
+    parent = np.arange(n_runs)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    idx0 = np.searchsorted(rows, np.arange(h))
+    idx1 = np.searchsorted(rows, np.arange(h), side="right")
+    for y in range(1, h):
+        a0, a1 = idx0[y], idx1[y]
+        p0, p1 = idx0[y - 1], idx1[y - 1]
+        if a0 == a1 or p0 == p1:
+            continue
+        ps = s_col[p0:p1]
+        pe = e_col[p0:p1]
+        for i in range(a0, a1):
+            lo = int(np.searchsorted(pe, s_col[i], side="right"))
+            hi = int(np.searchsorted(ps, e_col[i], side="left"))
+            for j in range(p0 + lo, p0 + hi):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    roots = np.fromiter((find(i) for i in range(n_runs)), dtype=np.int64, count=n_runs)
+    uniq, inv = np.unique(roots, return_inverse=True)
+    k = len(uniq)
+    area = np.zeros(k, dtype=np.int64)
+    np.add.at(area, inv, e_col - s_col)
+    x0 = np.full(k, np.iinfo(np.int64).max)
+    x1 = np.zeros(k, dtype=np.int64)
+    y0 = np.full(k, np.iinfo(np.int64).max)
+    y1 = np.zeros(k, dtype=np.int64)
+    np.minimum.at(x0, inv, s_col)
+    np.maximum.at(x1, inv, e_col - 1)
+    np.minimum.at(y0, inv, rows)
+    np.maximum.at(y1, inv, rows)
+    return [
+        {
+            "bbox": (int(x0[i]), int(y0[i]), int(x1[i] - x0[i] + 1), int(y1[i] - y0[i] + 1)),
+            "area": int(area[i]),
+        }
+        for i in range(k)
+    ]
 
 
 def rule_rows(binary: np.ndarray, min_frac: float = 0.85) -> np.ndarray:
@@ -141,11 +220,10 @@ def detect_tables(binary: np.ndarray) -> list[dict]:
     min_len = 40  # reference morph-open kernels are 40x1 / 1x40 (detection.py:21-27)
     horiz = _long_runs(ink, min_len, axis=1)
     vert = _long_runs(ink, min_len, axis=0)
-    grid = (horiz | vert).astype(np.uint8) * 255
-    labels, n = label_components(grid)
+    grid = horiz | vert
     out = []
     img_area = float(h * w)
-    for st in component_stats(labels, n):
+    for st in connected_components_stats(grid):
         x, y, bw, bh = st["bbox"]
         bbox_area = bw * bh
         if bbox_area > 5000 and bw > 100 and bh > 100 and bw / max(bh, 1) < 10:
@@ -158,19 +236,25 @@ def detect_tables(binary: np.ndarray) -> list[dict]:
 
 def _long_runs(ink: np.ndarray, min_len: int, axis: int) -> np.ndarray:
     """Keep only ink pixels belonging to runs >= min_len along `axis`
-    (separable erosion+dilation — the morph-open trick, numpy-style)."""
+    (separable erosion+dilation — the morph-open trick). Run discovery is a
+    single flat vectorized pass; only the (few) qualifying long runs are
+    painted individually."""
     a = ink if axis == 1 else ink.T
     h, w = a.shape
-    out = np.zeros_like(a)
-    pad = np.zeros((h, 1), dtype=bool)
-    x = np.hstack([pad, a, pad]).astype(np.int8)
-    d = np.diff(x, axis=1)
-    for y in range(h):
-        starts = np.nonzero(d[y] == 1)[0]
-        ends = np.nonzero(d[y] == -1)[0]
-        for s, e in zip(starts, ends):
-            if e - s >= min_len:
-                out[y, s:e] = True
+    # flatten with a False spacer column so runs never cross row boundaries
+    flat = np.zeros((h, w + 1), dtype=bool)
+    flat[:, :w] = a
+    f = flat.ravel()
+    d = np.diff(f.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1
+    if f[0]:
+        starts = np.concatenate([[0], starts])
+    keep = (ends - starts) >= min_len
+    out = np.zeros(f.shape, dtype=bool)
+    for s, e in zip(starts[keep], ends[keep]):
+        out[s:e] = True
+    out = out.reshape(h, w + 1)[:, :w]
     return out if axis == 1 else out.T
 
 
@@ -188,9 +272,8 @@ def segment_regions(binary: np.ndarray, min_area: int = 500) -> list[dict]:
     text_density>0.2 → 'text', else 'image'; drop area<500."""
     ink = binary > 0
     merged = dilate_box(ink, 6)
-    labels, n = label_components(merged.astype(np.uint8) * 255)
     out = []
-    for st in component_stats(labels, n):
+    for st in connected_components_stats(merged):
         x, y, w, h = st["bbox"]
         if w * h < min_area:
             continue

@@ -48,14 +48,21 @@ def run_basico(gray: np.ndarray) -> dict:
     return {"text": "", "route": "basico_failed"}
 
 
-def run_segmentado(gray: np.ndarray, detectar_tablas: bool = True) -> dict:
+def run_segmentado(
+    gray: np.ndarray, detectar_tablas: bool = True, _pre: tuple | None = None
+) -> dict:
     """deskew_and_clean → segment_regions (+ tables via containment anti-join)
     → sort (y,x) → per-region OCR → re-join (/root/reference/main.py:495-559).
     The reference's bounded 3-way concurrency is superseded by Spark task
-    parallelism (SURVEY.md §2.12)."""
-    gray = enhance.cap_max_dimension(gray, MAX_DIMENSION_SEGMENTADO)
-    deskewed, _ = enhance.correct_skew(gray)
-    binary = enhance.binarize(deskewed, "otsu")
+    parallelism (SURVEY.md §2.12). `_pre` carries (deskewed, binary, tables)
+    from a caller that already computed them (tabla-route fallback)."""
+    if _pre is not None:
+        deskewed, binary, tables_pre = _pre
+    else:
+        gray = enhance.cap_max_dimension(gray, MAX_DIMENSION_SEGMENTADO)
+        deskewed, _ = enhance.correct_skew(gray)
+        binary = enhance.binarize(deskewed, "otsu")
+        tables_pre = None
     regions = detection.segment_regions(binary)
     # keep innermost regions: a bbox that fully contains another region is a
     # frame/envelope (e.g. a table border ring) — OCRing it would re-read the
@@ -67,7 +74,7 @@ def run_segmentado(gray: np.ndarray, detectar_tablas: bool = True) -> dict:
         )
     ]
     if detectar_tablas:
-        tables = detection.detect_tables(binary)
+        tables = tables_pre if tables_pre is not None else detection.detect_tables(binary)
         # containment anti-join: add tables not fully inside an existing region
         # (/root/reference/main.py:148-164). Deviation (documented): regions
         # fully inside an appended table are dropped — OCRing both the table
@@ -79,7 +86,13 @@ def run_segmentado(gray: np.ndarray, detectar_tablas: bool = True) -> dict:
     regions.sort(key=lambda r: (r["bbox"][1], r["bbox"][0]))  # reading order
     if not regions:
         return {"text": engine.ocr_image(deskewed, preprocess=False), "route": "segmentado_empty"}
-    texts = [engine.ocr_region(deskewed, r["bbox"]) for r in regions]
+    # solid-ink regions (density ~1: ruling lines, separators) carry no text —
+    # the OCR engine would drop them as rule rows anyway; skip the call
+    texts = [
+        "" if (r["type"] == "line" and r["confidence"] > 0.9)
+        else engine.ocr_region(deskewed, r["bbox"])
+        for r in regions
+    ]
     return {
         "text": "\n".join(t for t in texts),
         "route": "segmentado",
@@ -94,7 +107,7 @@ def run_tabla(gray: np.ndarray) -> dict:
     binary = enhance.binarize(deskewed, "otsu")
     tables = detection.detect_tables(binary)
     if not tables:
-        out = run_segmentado(gray)
+        out = run_segmentado(gray, _pre=(deskewed, binary, tables))
         out["route"] = "tabla_fallback_segmentacion"
         return out
     largest = max(tables, key=lambda t: t["bbox"][2] * t["bbox"][3])  # main.py:231
