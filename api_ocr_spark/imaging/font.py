@@ -86,10 +86,16 @@ def _parse(raw: str) -> np.ndarray:
 GLYPHS: dict[str, np.ndarray] = {ch: _parse(raw) for ch, raw in _GLYPHS_RAW.items()}
 
 
+_SCALED_CACHE: dict[str, np.ndarray] = {}
+
+
 def scaled_glyph(ch: str) -> np.ndarray:
-    """Glyph bitmap at render scale (bool, (7*SCALE) x (5*SCALE))."""
-    g = GLYPHS[ch]
-    return np.kron(g, np.ones((SCALE, SCALE), dtype=bool))
+    """Glyph bitmap at render scale (bool, (7*SCALE) x (5*SCALE)); memoized."""
+    g = _SCALED_CACHE.get(ch)
+    if g is None:
+        g = np.kron(GLYPHS[ch], np.ones((SCALE, SCALE), dtype=bool))
+        _SCALED_CACHE[ch] = g
+    return g
 
 
 def ink_bbox(mask: np.ndarray) -> tuple[int, int, int, int]:
