@@ -95,10 +95,11 @@ def ocr_media_spans(
     if broadcast_media:
         m = F.broadcast(m)
     joined = media_spans.select("doc_id", "offset", "media_ref").join(m, "media_ref")
-    if salt_partitions:
-        joined = joined.repartition(salt_partitions, F.xxhash64("media_ref"))
-    else:
-        joined = joined.repartition(F.xxhash64("media_ref"))
+    if not salt_partitions:
+        # explicit count: AQE's bytes-based coalescing would fold this small
+        # (by bytes) but compute-heavy shuffle into too few partitions
+        salt_partitions = 2 * joined.sparkSession.sparkContext.defaultParallelism
+    joined = joined.repartition(salt_partitions, F.xxhash64("media_ref"))
     return joined.mapInPandas(_make_ocr_udf(mode), schema=OCR_SCHEMA)
 
 
@@ -156,6 +157,33 @@ def extract_documents(
     flat = flat_spans(documents)
     if media is None:
         media = build_media(documents)
+    media_spans = flat.filter(F.col("kind") == "media")
+    ocr_out = ocr_media_spans(media_spans, media, mode=mode, salt_partitions=salt_partitions)
+    return reassemble(flat, ocr_out)
+
+
+def extract_from_spans(
+    documents_spans: DataFrame,
+    media: DataFrame,
+    mode: str = "documento_completo",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Extraction over the BASELINE.json input_hint shape directly:
+    documents_spans(doc_id:string, spans:array<struct<kind,text,media_ref,offset>>)
+    joined to a media store (media_ref, bytes). This is the production entry
+    point — a user's Iceberg table of interleaved documents goes in here.
+
+    posexplode-free: the offset lives in the struct, so a plain explode
+    suffices; Catalyst prunes to the two columns read."""
+    flat = documents_spans.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("chunk"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
     media_spans = flat.filter(F.col("kind") == "media")
     ocr_out = ocr_media_spans(media_spans, media, mode=mode, salt_partitions=salt_partitions)
     return reassemble(flat, ocr_out)

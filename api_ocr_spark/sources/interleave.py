@@ -118,9 +118,18 @@ def _render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def build_media(documents: DataFrame) -> DataFrame:
+def build_media(documents: DataFrame, partitions: int | None = None) -> DataFrame:
     """Render every media span's ground-truth chunk into an encoded PNG.
-    Arrow-batched mapInPandas; deterministic in (doc_id, offset, text)."""
+    Arrow-batched mapInPandas; deterministic in (doc_id, offset, text).
+
+    The source table is often a single parquet file (one input split); an
+    explicit repartition fans the CPU-bound render across all task slots.
+    The partition count is explicit because AQE would coalesce a small
+    shuffle back to one partition (bytes-based sizing is wrong for
+    compute-bound stages)."""
     fs = flat_spans(documents).filter(F.col("kind") == "media")
     fs = fs.select("doc_num", "offset", "chunk", "media_ref")
+    if partitions is None:
+        partitions = 2 * fs.sparkSession.sparkContext.defaultParallelism
+    fs = fs.repartition(partitions, F.xxhash64("media_ref"))
     return fs.mapInPandas(_render_batches, schema=MEDIA_SCHEMA)

@@ -49,6 +49,11 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument(
+        "--multiply", type=int, default=1,
+        help="replicate the documents table k times (distinct doc_ids) so the "
+             "flagship job is compute-bound, as a 100TB corpus would be — used "
+             "by the scaling-efficiency protocol")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -58,17 +63,40 @@ def main() -> None:
     qs = entrymod.queries()
     names = ["ocr_documento_completo"] if args.flagship_only else (args.queries or HEADLINE)
 
-    # warm the JVM/Python workers once (excluded from timings)
-    materialize(qs["span_synthesis"](spark, args.sf_dir))
+    # warm the JVM AND the Python workers (mapInPandas path: worker fork +
+    # numpy/engine imports) once per task slot — excluded from timings
+    from pyspark.sql import functions as F
+
+    from api_ocr_spark.operators.pipeline import extract_documents
+
+    warm_docs = (
+        spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        .limit(4 * args.cores)
+        .repartition(args.cores)
+    )
+    materialize(extract_documents(warm_docs, mode="documento_completo"))
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    if args.multiply > 1:
+        # flagship over a k-replicated corpus (doc_ids remapped to stay unique)
+        docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        base = docs.count()
+        multiplied = docs.crossJoin(
+            spark.range(args.multiply).withColumnRenamed("id", "copy")
+        ).withColumn("doc_id", F.col("doc_id") + F.col("copy") * 10_000_000).drop("copy")
+        t0 = time.perf_counter()
+        counts["ocr_documento_completo"] = materialize(
+            extract_documents(multiplied, mode="documento_completo"))
+        timings["ocr_documento_completo"] = round(time.perf_counter() - t0, 3)
+        n_docs = base * args.multiply
+        names = []
+    else:
+        n_docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).count()
     for name in names:
         t0 = time.perf_counter()
         counts[name] = materialize(qs[name](spark, args.sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-
-    n_docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).count()
     flagship = timings.get("ocr_documento_completo")
     docs_per_sec = round(n_docs / flagship, 2) if flagship else None
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]

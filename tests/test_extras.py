@@ -1,0 +1,99 @@
+"""Parity extras: compression ladder, PDF sink, dead-code-parity kernels."""
+
+import numpy as np
+
+from api_ocr_spark.imaging import render
+from api_ocr_spark.kernels import compression, enhance, extras
+from api_ocr_spark.ocr import engine
+from api_ocr_spark.operators import pdf_sink
+
+
+def test_compress_image_caps_dimension_and_fits_budget():
+    img = np.full((1500, 2400), 200, np.uint8)
+    decoded, encoded, info = compression.compress_image(img, target_mb=1.0)
+    assert max(decoded.shape) == compression.MAX_DIMENSION
+    assert info["resized"] and info["fit"]
+    assert len(encoded) <= 1024 * 1024
+
+
+def test_compress_image_lossless_roundtrip():
+    img = render.render_text_image("compress me please", "plain", 0)
+    decoded, _, info = compression.compress_image(img, target_mb=10.0)
+    assert np.array_equal(decoded, img)  # PNG ladder is lossless (documented deviation)
+    assert not info["resized"]
+
+
+def test_pdf_from_words_valid_and_searchable():
+    img = render.render_text_image("hello pdf world", "plain", 0)
+    words = engine.get_text_data(img)
+    pdf = pdf_sink.pdf_from_words(words, img.shape[1], img.shape[0])
+    assert pdf.startswith(b"%PDF-1.4")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    assert b"(hello) Tj" in pdf and b"(world) Tj" in pdf
+    # y-axis inverted: first word's Tm y < page height
+    assert b"/F1 " in pdf
+
+
+def test_resize_for_ocr_upscales_only():
+    small = np.zeros((50, 100), np.uint8)
+    out = extras.resize_for_ocr(small, target_width=400)
+    assert out.shape == (200, 400)
+    big = np.zeros((50, 3000), np.uint8)
+    assert extras.resize_for_ocr(big).shape == big.shape
+
+
+def test_apply_clahe_improves_contrast():
+    rng = np.random.default_rng(0)
+    low = (rng.integers(100, 140, (64, 64))).astype(np.uint8)  # low contrast
+    out = extras.apply_clahe(low)
+    assert out.std() > low.std()
+    assert out.shape == low.shape
+
+
+def test_detect_document_contour_crops_page():
+    page = render.render_text_image("some page text", "plain", 0)
+    canvas = np.zeros((page.shape[0] + 40, page.shape[1] + 60), np.uint8)
+    canvas[20:20 + page.shape[0], 30:30 + page.shape[1]] = page
+    cropped, found = extras.detect_document_contour(canvas)
+    assert found and cropped.shape == page.shape
+    assert engine.ocr_image(cropped).replace("\n", " ") == "some page text"
+
+
+def test_try_multiple_preprocessings_argmax():
+    img = render.render_text_image("four words right here", "plain", 0)
+    out = extras.try_multiple_preprocessings(img)
+    assert out["n_words"] == 4
+    assert out["variant"] in ("otsu", "adaptive", "sauvola")
+
+
+def test_detect_text_fields():
+    img = np.full((200, 400), 230, np.uint8)
+    img[100:103, 50:250] = 30   # a 200px underline
+    img[150:152, 10:50] = 30    # too short
+    binary = enhance.binarize_otsu(img)
+    fields = extras.detect_text_fields(binary)
+    assert len(fields) == 1
+    x, y, w, h = fields[0]["bbox"]
+    assert x == 50 and w == 200
+
+
+def test_extract_table_cells_grid():
+    img = np.full((120, 240), 230, np.uint8)
+    img[0:3, :] = 30; img[-3:, :] = 30; img[58:61, :] = 30       # horizontal rules
+    img[:, 0:3] = 30; img[:, -3:] = 30; img[:, 118:121] = 30     # vertical rules
+    binary = enhance.binarize_otsu(img)
+    cells = extras.extract_table_cells(binary, (0, 0, 240, 120))
+    assert len(cells) == 4  # 2x2 grid
+    assert {(c["row"], c["col"]) for c in cells} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_extract_table_cells_no_rules_whole_roi():
+    img = np.full((50, 50), 230, np.uint8)
+    binary = enhance.binarize_otsu(img)
+    cells = extras.extract_table_cells(binary, (0, 0, 50, 50))
+    assert len(cells) == 1 and cells[0]["bbox"] == (0, 0, 50, 50)
+
+
+def test_corregir_ortografia_noop_default():
+    assert extras.corregir_ortografia("teh txt") == "teh txt"
+    assert extras.corregir_ortografia("teh txt", enabled=True) == "teh txt"  # lib absent

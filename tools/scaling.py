@@ -17,10 +17,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cores: int, sf_dir: str) -> dict:
+def run_bench(cores: int, sf_dir: str, multiply: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
-         "--cores", str(cores), "--sf-dir", sf_dir, "--flagship-only"],
+         "--cores", str(cores), "--sf-dir", sf_dir, "--flagship-only",
+         "--multiply", str(multiply)],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -31,11 +32,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--multiply", type=int, default=32,
+        help="corpus replication factor: makes the job compute-bound (the "
+             "100TB regime) instead of overhead-bound at sandbox scale")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
-    small = run_bench(n, args.sf_dir)
-    big = run_bench(n4, args.sf_dir)
+    small = run_bench(n, args.sf_dir, args.multiply)
+    big = run_bench(n4, args.sf_dir, args.multiply)
     t_small = small["queries"]["ocr_documento_completo"]
     t_big = big["queries"]["ocr_documento_completo"]
     thr_small = small["docs"] / t_small
