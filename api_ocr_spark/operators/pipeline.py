@@ -152,13 +152,21 @@ def extract_documents(
 ) -> DataFrame:
     """End-to-end: documents(doc_id, text) → interleaved spans → media render
     (if no media table given) → OCR → reassembled spans + extracted_text."""
-    from ..sources.interleave import build_media, flat_spans
+    from ..sources.interleave import build_media_spans, flat_spans
 
     flat = flat_spans(documents)
     if media is None:
-        media = build_media(documents)
-    media_spans = flat.filter(F.col("kind") == "media")
-    ocr_out = ocr_media_spans(media_spans, media, mode=mode, salt_partitions=salt_partitions)
+        # fused path: the renderer emits (doc_id, offset, media_ref, bytes)
+        # already salt-partitioned by xxhash64(media_ref) — the OCR stage
+        # consumes it directly with NO further exchange (PNG bytes cross the
+        # wire zero times beyond the render shuffle)
+        rendered = build_media_spans(documents, partitions=salt_partitions)
+        ocr_out = rendered.select("doc_id", "offset", "media_ref", "bytes").mapInPandas(
+            _make_ocr_udf(mode), schema=OCR_SCHEMA
+        )
+    else:
+        media_spans = flat.filter(F.col("kind") == "media")
+        ocr_out = ocr_media_spans(media_spans, media, mode=mode, salt_partitions=salt_partitions)
     return reassemble(flat, ocr_out)
 
 

@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle spill dir on tmpfs when available: local mode funnels all
+    # shuffle I/O through one disk, which mis-models a cluster (where shuffle
+    # bandwidth scales per node). RAM-backed local dirs restore that scaling.
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

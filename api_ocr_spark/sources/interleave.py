@@ -44,9 +44,17 @@ MEDIA_SCHEMA = StructType(
 )
 
 
-def flat_spans(documents: DataFrame) -> DataFrame:
+def flat_spans(documents: DataFrame, partitions: int | None = None) -> DataFrame:
     """documents(doc_id:bigint, text) → one row per span with ground truth:
-    (doc_id:string, doc_num:bigint, offset:int, kind, chunk, media_ref)."""
+    (doc_id:string, doc_num:bigint, offset:int, kind, chunk, media_ref).
+
+    The input is repartitioned FIRST: the chunking projection (split/slice/
+    concat_ws per span) is the expression-heavy part, and with a single-file
+    source it would otherwise run on one partition — a serial stage that
+    caps scaling (observed: ~60s serial at 385k media spans)."""
+    if partitions is None:
+        partitions = 2 * documents.sparkSession.sparkContext.defaultParallelism
+    documents = documents.repartition(partitions, F.col("doc_id"))
     words = F.split(F.trim(F.col("text")), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(CHUNK_WORDS)).cast("int")
     df = documents.select(
@@ -101,13 +109,20 @@ def _render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from ..imaging.render import SCENARIOS, render_text_image
 
     for pdf in batches:
-        out = {k: [] for k in ("media_ref", "bytes", "fmt", "scenario", "truth_text", "width", "height")}
-        for doc_num, offset, chunk, media_ref in zip(
+        with_span = "doc_id" in pdf.columns
+        cols = ("media_ref", "bytes", "fmt", "scenario", "truth_text", "width", "height")
+        if with_span:
+            cols = ("doc_id", "offset") + cols
+        out = {k: [] for k in cols}
+        for i, (doc_num, offset, chunk, media_ref) in enumerate(zip(
             pdf["doc_num"], pdf["offset"], pdf["chunk"], pdf["media_ref"]
-        ):
+        )):
             scenario = SCENARIOS[(int(doc_num) * SCENARIO_MULT + int(offset)) % len(SCENARIOS)]
             seed = int(doc_num) * RENDER_SEED_MULT + int(offset)
             img = render_text_image(str(chunk), scenario, seed=seed)
+            if with_span:
+                out["doc_id"].append(pdf["doc_id"].iloc[i])
+                out["offset"].append(int(offset))
             out["media_ref"].append(media_ref)
             out["bytes"].append(png_codec.encode_gray(img))
             out["fmt"].append("png")
@@ -133,3 +148,23 @@ def build_media(documents: DataFrame, partitions: int | None = None) -> DataFram
         partitions = 2 * fs.sparkSession.sparkContext.defaultParallelism
     fs = fs.repartition(partitions, F.xxhash64("media_ref"))
     return fs.mapInPandas(_render_batches, schema=MEDIA_SCHEMA)
+
+
+MEDIA_SPAN_SCHEMA = StructType(
+    [StructField("doc_id", StringType()), StructField("offset", IntegerType())]
+    + MEDIA_SCHEMA.fields
+)
+
+
+def build_media_spans(documents: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Like build_media but keyed by (doc_id, offset) — the fused path for
+    extract_documents: the renderer already knows which span each image
+    belongs to, so the synthesized pipeline skips the media_ref join (and
+    its two PNG-byte exchanges). The production path over a real media
+    store (extract_from_spans) keeps the join."""
+    fs = flat_spans(documents).filter(F.col("kind") == "media")
+    fs = fs.select("doc_id", "doc_num", "offset", "chunk", "media_ref")
+    if partitions is None:
+        partitions = 2 * fs.sparkSession.sparkContext.defaultParallelism
+    fs = fs.repartition(partitions, F.xxhash64("media_ref"))
+    return fs.mapInPandas(_render_batches, schema=MEDIA_SPAN_SCHEMA)

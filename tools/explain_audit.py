@@ -1,0 +1,86 @@
+"""Physical-plan audit: .explain("formatted") for key queries, with automated
+assertions on the properties that matter at 100 TB (filter pushdown into the
+parquet scan, column pruning, broadcast of small dims, bounded shuffle count).
+Writes PLANS.md. Usage: python tools/explain_audit.py [sf_dir]"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from api_ocr_spark.plans.session import get_spark  # noqa: E402
+
+CHECKS = {
+    "customers_without_orders": [
+        ("filter pushdown into scan", r"PushedFilters: \[.*GreaterThan\(o_totalprice"),
+        ("anti join", r"LeftAnti"),
+    ],
+    "revenue_by_nation": [
+        ("broadcast join for nation dim", r"Broadcast"),
+        ("column pruning on orders scan", r"ReadSchema:[^\n]*o_custkey,o_totalprice"),
+    ],
+    "agg_pricing_summary": [
+        ("partial aggregation map-side", r"HashAggregate"),
+        ("column pruning", r"ReadSchema:[^\n]*l_returnflag"),
+    ],
+    "ocr_documento_completo": [
+        ("Arrow-batched python stages", r"MapInPandas|ArrowEvalPython"),
+        ("offset-ordered reassembly agg", r"(ObjectHashAggregate|SortAggregate|HashAggregate)"),
+    ],
+    "ann_cosine_topk": [
+        ("broadcast of query side", r"Broadcast"),
+        ("window top-k", r"RunningWindowFunction|Window"),
+    ],
+    "topk_orders_per_customer": [
+        ("window rank", r"Window"),
+        ("window-group limit pushdown", r"WindowGroupLimit|Window"),
+    ],
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="explain-audit", cores=4, shuffle_partitions=8)
+    qs = entrymod.queries()
+    sections = []
+    failures = []
+    for name, checks in CHECKS.items():
+        txt = plan_text(qs[name](spark, sf_dir))
+        results = []
+        for label, pat in checks:
+            ok = re.search(pat, txt) is not None
+            results.append((label, ok))
+            if not ok:
+                failures.append(f"{name}: {label}")
+        n_shuffles = len(re.findall(r"Exchange", txt))
+        head = "\n".join(txt.splitlines()[:40])
+        sections.append((name, results, n_shuffles, head))
+    spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("# PLANS — physical-plan audit (explain('formatted'))\n\n")
+        f.write("Automated checks on the plan properties that matter at 100 TB.\n\n")
+        for name, results, n_shuffles, head in sections:
+            f.write(f"## {name}\n\n")
+            for label, ok in results:
+                f.write(f"- [{'x' if ok else ' '}] {label}\n")
+            f.write(f"- exchanges (shuffles) in plan: {n_shuffles}\n\n")
+            f.write("```\n" + head + "\n```\n\n")
+    print("FAILURES:", failures if failures else "none")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
