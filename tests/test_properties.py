@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis): OCR roundtrip over the full charset,
+wrap/reassembly invariants, codec fuzz (SURVEY.md §5.2.4)."""
+
+import string
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from api_ocr_spark.imaging import font, png, render
+from api_ocr_spark.ocr import engine, postprocess
+
+# words over the renderable charset (letters+digits only: standalone
+# punctuation regions are legitimately dropped by the reference's area gate)
+_word = st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1, max_size=10)
+_text = st.lists(_word, min_size=1, max_size=30).map(" ".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(text=_text, scenario=st.sampled_from(render.SCENARIOS), seed=st.integers(0, 2**31 - 1))
+def test_roundtrip_property(text, scenario, seed):
+    img = render.render_text_image(text, scenario, seed=seed)
+    got = engine.ocr_image(png.decode_gray(png.encode_gray(img)))
+    assert got.replace("\n", " ") == " ".join(text.split())
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=60), st.integers(4, 40))
+def test_wrap_preserves_tokens(words, width):
+    text = " ".join(words)
+    wrapped = render.wrap_text(text, width)
+    # character stream is preserved (wrapping only moves break positions)
+    assert "".join("".join(wrapped).split()) == "".join(text.split())
+    # no line exceeds width (hard-split guarantee)
+    assert all(len(l) <= width for l in wrapped)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 200), st.integers(1, 200), st.integers(0, 2**31 - 1))
+def test_png_codec_fuzz(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    assert np.array_equal(png.decode_gray(png.encode_gray(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=200))
+def test_clean_text_idempotent(s):
+    once = postprocess.clean_text(s)
+    assert postprocess.clean_text(once) == once
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=200))
+def test_limpiar_idempotent_on_output_whitespace(s):
+    out = postprocess.limpiar_texto_ocr(s)
+    assert "  " not in out and out == out.strip()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.permutations(list(range(8))))
+def test_group_words_line_key_order_insensitive_bbox(perm):
+    # line regrouping: union bbox and mean conf are permutation-invariant
+    words = [
+        {"text": f"w{i}", "bbox": (10 * i, 2 * i, 8, 10), "conf": 40.0 + i,
+         "line": 0, "block": 0, "par": 0}
+        for i in range(8)
+    ]
+    base = engine.group_words_into_lines(words)[0]
+    shuf = engine.group_words_into_lines([words[i] for i in perm])[0]
+    assert base["bbox"] == shuf["bbox"]
+    assert abs(base["conf"] - shuf["conf"]) < 1e-9
+
+
+def test_font_charset_coverage():
+    # every renderable char has a template and roundtrips standalone-in-word
+    for ch in sorted(font.CHARSET - {" "}):
+        text = f"x{ch}x"
+        img = render.render_text_image(text, "plain", 0)
+        assert engine.ocr_image(img) == text, ch
