@@ -195,14 +195,27 @@ def estimate_skew(binary: np.ndarray) -> float:
     return best_deg
 
 
-def correct_skew(gray: np.ndarray, min_abs_deg: float = 0.5) -> tuple[np.ndarray, float]:
-    """Deskew a grayscale image; rotation applied only when |angle|>0.5°
-    exactly like the reference gate (enhance.py:33-35). Returns (img, angle)."""
+def deskew_binary(
+    gray: np.ndarray, min_abs_deg: float = 0.5
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """One-pass deskew: returns (deskewed_gray, deskewed_binary, angle) with
+    exactly one extra binarization when a shear is applied and zero when not
+    — the shared primitive behind correct_skew/deskew_and_clean and the
+    pipeline modes (keeps full-image memory passes minimal: they dominate
+    per-image cost under many-core contention)."""
     binary = binarize_otsu(gray)
     deg = estimate_skew(binary)
     if abs(deg) <= min_abs_deg:
-        return gray, 0.0
-    return _shear_rows(gray, -deg, int(gray[0, 0])), deg
+        return gray, binary, 0.0
+    sheared = _shear_rows(gray, -deg, int(gray[0, 0]))
+    return sheared, binarize_otsu(sheared), deg
+
+
+def correct_skew(gray: np.ndarray, min_abs_deg: float = 0.5) -> tuple[np.ndarray, float]:
+    """Deskew a grayscale image; rotation applied only when |angle|>0.5°
+    exactly like the reference gate (enhance.py:33-35). Returns (img, angle)."""
+    img, _, deg = deskew_binary(gray, min_abs_deg)
+    return img, deg
 
 
 def deskew_and_clean(gray: np.ndarray, method: str = "otsu") -> np.ndarray:
@@ -214,7 +227,9 @@ def deskew_and_clean(gray: np.ndarray, method: str = "otsu") -> np.ndarray:
     and Otsu is exactly invertible there; 'auto' (sauvola/adaptive by mean,
     the reference's rule at enhance.py:153-156) remains available for
     non-fixture inputs."""
-    img, _ = correct_skew(gray)
+    img, binary, _ = deskew_binary(gray)
+    if method == "otsu":
+        return binary
     return binarize(img, method)
 
 

@@ -32,6 +32,11 @@ LINE_GAP_ROWS = 4 # inter-line gap is 6px; max intra-glyph row gap is 2px
 CONF_FLOOR = 30   # reference drops words with conf <= 30 (ocr/engine.py:111)
 
 
+def _is_binary(img: np.ndarray) -> bool:
+    """{0,255}-valued test — single vectorized pass (no unique()/sort)."""
+    return bool(((img == 0) | (img == 255)).all())
+
+
 def _match_char(crop: np.ndarray) -> tuple[str, float]:
     """Nearest template by Hamming distance on tight-bbox-aligned bitmaps,
     with an O(1) exact-bytes fast path for clean glyphs."""
@@ -118,16 +123,21 @@ def _char_runs(band: np.ndarray) -> list[list[tuple[int, int]]]:
     return words
 
 
-def get_text_data(gray: np.ndarray, preprocess: bool = True) -> list[dict]:
+def get_text_data(
+    gray: np.ndarray, preprocess: bool = True, binary: np.ndarray | None = None
+) -> list[dict]:
     """OCR word data — the engine's `image_to_data` equivalent
     (/root/reference/ocr/engine.py:76-128). Returns word dicts
-    {text, bbox:(x,y,w,h), conf, line, block, par} with conf > 30 kept."""
-    if preprocess:
-        binary = enhance.deskew_and_clean(gray)
-    else:
-        # already-binary ROIs pass through; gray ROIs binarize with Otsu —
-        # the engine-wide global-threshold choice (see deskew_and_clean)
-        binary = gray if set(np.unique(gray)) <= {0, 255} else enhance.binarize(gray, "otsu")
+    {text, bbox:(x,y,w,h), conf, line, block, par} with conf > 30 kept.
+    Pass `binary` to reuse an already-binarized image (callers that did the
+    census/deskew themselves avoid re-running full-image passes)."""
+    if binary is None:
+        if preprocess:
+            binary = enhance.deskew_and_clean(gray)
+        else:
+            # already-binary ROIs pass through; gray ROIs binarize with Otsu —
+            # the engine-wide global-threshold choice (see deskew_and_clean)
+            binary = gray if _is_binary(gray) else enhance.binarize(gray, "otsu")
     ink = binary > 0
     rr = rule_rows(binary)
     if rr.any():
@@ -206,17 +216,19 @@ def group_words_into_lines(words: list[dict]) -> list[dict]:
     ]
 
 
-def ocr_image(gray: np.ndarray, preprocess: bool = True) -> str:
+def ocr_image(gray: np.ndarray, preprocess: bool = True, binary: np.ndarray | None = None) -> str:
     """Plain-text OCR: lines joined with '\\n' in emission order — the
     `image_to_string` + join idiom (/root/reference/main.py:484, 552-554)."""
-    words = get_text_data(gray, preprocess=preprocess)
+    words = get_text_data(gray, preprocess=preprocess, binary=binary)
     return "\n".join(ln["text"] for ln in group_words_into_lines(words))
 
 
-def ocr_image_stats(gray: np.ndarray, preprocess: bool = True) -> dict:
+def ocr_image_stats(
+    gray: np.ndarray, preprocess: bool = True, binary: np.ndarray | None = None
+) -> dict:
     """OCR + word stats in one pass (text, n_words, mean_conf) — feeds the
     per-partition metrics table without a second recognition pass."""
-    words = get_text_data(gray, preprocess=preprocess)
+    words = get_text_data(gray, preprocess=preprocess, binary=binary)
     text = "\n".join(ln["text"] for ln in group_words_into_lines(words))
     mean_conf = round(float(np.mean([w["conf"] for w in words])), 2) if words else 0.0
     return {"text": text, "n_words": len(words), "mean_conf": mean_conf}

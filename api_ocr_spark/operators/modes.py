@@ -60,8 +60,7 @@ def run_segmentado(
         deskewed, binary, tables_pre = _pre
     else:
         gray = enhance.cap_max_dimension(gray, MAX_DIMENSION_SEGMENTADO)
-        deskewed, _ = enhance.correct_skew(gray)
-        binary = enhance.binarize(deskewed, "otsu")
+        deskewed, binary, _ = enhance.deskew_binary(gray)
         tables_pre = None
     regions = detection.segment_regions(binary)
     # keep innermost regions: a bbox that fully contains another region is a
@@ -90,7 +89,7 @@ def run_segmentado(
     # the OCR engine would drop them as rule rows anyway; skip the call
     texts = [
         "" if (r["type"] == "line" and r["confidence"] > 0.9)
-        else engine.ocr_region(deskewed, r["bbox"])
+        else engine.ocr_region(binary, r["bbox"])
         for r in regions
     ]
     return {
@@ -100,11 +99,13 @@ def run_segmentado(
     }
 
 
-def run_tabla(gray: np.ndarray) -> dict:
+def run_tabla(gray: np.ndarray, _pre: tuple | None = None) -> dict:
     """Largest-table crop → OCR (/root/reference/main.py:562-586); falls back
     to segmentation when no table is found (main.py:293-296 semantics)."""
-    deskewed, _ = enhance.correct_skew(gray)
-    binary = enhance.binarize(deskewed, "otsu")
+    if _pre is not None:
+        deskewed, binary = _pre
+    else:
+        deskewed, binary, _ = enhance.deskew_binary(gray)
     tables = detection.detect_tables(binary)
     if not tables:
         out = run_segmentado(gray, _pre=(deskewed, binary, tables))
@@ -112,7 +113,7 @@ def run_tabla(gray: np.ndarray) -> dict:
         return out
     largest = max(tables, key=lambda t: t["bbox"][2] * t["bbox"][3])  # main.py:231
     return {
-        "text": engine.ocr_region(deskewed, largest["bbox"]),
+        "text": engine.ocr_region(binary, largest["bbox"]),
         "route": "tabla",
         "n_tables": len(tables),
     }
@@ -124,13 +125,13 @@ def run_documento_completo(gray: np.ndarray, optimizar_para: str = "auto") -> di
     fallback); else plain preprocessing path."""
     gray = enhance.cap_max_dimension(gray, MAX_DIMENSION_DOCUMENTO)
     gray = enhance.area_budget_resize(gray, MAX_SIZE_MB_DOCUMENTO)
-    binary = enhance.binarize(gray, "otsu")
+    deskewed, binary, _ = enhance.deskew_binary(gray)
     num_horizontal = detection.count_horizontal_lines(binary)
     if num_horizontal > TABLE_ROUTE_MIN_HLINES or optimizar_para == "tablas":
-        out = run_tabla(gray)
+        out = run_tabla(deskewed, _pre=(deskewed, binary))
         out["num_horizontal"] = num_horizontal
         return out
-    out = engine.ocr_image_stats(gray)
+    out = engine.ocr_image_stats(deskewed, binary=binary)
     out["route"] = "texto"
     out["num_horizontal"] = num_horizontal
     return out
@@ -141,10 +142,9 @@ def run_checkboxes(gray: np.ndarray) -> dict:
     separate full-text pass (/root/reference/main.py:1155-1303; the reference
     OCRs the same image twice with different PSM — here one engine pass feeds
     both, SURVEY.md §3.2)."""
-    deskewed, _ = enhance.correct_skew(gray)
-    binary = enhance.binarize(deskewed, "otsu")
+    deskewed, binary, _ = enhance.deskew_binary(gray)
     checkboxes = cbk.detect_checkboxes(binary)
-    words = engine.get_text_data(deskewed, preprocess=False)
+    words = engine.get_text_data(deskewed, binary=binary)
     clear_words = [
         w for w in words
         if not any(_bbox_overlaps(w["bbox"], cb["bbox"]) for cb in checkboxes)
