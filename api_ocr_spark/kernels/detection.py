@@ -185,18 +185,42 @@ def connected_components_stats(mask: np.ndarray) -> list[dict]:
     ]
 
 
+def _max_run_1d(row: np.ndarray) -> int:
+    idx = np.nonzero(np.diff(np.concatenate(([False], row, [False])).astype(np.int8)))[0]
+    if idx.size == 0:
+        return 0
+    return int((idx[1::2] - idx[0::2]).max())
+
+
 def rule_rows(binary: np.ndarray, min_frac: float = 0.85) -> np.ndarray:
     """Boolean row mask: rows containing a contiguous ink run spanning
     >= min_frac of the width (full-width horizontal rules; used to drop
     ruling before OCR row segmentation). Contiguity matters: fixed-pitch
-    text rows can exceed a mean-fraction test but never cross the margins."""
+    text rows can exceed a mean-fraction test but never cross the margins.
+
+    Bandwidth-aware: a cheap row-count pass prunes to candidate rows (a run
+    of k pixels needs >= k ink pixels), then the exact run check touches
+    only those rows — no full-image run-length materialization."""
     ink = binary > 0
-    return max_run_lengths(ink, axis=1) >= min_frac * ink.shape[1]
+    h, w = ink.shape
+    need = min_frac * w
+    counts = ink.sum(axis=1)
+    mask = np.zeros(h, dtype=bool)
+    for y in np.nonzero(counts >= need)[0]:
+        mask[y] = _max_run_1d(ink[y]) >= need
+    return mask
 
 
 def rule_cols(ink: np.ndarray, min_frac: float = 0.85) -> np.ndarray:
-    """Boolean column mask for full-height vertical rules (table borders)."""
-    return max_run_lengths(ink, axis=0) >= min_frac * ink.shape[0]
+    """Boolean column mask for full-height vertical rules (table borders).
+    Same candidate-pruning strategy as rule_rows."""
+    h, w = ink.shape
+    need = min_frac * h
+    counts = ink.sum(axis=0)
+    mask = np.zeros(w, dtype=bool)
+    for x in np.nonzero(counts >= need)[0]:
+        mask[x] = _max_run_1d(ink[:, x]) >= need
+    return mask
 
 
 def count_horizontal_lines(binary: np.ndarray, min_frac: float = 0.6) -> int:
@@ -259,10 +283,26 @@ def _long_runs(ink: np.ndarray, min_len: int, axis: int) -> np.ndarray:
 
 
 def dilate_box(mask: np.ndarray, radius: int) -> np.ndarray:
-    """Binary dilation with a (2r+1)² box via sliding-window sum."""
-    from .enhance import _box_sum
+    """Binary dilation with a (2r+1)² box — separable 1-D running sums on
+    int32 (≈4x less memory traffic than a float64 2-D cumsum)."""
+    win = 2 * radius + 1
 
-    return _box_sum(mask.astype(np.float64), 2 * radius + 1) > 0
+    def run1d(a: np.ndarray, axis: int) -> np.ndarray:
+        cs = np.cumsum(a, axis=axis, dtype=np.int32)
+        pad_shape = list(a.shape)
+        pad_shape[axis] = radius + 1
+        zeros = np.zeros(pad_shape, dtype=np.int32)
+        tail_shape = list(a.shape)
+        tail_shape[axis] = radius
+        last = np.take(cs, [-1], axis=axis)
+        tail = np.repeat(last, radius, axis=axis)
+        hi = np.concatenate([np.take(cs, range(radius, a.shape[axis]), axis=axis), tail], axis=axis)
+        lo = np.concatenate([zeros, np.take(cs, range(a.shape[axis] - radius - 1), axis=axis)], axis=axis)
+        _ = win
+        return hi - lo
+
+    h_sum = run1d(mask.astype(np.int32), 1)
+    return run1d(h_sum, 0) > 0
 
 
 def segment_regions(binary: np.ndarray, min_area: int = 500) -> list[dict]:
