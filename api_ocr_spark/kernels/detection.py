@@ -149,17 +149,22 @@ def connected_components_stats(mask: np.ndarray) -> list[dict]:
 
     idx0 = np.searchsorted(rows, np.arange(h))
     idx1 = np.searchsorted(rows, np.arange(h), side="right")
-    for y in range(1, h):
+    occupied = np.nonzero(idx1 > idx0)[0]
+    for y in occupied:
+        if y == 0:
+            continue
         a0, a1 = idx0[y], idx1[y]
         p0, p1 = idx0[y - 1], idx1[y - 1]
-        if a0 == a1 or p0 == p1:
+        if p0 == p1:
             continue
         ps = s_col[p0:p1]
         pe = e_col[p0:p1]
-        for i in range(a0, a1):
-            lo = int(np.searchsorted(pe, s_col[i], side="right"))
-            hi = int(np.searchsorted(ps, e_col[i], side="left"))
-            for j in range(p0 + lo, p0 + hi):
+        # vectorized overlap window per current-row run
+        lo = np.searchsorted(pe, s_col[a0:a1], side="right")
+        hi = np.searchsorted(ps, e_col[a0:a1], side="left")
+        for k in np.nonzero(hi > lo)[0]:
+            i = a0 + k
+            for j in range(p0 + lo[k], p0 + hi[k]):
                 ri, rj = find(i), find(j)
                 if ri != rj:
                     parent[max(ri, rj)] = min(ri, rj)

@@ -177,14 +177,16 @@ def estimate_skew(binary: np.ndarray) -> float:
     if ys.size == 0:
         return 0.0
     yy = np.arange(h) - h / 2
-    scores: dict[float, float] = {}
     pad = int(np.ceil(np.tan(np.deg2rad(8)) * h / 2)) + 1
-    for deg in SKEW_SEARCH_DEGREES:
-        # column profile of the unsheared image, computed directly from ink
-        # pixel coordinates (O(#ink) per angle — no image materialization)
-        shifts = np.round(np.tan(np.deg2rad(-float(deg))) * yy).astype(np.int64)
-        prof = np.bincount(xs + shifts[ys] + pad, minlength=w + 2 * pad).astype(np.float64)
-        scores[float(deg)] = float((prof * prof).sum())
+    width = w + 2 * pad
+    degs = np.array(SKEW_SEARCH_DEGREES, dtype=np.float64)
+    # all angles in ONE bincount: profile of angle k lives in [k*width, (k+1)*width)
+    shifts = np.round(np.tan(np.deg2rad(-degs))[:, None] * yy[None, :]).astype(np.int64)
+    idx = (np.arange(len(degs))[:, None] * width) + (xs[None, :] + shifts[:, ys] + pad)
+    profs = np.bincount(idx.ravel(), minlength=len(degs) * width).reshape(len(degs), width)
+    profs = profs.astype(np.float64)
+    score_arr = (profs * profs).sum(axis=1)
+    scores = {float(d): float(s) for d, s in zip(degs, score_arr)}
     best_deg = max(scores, key=lambda d: scores[d])
     # Hysteresis: profile noise on unskewed images can favor ±1° by <1%;
     # a real shear sharpens the unsheared column profile by >=2%. Below the
