@@ -23,7 +23,7 @@ CHECKS = {
     ],
     "revenue_by_nation": [
         ("broadcast join for nation dim", r"Broadcast"),
-        ("column pruning on orders scan", r"ReadSchema:[^\n]*o_custkey,o_totalprice"),
+        ("column pruning on orders scan", r"ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"),
     ],
     "agg_pricing_summary": [
         ("partial aggregation map-side", r"HashAggregate"),
