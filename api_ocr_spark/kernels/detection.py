@@ -293,10 +293,13 @@ def dilate_box(mask: np.ndarray, radius: int) -> np.ndarray:
     win = 2 * radius + 1
 
     def run1d(a: np.ndarray, axis: int) -> np.ndarray:
-        cs = np.cumsum(a, axis=axis, dtype=np.int32)
+        # uint16 suffices: values bounded by win * max(h, w) << 65535 here,
+        # and halves the memory traffic of the int32 version
+        dtype = np.uint16 if max(mask.shape) * win < 60000 else np.int32
+        cs = np.cumsum(a, axis=axis, dtype=dtype)
         pad_shape = list(a.shape)
         pad_shape[axis] = radius + 1
-        zeros = np.zeros(pad_shape, dtype=np.int32)
+        zeros = np.zeros(pad_shape, dtype=dtype)
         tail_shape = list(a.shape)
         tail_shape[axis] = radius
         last = np.take(cs, [-1], axis=axis)
@@ -306,7 +309,7 @@ def dilate_box(mask: np.ndarray, radius: int) -> np.ndarray:
         _ = win
         return hi - lo
 
-    h_sum = run1d(mask.astype(np.int32), 1)
+    h_sum = run1d(mask.astype(np.uint8), 1)
     return run1d(h_sum, 0) > 0
 
 

@@ -173,6 +173,15 @@ def estimate_skew(binary: np.ndarray) -> float:
     statistic: unshearing at the true angle re-aligns vertical strokes."""
     ink = binary > 0
     h, w = ink.shape
+    # exclude rule-dominated rows (>50% ink): full-width rules carry no skew
+    # signal and multiply the ink-pixel count ~10x on ruled pages — but only
+    # when enough text ink remains to estimate from (a lone glyph next to
+    # ruling must keep the old flat-profile behavior → 0°)
+    row_counts = ink.sum(axis=1)
+    heavy = row_counts > 0.5 * w
+    if heavy.any() and int(row_counts[~heavy].sum()) >= 400:
+        ink = ink.copy()
+        ink[heavy, :] = False
     ys, xs = np.nonzero(ink)
     if ys.size == 0:
         return 0.0
