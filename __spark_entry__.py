@@ -74,6 +74,19 @@ WITH w AS (
 """
 
 
+def q_ocr_from_spans_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production entry point: a pre-built input_hint-shaped spans table
+    + a separate media store, joined by media_ref (extract_from_spans) —
+    exercises the media join path instead of the fused render→OCR path."""
+    from api_ocr_spark.sources.interleave import build_documents_spans, build_media
+
+    docs = _docs(spark, sf_dir)
+    spans_table = build_documents_spans(docs)
+    media = build_media(docs)
+    out = pipeline.extract_from_spans(spans_table, media, mode="basico")
+    return out.select("doc_id", "extracted_text")
+
+
 def q_span_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     fs = flat_spans(_docs(spark, sf_dir))
     return fs.select(
@@ -605,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_basico": _ocr_roundtrip("basico"),
         "ocr_segmentado": _ocr_roundtrip("segmentado"),
         "ocr_tabla": _ocr_roundtrip("tabla"),
+        "ocr_from_spans_table": q_ocr_from_spans_table,
         "span_synthesis": q_span_synthesis,
         "media_manifest": q_media_manifest,
         "estructurar_texto": q_estructurar_texto,
@@ -637,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_basico": _ROUNDTRIP_ORACLE,
         "ocr_segmentado": _ROUNDTRIP_ORACLE,
         "ocr_tabla": _ROUNDTRIP_ORACLE,
+        "ocr_from_spans_table": _ROUNDTRIP_ORACLE,
         "span_synthesis": ORACLE_SPAN_SYNTHESIS,
         "media_manifest": ORACLE_MEDIA_MANIFEST,
         "estructurar_texto": ORACLE_ESTRUCTURAR,
