@@ -48,6 +48,20 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def doc_shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id:long, shingle:bigint) — 3-gram shingles hashed to 64 bits
+    inside the transform (the MinHash path only needs shingle identity;
+    collisions are negligible). Two deliberate plan choices, each worth ~3-6x:
+    the words array is materialized behind a projection so the split isn't
+    re-evaluated per shingle, and the exploded column is a bigint, not a
+    string (nothing row-size-heavy crosses the explode)."""
+    words = F.split(normalize_ws(F.lower(F.col("text"))), " ")
+    staged = documents.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("ws") - (n - 1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice("ws", i, n))))
+    return staged.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = 0.5, max_doc_id: int | None = None, n: int = 3
 ) -> DataFrame:
@@ -83,7 +97,7 @@ def ngram_jaccard_pairs(
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32) -> DataFrame:
     """MinHash signatures: min over shingles of xxhash64(shingle, seed_i).
     One groupBy; signature is an array column ordered by seed index."""
-    sh = doc_shingles(documents)
+    sh = doc_shingle_hashes(documents)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -135,8 +149,9 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # exact-Jaccard verification restricted to candidate pairs
-    sh = doc_shingles(documents)
+    # exact-Jaccard verification restricted to candidate pairs (hashed
+    # shingles: identity-equality is all Jaccard needs)
+    sh = doc_shingle_hashes(documents)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))

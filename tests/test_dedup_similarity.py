@@ -1,0 +1,114 @@
+"""Dedup + similarity operators on constructed near-dup corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_ocr_spark.operators import dedup, similarity
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest tonight")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near-dup of 0
+        (3, "completely different words about spark dataframes and shuffles "
+            "partitions join broadcast aggregate window functions watermark"),
+        (4, "another unrelated document mentioning parquet files and columnar "
+            "storage formats with predicate pushdown and column pruning"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(corpus):
+    out = {r.fingerprint: r for r in dedup.exact_dedup(corpus).collect()}
+    groups = sorted((r.keeper_doc_id, r.n_docs) for r in out.values())
+    assert (0, 2) in groups  # docs 0 and 1 collapse, keeper = min id
+    assert len(groups) == 4
+
+
+def test_ngram_jaccard_finds_near_dup(corpus):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(corpus):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.minhash_lsh_pairs(corpus, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_candidates_without_verify(corpus):
+    cand = dedup.minhash_lsh_pairs(corpus, verify=False)
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (0, 1) in got
+
+
+def test_simhash_identical_docs_hamming_zero(corpus):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash_table(corpus).collect()}
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < 2**16
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_neardup_pairs(corpus, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(20):
+        if i == 1:
+            v = base + rng.normal(scale=0.01, size=64)  # near-dup of vec 0
+        elif i == 0:
+            v = base
+        else:
+            v = rng.normal(size=64)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(vectors):
+    out = similarity.brute_force_topk(vectors, k=3, n_queries=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    top0 = sorted(by_q[0], key=lambda r: r.rank)[0]
+    assert top0.neighbor_id == 1 and top0.cos > 0.99
+    for rs in by_q.values():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_neardup_pairs_threshold(vectors):
+    pairs = {(r.vec_a, r.vec_b): r.cos
+             for r in similarity.neardup_pairs(vectors, threshold=0.95).collect()}
+    assert set(pairs) == {(0, 1)}
+
+
+def test_lsh_neardup_finds_close_pair(vectors):
+    pairs = {(r.vec_a, r.vec_b) for r in
+             similarity.lsh_neardup_pairs(vectors, threshold=0.95).collect()}
+    # near-identical vectors land in the same sign-LSH bucket w.p. ~1
+    assert (0, 1) in pairs
+
+
+def test_lsh_bucket_determinism(vectors):
+    q = similarity.quantized(vectors)
+    planes = similarity.lsh_hyperplanes(64)
+    a = q.withColumn("b", similarity.lsh_bucket(F.col("qvec"), planes)).collect()
+    b = q.withColumn("b", similarity.lsh_bucket(F.col("qvec"), planes)).collect()
+    assert [r.b for r in a] == [r.b for r in b]
+    assert all(0 <= r.b < 256 for r in a)
