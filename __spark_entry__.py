@@ -609,6 +609,14 @@ def q_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), threshold=0.8)
 
 
+def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction over the binary media column (decode
+    real; render-geometry-dependent → rows-only check)."""
+    from api_ocr_spark.operators.multimodal import image_metadata
+
+    return image_metadata(build_media(_docs(spark, sf_dir)))
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -642,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
+        "image_metadata": q_image_metadata,
     }
 
 
