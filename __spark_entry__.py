@@ -293,6 +293,33 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (hierarchical subtotals) — beyond the reference's
+    flat group-bys; cents-quantized for cross-engine exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(cents).alias("sum_cents"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_cents",
+            "n",
+        )
+    )
+
+
+ORACLE_ROLLUP_PRICING = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join orders⋈customer⋈nation; nation broadcast (tiny dim)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -634,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkbox_qa": q_checkbox_qa,
         # relational operator family
         "agg_pricing_summary": q_agg_pricing_summary,
+        "rollup_pricing": q_rollup_pricing,
         "revenue_by_nation": q_revenue_by_nation,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "sessionize_events": q_sessionize_events,
@@ -667,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "limpiar_texto": ORACLE_LIMPIAR,
         "checkbox_qa": ORACLE_CHECKBOX_QA,
         "agg_pricing_summary": ORACLE_AGG_PRICING,
+        "rollup_pricing": ORACLE_ROLLUP_PRICING,
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
         "topk_orders_per_customer": ORACLE_TOPK_ORDERS,
         "sessionize_events": ORACLE_SESSIONIZE,
