@@ -105,7 +105,13 @@ def run_with_checkpoint(
             .withColumn("bucket", F.lit(b))
         )
         metrics.write.mode("append").parquet(metrics_path)
-        n_docs = result.count()
+        # count from the committed files — counting `result` would re-execute
+        # the whole extraction a second time
+        n_docs = (
+            spark.read.parquet(out_path)
+            .filter((F.col("bucket") == b) & (F.col("run_id") == run_id))
+            .count()
+        )
         n_media = ocr_out.count()
         ocr_out.unpersist()
         wall_ms = round((time.perf_counter() - t0) * 1e3, 1)
