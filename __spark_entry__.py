@@ -636,6 +636,15 @@ def q_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), threshold=0.8)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse-quantizer probe — the 100 TB ANN path;
+    approximate by design → rows-only check; recall asserted in tests on
+    clustered fixtures)."""
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_queries=8,
+        n_centroids=16, n_probe=4)
+
+
 def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction over the binary media column (decode
     real; render-geometry-dependent → rows-only check)."""
@@ -678,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "image_metadata": q_image_metadata,
     }
 

@@ -111,6 +111,36 @@ def _norm(col):
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
+def reassemble_two_level(flat: DataFrame, ocr_out: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Skew-proof reassembly (SURVEY.md §4.3.1): a media-heavy document's
+    collect_list can overload one reducer. Level 1 partially collects per
+    (doc_id, salt) — a heavy doc spreads over `salt_buckets` reducers; level
+    2 flattens the partial arrays and sorts once. Output is identical to
+    :func:`reassemble` (asserted in tests); use when span-count skew is
+    extreme (e.g. 500-media documents)."""
+    text_rows = flat.filter(F.col("kind") == "text").select(
+        "doc_id", "offset", F.lit("text").alias("kind"),
+        F.col("chunk").alias("text"), F.col("media_ref"))
+    media_rows = ocr_out.select(
+        "doc_id", "offset", F.lit("media").alias("kind"),
+        _norm(F.col("ocr_text")).alias("text"), F.col("media_ref"))
+    unioned = text_rows.unionByName(media_rows).withColumn(
+        "salt", F.pmod(F.xxhash64("offset"), F.lit(salt_buckets)))
+    partial = unioned.groupBy("doc_id", "salt").agg(
+        F.collect_list(F.struct("offset", "kind", "text", "media_ref")).alias("part"))
+    ordered = F.array_sort(F.flatten(F.collect_list("part")))
+    spans = F.transform(
+        ordered,
+        lambda s: F.struct(
+            s.kind.alias("kind"), s.text.alias("text"),
+            s.media_ref.alias("media_ref"), s.offset.alias("offset")),
+    )
+    return partial.groupBy("doc_id").agg(
+        spans.alias("spans"),
+        F.concat_ws(" ", F.transform(ordered, lambda s: s.text)).alias("extracted_text"),
+    )
+
+
 def reassemble(flat: DataFrame, ocr_out: DataFrame) -> DataFrame:
     """Union passthrough text spans with OCR'd media spans and rebuild each
     document as an offset-ordered span array (the engine's signature

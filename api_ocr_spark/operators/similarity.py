@@ -103,6 +103,85 @@ def lsh_bucket(qvec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def ivf_assign(emb: DataFrame, n_centroids: int = 16, iters: int = 3, seed: int = 11) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: distributed Lloyd iterations over the quantized
+    vectors. Centroids are seeded from deterministic corpus rows (vec_id
+    hashing), refined with `iters` assign/average rounds — each round is one
+    broadcast (centroid literals) + one groupBy. Returns (assignments df
+    (vec_id, qvec, norm2, centroid_id), centroids)."""
+    q = quantized(emb).cache()
+    # deterministic init: the n_centroids rows with smallest xxhash64(vec_id)
+    seed_rows = (
+        q.withColumn("h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .orderBy("h").limit(n_centroids).select("qvec").collect()
+    )
+    centroids = [[int(v) for v in r.qvec] for r in seed_rows]
+
+    def assign(cents: list[list[int]]) -> DataFrame:
+        # nearest centroid by maximum cosine against literal centroid arrays
+        best_id = F.lit(0)
+        best_cos = F.lit(-2.0)
+        for cid, c in enumerate(cents):
+            lit_c = F.array(*[F.lit(int(v)).cast("long") for v in c])
+            n_c = sum(v * v for v in c) or 1.0
+            cos = dot(F.col("qvec"), lit_c) / F.sqrt((F.col("norm2") * F.lit(n_c)).cast("double"))
+            best_id = F.when(cos > best_cos, F.lit(cid)).otherwise(best_id)
+            best_cos = F.greatest(best_cos, cos)
+        return q.withColumn("centroid_id", best_id)
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        agg = assigned.groupBy("centroid_id").agg(
+            *[F.avg(F.col("qvec")[d]).alias(f"d{d}") for d in range(len(centroids[0]))]
+        ).collect()
+        # integer centroids keep the dot-product fold in the bigint domain
+        new = {r.centroid_id: [int(round(r[f"d{d}"])) for d in range(len(centroids[0]))] for r in agg}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return assign(centroids), centroids
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 8, n_centroids: int = 16,
+             n_probe: int = 4) -> DataFrame:
+    """IVF approximate top-k: queries probe only their `n_probe` nearest
+    centroids' inverted lists — candidate set shrinks ~n_centroids/n_probe
+    fold vs brute force (the 100 TB path; recall measured in tests)."""
+    assigned, centroids = ivf_assign(emb, n_centroids)
+    # per-vector distances to every centroid → probe sets for the query side
+    probes = None
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec"),
+        F.col("norm2").alias("q_norm2"))
+    cos_cols = []
+    for cid, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        n_c = sum(v * v for v in c) or 1.0
+        cos_cols.append(
+            F.struct(
+                (dot(F.col("q_qvec"), lit_c) / F.sqrt((F.col("q_norm2") * F.lit(n_c)).cast("double"))).alias("cos"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    probe_arr = F.slice(F.reverse(F.array_sort(F.array(*cos_cols))), 1, n_probe)
+    queries = queries.withColumn("probe", F.transform(probe_arr, lambda s: s.cid))
+    _ = probes
+    cand = queries.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "qvec", "norm2", "centroid_id"),
+        F.array_contains(F.col("probe"), F.col("centroid_id"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id", "neighbor_id",
+        cosine(dot(F.col("q_qvec"), F.col("qvec")), F.col("q_norm2"), F.col("norm2")).alias("cos"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.9, dim: int = 64) -> DataFrame:
     """Scale path: bucket by sign-LSH, meet within buckets, verify exact
     cosine. Misses cross-bucket pairs by design (ANN semantics)."""

@@ -51,6 +51,42 @@ def stream_ocr_with_window_metrics(
     )
 
 
+def stream_dedup_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): emit each doc_id's
+    FIRST-seen span row across the whole stream, suppress later duplicates —
+    the streaming analogue of exact dedup (exactly-once per key without a
+    global shuffle; state is per-key and checkpointable)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(STREAM_INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+
+    def first_seen(key, pdf_iter, state: GroupState):
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            if seen == 0 and len(pdf):
+                seen = 1
+                state.update((1,))
+                yield pd.DataFrame(
+                    {"doc_id": [key[0]], "media_ref": [pdf["media_ref"].iloc[0]],
+                     "n_dups_in_batch": [len(pdf)]}
+                )
+        if not state.exists:
+            state.update((seen,))
+
+    return src.groupBy("doc_id").applyInPandasWithState(
+        first_seen,
+        outputStructType="doc_id string, media_ref string, n_dups_in_batch int",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, input_dir: str, table_name: str = "stream_out",
     mode: str = "documento_completo",

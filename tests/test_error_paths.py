@@ -83,3 +83,37 @@ def test_streaming_window_metrics(spark, sf_dir, tmp_path):
         got = spark.table("t_win2").collect()
     assert len(got) == 1
     assert got[0].n_spans == joined.count()
+
+
+def test_stateful_streaming_dedup(spark, sf_dir, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicated input rows across
+    files collapse to one output row per doc_id."""
+    from api_ocr_spark.streaming import stream as st
+
+    docs = tables.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+    flat = interleave.flat_spans(docs)
+    media = interleave.build_media(docs)
+    joined = (
+        flat.filter(F.col("kind") == "media")
+        .select("doc_id", "offset", "media_ref")
+        .join(media.select("media_ref", "bytes"), "media_ref")
+        .withColumn("event_time", F.current_timestamp())
+        .select("doc_id", "offset", "media_ref", "bytes", "event_time")
+    )
+    dup = joined.unionByName(joined)  # every row twice
+    in_dir = os.path.join(str(tmp_path), "dedup_in")
+    dup.repartition(4).write.parquet(in_dir)
+    q = (
+        st.stream_dedup_first_seen(spark, in_dir)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup").collect()
+    doc_ids = [r.doc_id for r in got]
+    assert len(doc_ids) == len(set(doc_ids))  # one row per doc
+    assert set(doc_ids) == {str(i) for i in range(8) if any(
+        (i + off) % 3 == 0 for off in range(20))}
