@@ -59,61 +59,33 @@ def _match_char(crop: np.ndarray) -> tuple[str, float]:
     return best_ch, round(best_conf, 2)
 
 
+def _runs_with_gap_merge(flags: np.ndarray, merge_below: int) -> list[tuple[int, int]]:
+    """Contiguous True runs of `flags`, merging runs separated by gaps
+    smaller than `merge_below`. Vectorized run extraction, tiny python loop
+    over the (few) runs only."""
+    d = np.diff(np.concatenate(([False], flags, [False])).astype(np.int8))
+    starts = np.nonzero(d == 1)[0]
+    ends = np.nonzero(d == -1)[0]
+    out: list[tuple[int, int]] = []
+    for s, e in zip(starts, ends):
+        if out and s - out[-1][1] < merge_below:
+            out[-1] = (out[-1][0], int(e))
+        else:
+            out.append((int(s), int(e)))
+    return out
+
+
 def _line_bands(ink: np.ndarray) -> list[tuple[int, int]]:
     """Row ranges of text lines: ink-row runs separated by >= LINE_GAP_ROWS
     blank rows are distinct lines; smaller internal gaps (e.g. ':') merge."""
-    has_ink = ink.any(axis=1)
-    bands: list[tuple[int, int]] = []
-    y = 0
-    h = ink.shape[0]
-    while y < h:
-        if not has_ink[y]:
-            y += 1
-            continue
-        start = y
-        end = y
-        gap = 0
-        while y < h:
-            if has_ink[y]:
-                end = y
-                gap = 0
-            else:
-                gap += 1
-                if gap >= LINE_GAP_ROWS:
-                    break
-            y += 1
-        bands.append((start, end + 1))
-        while y < h and not has_ink[y]:
-            y += 1
-    return bands
+    return _runs_with_gap_merge(ink.any(axis=1), LINE_GAP_ROWS)
 
 
 def _char_runs(band: np.ndarray) -> list[list[tuple[int, int]]]:
     """Within a line band: group ink-column runs into words (gap >=
-    WORD_GAP_PX) and chars (gap >= CHAR_GAP_PX). Returns [[(x0,x1)...]...]."""
-    has_ink = band.any(axis=0)
-    xs = np.nonzero(has_ink)[0]
-    if xs.size == 0:
-        return []
-    breaks = np.nonzero(np.diff(xs) > 1)[0]
-    runs: list[tuple[int, int]] = []
-    start = xs[0]
-    prev = xs[0]
-    for x in xs[1:]:
-        if x - prev > 1:
-            runs.append((int(start), int(prev + 1)))
-            start = x
-        prev = x
-    runs.append((int(start), int(prev + 1)))
-    _ = breaks
-    # merge runs separated by < CHAR_GAP_PX into single chars
-    chars: list[tuple[int, int]] = []
-    for r in runs:
-        if chars and r[0] - chars[-1][1] < CHAR_GAP_PX:
-            chars[-1] = (chars[-1][0], r[1])
-        else:
-            chars.append(r)
-    # split chars into words on gaps >= WORD_GAP_PX
+    WORD_GAP_PX) and chars (gap >= CHAR_GAP_PX). Returns [[(x0,x1)...]...].
+    Vectorized run extraction; python loops touch runs, not pixels."""
+    chars = _runs_with_gap_merge(band.any(axis=0), CHAR_GAP_PX)
     words: list[list[tuple[int, int]]] = []
     for c in chars:
         if words and c[0] - words[-1][-1][1] < WORD_GAP_PX:
