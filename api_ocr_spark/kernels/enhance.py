@@ -203,6 +203,11 @@ def estimate_skew(binary: np.ndarray) -> float:
     # in the text band, so recognition is unaffected (see tests).
     if scores[best_deg] <= 1.015 * scores[0.0]:
         return 0.0
+    # Asymmetry test: a true shear sharpens only at its own sign
+    # (score(+d) >> score(-d)); profile noise on sparse pages is symmetric
+    # (score(+d) ~ score(-d) both slightly above 0°). Reject symmetric peaks.
+    if scores[best_deg] <= 1.01 * scores.get(-best_deg, 0.0):
+        return 0.0
     return best_deg
 
 
