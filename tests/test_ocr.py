@@ -14,6 +14,10 @@ CORPUS = [
     "a",
     "spark group query row data slow small filter customer line the batch value",
     "12:30 - 14:45 lunes 5 de enero de 2024",
+    # punctuation-heavy sparse pages (regression: symmetric-noise skew
+    # false-positive on ruled variants of these)
+    "(ab) a-b a.b a,b a/b",
+    "((x)) 1.5 2,5 3/4 -x-",
 ]
 
 
