@@ -227,6 +227,28 @@ def deskew_binary(
     return sheared, binarize_otsu(sheared), deg
 
 
+def skew_candidates(binary: np.ndarray, k: int = 3) -> list[float]:
+    """Top-k candidate angles by raw column-profile score, WITHOUT the
+    margin/asymmetry guards — the OCR retry ladder validates candidates by
+    recognition confidence instead (ocr/engine.py get_text_data)."""
+    ink = binary > 0
+    h, w = ink.shape
+    ys, xs = np.nonzero(ink)
+    if ys.size == 0:
+        return [0.0]
+    yy = np.arange(h) - h / 2
+    pad = int(np.ceil(np.tan(np.deg2rad(8)) * h / 2)) + 1
+    width = w + 2 * pad
+    degs = np.array(SKEW_SEARCH_DEGREES, dtype=np.float64)
+    shifts = np.round(np.tan(np.deg2rad(-degs))[:, None] * yy[None, :]).astype(np.int64)
+    idx = (np.arange(len(degs))[:, None] * width) + (xs[None, :] + shifts[:, ys] + pad)
+    profs = np.bincount(idx.ravel(), minlength=len(degs) * width).reshape(len(degs), width)
+    profs = profs.astype(np.float64)
+    score_arr = (profs * profs).sum(axis=1)
+    order = np.argsort(-score_arr, kind="stable")[:k]
+    return [float(degs[i]) for i in order]
+
+
 def correct_skew(gray: np.ndarray, min_abs_deg: float = 0.5) -> tuple[np.ndarray, float]:
     """Deskew a grayscale image; rotation applied only when |angle|>0.5°
     exactly like the reference gate (enhance.py:33-35). Returns (img, angle)."""

@@ -102,15 +102,50 @@ def get_text_data(
     (/root/reference/ocr/engine.py:76-128). Returns word dicts
     {text, bbox:(x,y,w,h), conf, line, block, par} with conf > 30 kept.
     Pass `binary` to reuse an already-binarized image (callers that did the
-    census/deskew themselves avoid re-running full-image passes)."""
-    if binary is None:
-        if preprocess:
-            binary = enhance.deskew_and_clean(gray)
-        else:
-            # already-binary ROIs pass through; gray ROIs binarize with Otsu —
-            # the engine-wide global-threshold choice (see deskew_and_clean)
-            binary = gray if _is_binary(gray) else enhance.binarize(gray, "otsu")
-    ink = binary > 0
+    census/deskew themselves avoid re-running full-image passes).
+
+    Retry ladder (the reference's degradation-ladder idiom, main.py:660-696):
+    on sparse pages the skew estimator's noise guards can reject a true
+    shear; if the first pass isn't a perfect template match, alternative
+    skew candidates are tried and the best-confidence result wins. The hot
+    path stays single-pass — corpus pages match perfectly on pass one."""
+    if binary is not None:
+        return _extract_words(binary > 0, binary)
+    if not preprocess:
+        # already-binary ROIs pass through; gray ROIs binarize with Otsu —
+        # the engine-wide global-threshold choice (see deskew_and_clean)
+        b = gray if _is_binary(gray) else enhance.binarize(gray, "otsu")
+        return _extract_words(b > 0, b)
+    _, b0, deg0 = enhance.deskew_binary(gray)
+    words = _extract_words(b0 > 0, b0)
+    if _is_perfect(words):
+        return words
+    best_words, best_conf = words, _mean_conf(words)
+    for deg in enhance.skew_candidates(b0 if deg0 == 0.0 else enhance.binarize_otsu(gray), k=3):
+        if deg == deg0:
+            continue
+        sheared = enhance._shear_rows(gray, -deg, int(gray[0, 0])) if deg else gray
+        b = enhance.binarize_otsu(sheared)
+        w2 = _extract_words(b > 0, b)
+        c2 = _mean_conf(w2)
+        if c2 > best_conf:
+            best_words, best_conf = w2, c2
+            if _is_perfect(w2):
+                break
+    return best_words
+
+
+def _mean_conf(words: list[dict]) -> float:
+    if not words:
+        return 0.0
+    return float(sum(w["conf"] for w in words)) / len(words)
+
+
+def _is_perfect(words: list[dict]) -> bool:
+    return bool(words) and all(w["conf"] == 100.0 for w in words)
+
+
+def _extract_words(ink: np.ndarray, binary: np.ndarray) -> list[dict]:
     rr = rule_rows(binary)
     if rr.any():
         ink = ink.copy()

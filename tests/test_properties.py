@@ -9,10 +9,17 @@ from hypothesis import given, settings, strategies as st
 from api_ocr_spark.imaging import font, png, render
 from api_ocr_spark.ocr import engine, postprocess
 
-# words over the renderable charset (letters+digits only: standalone
-# punctuation regions are legitimately dropped by the reference's area gate)
+# words over the renderable charset. Punctuation joins only as part of a
+# word with letters/digits: a page whose ONLY ink is a lone 16-px glyph is
+# below the noisy-scenario Otsu separability bound (~2% ink density —
+# imaging/render.py margins; every real 8-word chunk is far above it).
 _word = st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1, max_size=10)
-_text = st.lists(_word, min_size=1, max_size=30).map(" ".join)
+_punct_word = st.tuples(
+    st.sampled_from(["(", "", "-"]),
+    st.text(alphabet=string.ascii_lowercase + string.digits, min_size=2, max_size=8),
+    st.sampled_from([")", "", ".", ",", ":"]),
+).map("".join)
+_text = st.lists(st.one_of(_word, _punct_word), min_size=2, max_size=30).map(" ".join)
 
 
 @settings(max_examples=40, deadline=None)
