@@ -132,6 +132,15 @@ def get_text_data(
             best_words, best_conf = w2, c2
             if _is_perfect(w2):
                 break
+    if not _is_perfect(best_words):
+        # illumination rung: flatten shadows then re-binarize (the shadows
+        # step of the reference's deskew_and_clean chain, enhance.py:142-162
+        # — needed when gradient + noise squeeze the global Otsu margin)
+        flat = enhance.remove_shadows(gray)
+        b = enhance.binarize_otsu(flat)
+        w2 = _extract_words(b > 0, b)
+        if _mean_conf(w2) > best_conf:
+            best_words, best_conf = w2, _mean_conf(w2)
     return best_words
 
 

@@ -84,3 +84,32 @@ def test_font_charset_coverage():
         text = f"x{ch}x"
         img = render.render_text_image(text, "plain", 0)
         assert engine.ocr_image(img) == text, ch
+
+
+def test_composite_transforms_roundtrip():
+    """Stacked transforms (outside the oracle contract): skew+noise,
+    skew+shadow, rules+noise, shadow+noise — the retry/illumination rungs
+    must recover exact text (seeded, 120 cases)."""
+    import random
+
+    rng = random.Random(7)
+    alpha = string.ascii_lowercase + string.digits
+    for _ in range(120):
+        words = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+                 for _ in range(rng.randint(2, 10))]
+        text = " ".join(words)
+        base = render.render_lines(render.wrap_text(text))
+        seed = rng.randint(0, 2**31 - 1)
+        nprng = np.random.default_rng(seed)
+        combo = rng.choice(["skew+noise", "skew+shadow", "rules+noise", "shadow+noise"])
+        img = base
+        if "rules" in combo:
+            img = render._apply_rules(img)
+        if "skew" in combo:
+            img = render._apply_skew(img, rng.choice(render.SKEW_DEGREES))
+        if "shadow" in combo:
+            img = render._apply_shadow(img)
+        if "noise" in combo:
+            img = render._apply_noise(img, nprng)
+        got = engine.ocr_image(png.decode_gray(png.encode_gray(img)))
+        assert got.replace("\n", " ") == text, (combo, seed, text)
