@@ -29,7 +29,7 @@ INK = 30
 BG = 230
 MARGIN = 8
 MAX_LINE_CHARS = 32
-SCENARIOS = ("plain", "skewed", "noisy", "shadow", "ruled", "boxed")
+SCENARIOS = ("plain", "skewed", "noisy", "shadow", "ruled", "boxed", "skewed_noisy")
 
 # Skew uses the same discrete shear model in render and deskew search so the
 # inverse is exact: shift(y) = round(tan(deg) * (y - h/2)).
@@ -157,6 +157,11 @@ def render_text_image(text: str, scenario: str = "plain", seed: int = 0) -> np.n
         return _apply_rules(img)
     if scenario == "boxed":
         return _apply_box(img)
+    if scenario == "skewed_noisy":
+        # composite distortion: shear then sub-threshold noise — exercises
+        # the skew-candidate retry ladder under a degraded profile
+        deg = SKEW_DEGREES[int(rng.integers(0, len(SKEW_DEGREES)))]
+        return _apply_noise(_apply_skew(img, deg), rng)
     raise ValueError(f"unknown scenario {scenario!r}")
 
 

@@ -116,32 +116,46 @@ def get_text_data(
         # the engine-wide global-threshold choice (see deskew_and_clean)
         b = gray if _is_binary(gray) else enhance.binarize(gray, "otsu")
         return _extract_words(b > 0, b)
-    _, b0, deg0 = enhance.deskew_binary(gray)
+    _, _, words = best_deskew(gray)
+    return words
+
+
+def best_deskew(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray, list[dict]]:
+    """Confidence-validated deskew: (deskewed_gray, binary, words).
+
+    Pass 1 uses the guarded profile estimate (enhance.deskew_binary); if the
+    extraction is a perfect template match (the common case — every corpus
+    page), that's it. Otherwise the FULL candidate grid is probed and each
+    candidate validated by recognition confidence, plus an illumination rung
+    (remove_shadows) — the reference's degradation-ladder idiom applied to
+    preprocessing (main.py:660-696). All pipeline modes deskew through this,
+    so region/table/checkbox paths share the robustness."""
+    deskewed0, b0, deg0 = enhance.deskew_binary(gray)
     words = _extract_words(b0 > 0, b0)
     if _is_perfect(words):
-        return words
-    best_words, best_conf = words, _mean_conf(words)
-    for deg in enhance.skew_candidates(b0 if deg0 == 0.0 else enhance.binarize_otsu(gray), k=3):
+        return deskewed0, b0, words
+    best = (deskewed0, b0, words, _mean_conf(words))
+    base_binary = b0 if deg0 == 0.0 else enhance.binarize_otsu(gray)
+    for deg in enhance.skew_candidates(base_binary, k=len(enhance.SKEW_SEARCH_DEGREES)):
         if deg == deg0:
             continue
         sheared = enhance._shear_rows(gray, -deg, int(gray[0, 0])) if deg else gray
         b = enhance.binarize_otsu(sheared)
         w2 = _extract_words(b > 0, b)
         c2 = _mean_conf(w2)
-        if c2 > best_conf:
-            best_words, best_conf = w2, c2
+        if c2 > best[3]:
+            best = (sheared, b, w2, c2)
             if _is_perfect(w2):
-                break
-    if not _is_perfect(best_words):
-        # illumination rung: flatten shadows then re-binarize (the shadows
-        # step of the reference's deskew_and_clean chain, enhance.py:142-162
-        # — needed when gradient + noise squeeze the global Otsu margin)
-        flat = enhance.remove_shadows(gray)
-        b = enhance.binarize_otsu(flat)
-        w2 = _extract_words(b > 0, b)
-        if _mean_conf(w2) > best_conf:
-            best_words, best_conf = w2, _mean_conf(w2)
-    return best_words
+                return best[:3]
+    # illumination rung: flatten shadows then re-binarize (the shadows step
+    # of the reference's deskew_and_clean chain, enhance.py:142-162 — needed
+    # when gradient + noise squeeze the global Otsu margin)
+    flat = enhance.remove_shadows(gray)
+    b = enhance.binarize_otsu(flat)
+    w2 = _extract_words(b > 0, b)
+    if _mean_conf(w2) > best[3]:
+        best = (flat, b, w2, _mean_conf(w2))
+    return best[:3]
 
 
 def _mean_conf(words: list[dict]) -> float:

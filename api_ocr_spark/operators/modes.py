@@ -60,7 +60,7 @@ def run_segmentado(
         deskewed, binary, tables_pre = _pre
     else:
         gray = enhance.cap_max_dimension(gray, MAX_DIMENSION_SEGMENTADO)
-        deskewed, binary, _ = enhance.deskew_binary(gray)
+        deskewed, binary, _ = engine.best_deskew(gray)
         tables_pre = None
     regions = detection.segment_regions(binary)
     # keep innermost regions: a bbox that fully contains another region is a
@@ -105,7 +105,7 @@ def run_tabla(gray: np.ndarray, _pre: tuple | None = None) -> dict:
     if _pre is not None:
         deskewed, binary = _pre
     else:
-        deskewed, binary, _ = enhance.deskew_binary(gray)
+        deskewed, binary, _ = engine.best_deskew(gray)
     tables = detection.detect_tables(binary)
     if not tables:
         out = run_segmentado(gray, _pre=(deskewed, binary, tables))
@@ -125,16 +125,22 @@ def run_documento_completo(gray: np.ndarray, optimizar_para: str = "auto") -> di
     fallback); else plain preprocessing path."""
     gray = enhance.cap_max_dimension(gray, MAX_DIMENSION_DOCUMENTO)
     gray = enhance.area_budget_resize(gray, MAX_SIZE_MB_DOCUMENTO)
-    deskewed, binary, _ = enhance.deskew_binary(gray)
+    deskewed, binary, words = engine.best_deskew(gray)
     num_horizontal = detection.count_horizontal_lines(binary)
     if num_horizontal > TABLE_ROUTE_MIN_HLINES or optimizar_para == "tablas":
         out = run_tabla(deskewed, _pre=(deskewed, binary))
         out["num_horizontal"] = num_horizontal
         return out
-    out = engine.ocr_image_stats(deskewed, binary=binary)
-    out["route"] = "texto"
-    out["num_horizontal"] = num_horizontal
-    return out
+    # texto route: reuse the validated extraction directly
+    text = "\n".join(ln["text"] for ln in engine.group_words_into_lines(words))
+    mean_conf = round(float(sum(w["conf"] for w in words) / len(words)), 2) if words else 0.0
+    return {
+        "text": text,
+        "n_words": len(words),
+        "mean_conf": mean_conf,
+        "route": "texto",
+        "num_horizontal": num_horizontal,
+    }
 
 
 def run_checkboxes(gray: np.ndarray) -> dict:
@@ -142,9 +148,8 @@ def run_checkboxes(gray: np.ndarray) -> dict:
     separate full-text pass (/root/reference/main.py:1155-1303; the reference
     OCRs the same image twice with different PSM — here one engine pass feeds
     both, SURVEY.md §3.2)."""
-    deskewed, binary, _ = enhance.deskew_binary(gray)
+    deskewed, binary, words = engine.best_deskew(gray)
     checkboxes = cbk.detect_checkboxes(binary)
-    words = engine.get_text_data(deskewed, binary=binary)
     clear_words = [
         w for w in words
         if not any(_bbox_overlaps(w["bbox"], cb["bbox"]) for cb in checkboxes)
