@@ -95,9 +95,19 @@ def _apply_skew(img: np.ndarray, deg: float) -> np.ndarray:
     return out
 
 
+NOISE_DENSITY = 0.15  # fraction of pixels perturbed (speckle model)
+
+
 def _apply_noise(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Sub-threshold speckle: NOISE_DENSITY of pixels shift by up to
+    ±NOISE_AMPLITUDE gray levels (classic scan speckle — and, unlike dense
+    uniform noise, it stays PNG-compressible, which matters when millions of
+    these flow through shuffles)."""
+    mask = rng.random(img.shape) < NOISE_DENSITY
     noise = rng.integers(-NOISE_AMPLITUDE, NOISE_AMPLITUDE + 1, size=img.shape)
-    return np.clip(img.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+    out = img.astype(np.int32)
+    out[mask] += noise[mask]
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def _apply_shadow(img: np.ndarray) -> np.ndarray:
