@@ -49,8 +49,10 @@ def _make_ocr_udf(mode: str):
             rows = {k: [] for k in (
                 "doc_id", "offset", "media_ref", "ocr_text", "route",
                 "n_words", "mean_conf", "ocr_ms", "partition_id")}
+            # plain-list iteration: pandas Series item access is the slow path
             for doc_id, offset, media_ref, data in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["bytes"]
+                pdf["doc_id"].tolist(), pdf["offset"].tolist(),
+                pdf["media_ref"].tolist(), pdf["bytes"].tolist(),
             ):
                 t0 = time.perf_counter()
                 try:

@@ -114,14 +114,16 @@ def _render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if with_span:
             cols = ("doc_id", "offset") + cols
         out = {k: [] for k in cols}
+        doc_ids = pdf["doc_id"].tolist() if with_span else None
         for i, (doc_num, offset, chunk, media_ref) in enumerate(zip(
-            pdf["doc_num"], pdf["offset"], pdf["chunk"], pdf["media_ref"]
+            pdf["doc_num"].tolist(), pdf["offset"].tolist(),
+            pdf["chunk"].tolist(), pdf["media_ref"].tolist(),
         )):
             scenario = SCENARIOS[(int(doc_num) * SCENARIO_MULT + int(offset)) % len(SCENARIOS)]
             seed = int(doc_num) * RENDER_SEED_MULT + int(offset)
             img = render_text_image(str(chunk), scenario, seed=seed)
             if with_span:
-                out["doc_id"].append(pdf["doc_id"].iloc[i])
+                out["doc_id"].append(doc_ids[i])
                 out["offset"].append(int(offset))
             out["media_ref"].append(media_ref)
             out["bytes"].append(png_codec.encode_gray(img))
