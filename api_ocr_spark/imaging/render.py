@@ -117,15 +117,19 @@ def _apply_shadow(img: np.ndarray) -> np.ndarray:
 
 
 def _apply_rules(img: np.ndarray) -> np.ndarray:
-    """Full-width horizontal rules in the inter-line gaps (+ extras below)."""
+    """Full-width horizontal rules in the inter-line gaps (+ extras below).
+    Padding rules are packed at a tight pitch (rule + 5px gap) — they only
+    need to count as distinct rules for the table-route census, and a tight
+    pack keeps ruled pages from ballooning to several times the text height."""
     h, w = img.shape
     ys = list(range(MARGIN + LINE_H - RULE_THICKNESS - 1, h - RULE_THICKNESS, LINE_H))
     extra_needed = max(0, MIN_RULES - len(ys))
     if extra_needed:
-        pad = np.full((extra_needed * LINE_H, w), BG, dtype=np.uint8)
+        pitch = RULE_THICKNESS + 5
+        pad = np.full((extra_needed * pitch + 8, w), BG, dtype=np.uint8)
         img = np.vstack([img, pad])
-        base = h - RULE_THICKNESS - 1
-        ys += [base + (i + 1) * LINE_H for i in range(extra_needed)]
+        base = h + 4
+        ys += [base + i * pitch for i in range(extra_needed)]
         h = img.shape[0]
     img = img.copy()
     for y in ys:

@@ -62,6 +62,13 @@ def run_segmentado(
         gray = enhance.cap_max_dimension(gray, MAX_DIMENSION_SEGMENTADO)
         deskewed, binary, _ = engine.best_deskew(gray)
         tables_pre = None
+    # mask full-width ruling before region proposal: ruling would otherwise
+    # dilate into large empty regions that each pay an OCR call and then emit
+    # nothing (the engine drops rule rows anyway — output is identical)
+    rr = detection.rule_rows(binary)
+    if rr.any():
+        binary = binary.copy()
+        binary[rr, :] = 0
     regions = detection.segment_regions(binary)
     # keep innermost regions: a bbox that fully contains another region is a
     # frame/envelope (e.g. a table border ring) — OCRing it would re-read the
