@@ -203,46 +203,78 @@ FROM documents
 
 
 def q_checkbox_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkbox pipeline end-to-end, oracle-checked: deterministic forms are
-    rendered from document words with rule-derived marked states, then the
-    full detect→OCR→associate→QA flow recovers labels and states."""
+    """Checkbox pipeline end-to-end, oracle-checked with fixtures that
+    DISCRIMINATE the reference association formula
+    (/root/reference/ocr/association.py:20-51,66-99,139-166):
+      - rows 1-2: square/circle with rule-derived marked states, one
+        proximity group each (gaps >= 50);
+      - rows 3-5: a radio triple (gaps 32 < umbral 50) with TWO marked boxes
+        of different detection confidence (mark insets 5 vs 6 → 64 vs 36) —
+        the max-confidence one stays marcado and BOTH other members (the
+        unmarked one included) come back corregido_por_grupo, the
+        reference's `if cb != mejor` quirk;
+      - row 6: a far label at label_dx=140 (center distance ~140-190 px) —
+        associated only under the reference's soft max(0,100-dist/2) decay,
+        lost under a hard 100 px cutoff;
+      - row 7: an '(b)'-style inciso (aspect>1.5, area<500, PSM-8 OCR,
+        regex ^\\([a-zA-Z0-9]\\)$), never marked;
+      - a second orphan-only form (one checkbox, zero text) that must emit
+        NOTHING: the reference drops checkboxes with empty associated text.
+    """
     import pandas as pd
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id", "text")
 
     def gen(batches):
-        from api_ocr_spark.imaging.render import render_checkbox_form
+        from api_ocr_spark.imaging.render import render_form
         from api_ocr_spark.kernels import checkbox as cbk
         from api_ocr_spark.kernels import enhance
         from api_ocr_spark.ocr import association, engine
         from api_ocr_spark.operators.modes import _bbox_overlaps
 
+        def qa_of(img):
+            binary = enhance.binarize_otsu(img)
+            cbs = cbk.detect_checkboxes(binary)
+            wds = [
+                w for w in engine.get_text_data(img, preprocess=False)
+                if not any(_bbox_overlaps(w["bbox"], c["bbox"]) for c in cbs)
+            ]
+            return association.build_question_answer_pairs(
+                cbs, engine.group_words_into_lines(wds))
+
         for pdf in batches:
-            out = {"doc_id": [], "pregunta": [], "respuesta": [], "tipo": []}
+            out = {"doc_id": [], "pregunta": [], "respuesta": [], "tipo": [],
+                   "corregido": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = str(text).split()
-                qs = [
-                    (words[0][:8], int(doc_id) % 2 == 0, "square"),
-                    (words[1][:8], int(doc_id) % 3 == 0, "circle"),
+                d = int(doc_id)
+                ws = [w[:8] for w in str(text).split()]
+                rows = [
+                    {"label": ws[0], "marked": d % 2 == 0, "kind": "square", "y": 0},
+                    {"label": ws[1], "marked": d % 3 == 0, "kind": "circle", "y": 56},
+                    {"label": ws[2], "marked": True, "kind": "square", "y": 160},
+                    {"label": ws[3], "marked": False, "kind": "square", "y": 192},
+                    {"label": ws[4], "marked": True, "kind": "square", "y": 224,
+                     "mark_inset": 6},
+                    {"label": ws[5], "marked": d % 5 == 0, "kind": "square",
+                     "y": 340, "label_dx": 140},
+                    {"label": ws[6], "marked": False, "kind": "inciso", "y": 408,
+                     "inciso_char": "b"},
                 ]
-                img, _ = render_checkbox_form(qs, seed=int(doc_id))
-                binary = enhance.binarize_otsu(img)
-                cbs = cbk.detect_checkboxes(binary)
-                wds = [
-                    w for w in engine.get_text_data(img, preprocess=False)
-                    if not any(_bbox_overlaps(w["bbox"], c["bbox"]) for c in cbs)
-                ]
-                qa = association.build_question_answer_pairs(
-                    cbs, engine.group_words_into_lines(wds))
-                for p in qa:
-                    out["doc_id"].append(int(doc_id))
+                img, _ = render_form(rows)
+                orphan_img, _ = render_form(
+                    [{"label": None, "marked": False, "kind": "square", "y": 0}])
+                for p in qa_of(img) + qa_of(orphan_img):
+                    out["doc_id"].append(d)
                     out["pregunta"].append(p["pregunta"])
                     out["respuesta"].append(p["respuesta"])
                     out["tipo"].append(p["tipo"])
+                    out["corregido"].append(bool(p["corregido_por_grupo"]))
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
-        gen, schema="doc_id long, pregunta string, respuesta string, tipo string"
+        gen,
+        schema="doc_id long, pregunta string, respuesta string, tipo string, "
+               "corregido boolean",
     )
 
 
@@ -250,13 +282,26 @@ ORACLE_CHECKBOX_QA = """
 WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents WHERE doc_id < 60)
 SELECT doc_id, lower(substr(ws[1], 1, 8)) AS pregunta,
        CASE WHEN doc_id % 2 = 0 THEN 'marcado' ELSE 'no marcado' END AS respuesta,
-       'square' AS tipo
+       'square' AS tipo, false AS corregido
 FROM w
 UNION ALL
-SELECT doc_id, lower(substr(ws[2], 1, 8)) AS pregunta,
-       CASE WHEN doc_id % 3 = 0 THEN 'marcado' ELSE 'no marcado' END AS respuesta,
-       'circle' AS tipo
+SELECT doc_id, lower(substr(ws[2], 1, 8)),
+       CASE WHEN doc_id % 3 = 0 THEN 'marcado' ELSE 'no marcado' END,
+       'circle', false
 FROM w
+UNION ALL  -- radio triple: highest-confidence marked box wins ...
+SELECT doc_id, lower(substr(ws[3], 1, 8)), 'marcado', 'square', false FROM w
+UNION ALL  -- ... every other group member is corregido, the unmarked one too
+SELECT doc_id, lower(substr(ws[4], 1, 8)), 'no marcado', 'square', true FROM w
+UNION ALL
+SELECT doc_id, lower(substr(ws[5], 1, 8)), 'no marcado', 'square', true FROM w
+UNION ALL  -- far label: associated only under soft distance decay
+SELECT doc_id, lower(substr(ws[6], 1, 8)),
+       CASE WHEN doc_id % 5 = 0 THEN 'marcado' ELSE 'no marcado' END,
+       'square', false
+FROM w
+UNION ALL  -- inciso row (the orphan-only form contributes zero rows)
+SELECT doc_id, lower(substr(ws[7], 1, 8)), 'no marcado', 'inciso', false FROM w
 """
 
 

@@ -184,55 +184,117 @@ def render_text_image(text: str, scenario: str = "plain", seed: int = 0) -> np.n
 CHECKBOX_SIZE = 18  # px, square side / circle diameter
 
 
-def render_checkbox_form(
-    questions: list[tuple[str, bool, str]], seed: int = 0, row_pitch: int = 48
-) -> tuple[np.ndarray, list[dict]]:
-    """Render a form of (label, marked, kind) rows; kind ∈ {square, circle}.
-    The label sits to the right of its checkbox on the same row (keeps the
-    line center inside the reference's 100 px association radius,
-    /root/reference/ocr/association.py:30-32; labels should be <= 8 chars).
-    `row_pitch` < 30 puts rows in one proximity group (radio-group fixtures,
-    association.py:66-99); >= 30 keeps one group per row.
+DEFAULT_LABEL_DX = CHECKBOX_SIZE + 20  # >= WORD_GAP_PX: ring never merges into the label word
 
-    Returns (image, layout) where layout carries ground-truth checkbox bboxes
-    and marked states for association fixtures (FIXTURES.md §5).
+
+def render_form(rows: list[dict], pad_h: int = 48) -> tuple[np.ndarray, list[dict]]:
+    """General checkbox-form renderer for association fixtures (FIXTURES.md §5).
+
+    Each row dict: {label: str|None, marked: bool, kind: 'square'|'circle'|
+    'inciso', y: int (row offset below MARGIN), label_dx: int (label x offset
+    from the checkbox's left edge; default DEFAULT_LABEL_DX — large values
+    build far-label fixtures that discriminate the reference's soft distance
+    decay, /root/reference/ocr/association.py:33-36), mark_inset: int
+    (mark-fill inset; larger inset → smaller fill → lower detection
+    confidence, for radio-correction fixtures), inciso_char: str}.
+
+    'inciso' rows render '(c)'-style lettered options: the three glyphs plus
+    a 1-px connector baseline spanning their exact ink width, so the trio is
+    ONE connected component — the elongated small-area shape the reference's
+    inciso gate detects (/root/reference/preprocessing/checkbox.py:100-121).
+    label=None renders an orphan checkbox (no text anywhere on its row).
+
+    Returns (image, layout) with ground-truth bboxes and marked states.
     """
-    width_chars = max(len(q[0]) for q in questions) if questions else 1
-    w = 2 * MARGIN + CHECKBOX_SIZE + 20 + width_chars * CELL_W + CELL_W
-    h = 2 * MARGIN + len(questions) * row_pitch
+    s = CHECKBOX_SIZE
+
+    def _label_dx(r):
+        dx = r.get("label_dx")
+        if dx is not None:
+            return dx
+        return (2 * s + 22) if r["kind"] == "inciso" else DEFAULT_LABEL_DX
+
+    w = 2 * MARGIN + max(
+        (_label_dx(r) + len(r["label"] or "") * CELL_W for r in rows), default=1
+    ) + CELL_W
+    h = 2 * MARGIN + max((r["y"] for r in rows), default=0) + pad_h
     img = np.full((h, w), BG, dtype=np.uint8)
     layout = []
-    for i, (label, marked, kind) in enumerate(questions):
-        cy = MARGIN + i * row_pitch
+    for r in rows:
+        kind = r["kind"]
+        label = r.get("label")
+        marked = bool(r.get("marked", False))
+        cy = MARGIN + r["y"]
         cx = MARGIN
-        s = CHECKBOX_SIZE
-        y_label = cy + (s - GLYPH_H_PX) // 2
-        x_label = cx + s + 20  # >= WORD_GAP_PX so the ring never merges into the label word
-        for ci, ch in enumerate(label.lower()):
-            if ch == " " or ch not in CHARSET:
-                continue
-            g = scaled_glyph(ch)
-            x0 = x_label + ci * CELL_W
-            img[y_label : y_label + g.shape[0], x0 : x0 + g.shape[1]][g] = INK
+        y_label = cy if kind == "inciso" else cy + (s - GLYPH_H_PX) // 2
+        x_label = cx + _label_dx(r)
+        if label:
+            for ci, ch in enumerate(label.lower()):
+                if ch == " " or ch not in CHARSET:
+                    continue
+                g = scaled_glyph(ch)
+                x0 = x_label + ci * CELL_W
+                img[y_label : y_label + g.shape[0], x0 : x0 + g.shape[1]][g] = INK
         if kind == "square":
             img[cy : cy + 2, cx : cx + s] = INK
             img[cy + s - 2 : cy + s, cx : cx + s] = INK
             img[cy : cy + s, cx : cx + 2] = INK
             img[cy : cy + s, cx + s - 2 : cx + s] = INK
-        else:  # circle
+        elif kind == "circle":
             yy, xx = np.mgrid[0:s, 0:s]
-            r = (s - 2) / 2
+            rr = (s - 2) / 2
             d = np.sqrt((yy - s / 2 + 0.5) ** 2 + (xx - s / 2 + 0.5) ** 2)
-            ring = (d <= r) & (d >= r - 2)
+            ring = (d <= rr) & (d >= rr - 2)
             img[cy : cy + s, cx : cx + s][ring] = INK
+        elif kind == "inciso":
+            ch = r.get("inciso_char", "a")
+            x0_min, x1_max = None, None
+            for ci, gch in enumerate(("(", ch, ")")):
+                g = scaled_glyph(gch)
+                cols = np.nonzero(g.any(axis=0))[0]
+                x0 = cx + ci * CELL_W
+                img[cy : cy + g.shape[0], x0 : x0 + g.shape[1]][g] = INK
+                lo, hi = x0 + int(cols.min()), x0 + int(cols.max()) + 1
+                x0_min = lo if x0_min is None else min(x0_min, lo)
+                x1_max = hi if x1_max is None else max(x1_max, hi)
+            # connector baseline: makes '(c)' one component and is a
+            # full-width rule within the component bbox, so the engine's
+            # rule_rows masking strips it before glyph matching
+            img[cy + GLYPH_H_PX, x0_min:x1_max] = INK
+            layout.append(
+                {"bbox": (x0_min, cy, x1_max - x0_min, GLYPH_H_PX + 1),
+                 "kind": kind, "marked": False, "label": label,
+                 "inciso_text": f"({ch})",
+                 "label_bbox": (x_label, y_label, len(label or "") * CELL_W, GLYPH_H_PX)}
+            )
+            continue
+        else:
+            raise ValueError(f"unknown checkbox kind {kind!r}")
         if marked:
-            m0 = 5
+            m0 = int(r.get("mark_inset", 5))
             img[cy + m0 : cy + s - m0, cx + m0 : cx + s - m0] = INK
         # ground truth records the tight ink bbox (circle rings inscribe the
         # cell, so their ink bbox is (s-2)x(s-2) at +1,+1)
         ink_bbox = (cx, cy, s, s) if kind == "square" else (cx + 1, cy + 1, s - 2, s - 2)
         layout.append(
             {"bbox": ink_bbox, "kind": kind, "marked": marked, "label": label,
-             "label_bbox": (x_label, y_label, len(label) * CELL_W, GLYPH_H_PX)}
+             "label_bbox": (x_label, y_label, len(label or "") * CELL_W, GLYPH_H_PX)}
         )
     return img, layout
+
+
+def render_checkbox_form(
+    questions: list[tuple[str, bool, str]], seed: int = 0, row_pitch: int = 48
+) -> tuple[np.ndarray, list[dict]]:
+    """Render a form of (label, marked, kind) rows; kind ∈ {square, circle}.
+    The label sits to the right of its checkbox on the same row.
+    `row_pitch` < 50 puts consecutive rows in one proximity group
+    (radio-group fixtures, /root/reference/ocr/association.py:66-99 with
+    umbral_vertical=50); >= 50 keeps one group per row.
+
+    Thin wrapper over :func:`render_form` (geometry unchanged)."""
+    rows = [
+        {"label": label, "marked": marked, "kind": kind, "y": i * row_pitch}
+        for i, (label, marked, kind) in enumerate(questions)
+    ]
+    return render_form(rows, pad_h=row_pitch)

@@ -216,11 +216,13 @@ def rule_rows(binary: np.ndarray, min_frac: float = 0.85) -> np.ndarray:
     return mask
 
 
-def rule_cols(ink: np.ndarray, min_frac: float = 0.85) -> np.ndarray:
+def rule_cols(ink: np.ndarray, min_frac: float = 0.85, min_px: int = 24) -> np.ndarray:
     """Boolean column mask for full-height vertical rules (table borders).
-    Same candidate-pruning strategy as rule_rows."""
+    Same candidate-pruning strategy as rule_rows. `min_px` (~2 glyph
+    heights) keeps letter stems from reading as rules on small ROIs — a
+    real table border spans multiple text lines; a stem is one glyph tall."""
     h, w = ink.shape
-    need = min_frac * h
+    need = max(min_frac * h, float(min_px))
     counts = ink.sum(axis=0)
     mask = np.zeros(w, dtype=bool)
     for x in np.nonzero(counts >= need)[0]:

@@ -74,22 +74,55 @@ def test_multiline_reading_order():
 def test_score_association_reference_formula():
     cb = {"bbox": (0, 0, 20, 20)}  # center (10,10)
     line = {"text": "x", "bbox": (40, 0, 20, 20), "conf": 80.0}  # center (50,10)
-    # dist=40 → 60; alignment |10-10|<20 → +50; text right → +20;
-    # font min(30,10)=10; conf/2=40 → total 180 → /2.6 = 69.23
+    # dist=40 → max(0,100-20)=80; alignment |y_t-y_cb|=0<20 → +50; text fully
+    # right (x_t=40 > x_cb+w_cb=20) → +20; font min(30,10)=10; conf/2=40
+    # → total 200 → /2.6 (reference ocr/association.py:28-51)
     s = association.score_association(cb, line)
-    assert abs(s - 180 / 2.6) < 1e-9
+    assert abs(s - 200 / 2.6) < 1e-9
 
 
-def test_score_association_out_of_radius():
+def test_score_association_soft_distance_decay():
+    # no hard radius: a 300-px-away line still scores via the other terms
     cb = {"bbox": (0, 0, 10, 10)}
-    line = {"text": "x", "bbox": (500, 0, 10, 10), "conf": 99.0}
-    assert association.score_association(cb, line) == 0.0
+    line = {"text": "x", "bbox": (300, 0, 10, 10), "conf": 99.0}
+    # dist=300 → max(0,100-150)=0; align +50; right +20; font 5; conf 49.5
+    assert abs(association.score_association(cb, line) - 124.5 / 2.6) < 1e-9
+
+
+def test_score_association_conf_defaults_to_70():
+    cb = {"bbox": (0, 0, 20, 20)}
+    no_conf = {"text": "x", "bbox": (40, 0, 20, 20)}
+    with_70 = {"text": "x", "bbox": (40, 0, 20, 20), "conf": 70.0}
+    assert association.score_association(cb, no_conf) == association.score_association(
+        cb, with_70
+    )
+
+
+def test_score_association_edge_based_position():
+    cb = {"bbox": (100, 0, 20, 20)}
+    # straddles the checkbox's left edge (ends inside it): overlap → +10,
+    # even though its center is left of the checkbox center
+    straddle = {"text": "x", "bbox": (60, 0, 50, 20), "conf": 80.0}
+    # fully left: ends before the checkbox starts → +30
+    fully_left = {"text": "x", "bbox": (49, 0, 50, 20), "conf": 80.0}
+    s1 = association.score_association(cb, straddle)
+    s2 = association.score_association(cb, fully_left)
+    # dist terms: straddle center (85,10) d=25 → 87.5; left center (74,10)
+    # d=36 → 82; position difference (+10 vs +30) must dominate
+    assert abs(s1 - (87.5 + 50 + 10 + 10 + 40) / 2.6) < 1e-9
+    assert abs(s2 - (82.0 + 50 + 30 + 10 + 40) / 2.6) < 1e-9
+    assert s2 > s1
 
 
 def test_group_by_proximity_session_gap():
     cbs = [{"bbox": (0, y, 10, 10)} for y in (0, 10, 60, 65, 130)]
     groups = association.group_by_proximity(cbs, gap_threshold=30)
     assert [len(g) for g in groups] == [2, 2, 1]
+    # reference default umbral_vertical = 50 (association.py:67): a 40-px
+    # gap stays grouped at the default, splits at threshold 30
+    cbs2 = [{"bbox": (0, y, 10, 10)} for y in (0, 40, 130)]
+    assert [len(g) for g in association.group_by_proximity(cbs2)] == [2, 1]
+    assert [len(g) for g in association.group_by_proximity(cbs2, gap_threshold=30)] == [1, 1, 1]
 
 
 def test_radio_group_correction_keeps_max_conf():
@@ -98,9 +131,25 @@ def test_radio_group_correction_keeps_max_conf():
         {"bbox": (0, 12, 10, 10), "marked": True, "confidence": 70.0, "tipo": "circle"},
         {"bbox": (0, 24, 10, 10), "marked": False, "confidence": 0.0, "tipo": "circle"},
     ]
-    out = association.correct_radio_groups([g])
-    assert [cb["marked"] for cb in out] == [False, True, False]
-    assert out[0].get("corregido_por_grupo") is True
+    association.correct_radio_groups([g])
+    assert [cb["marked"] for cb in g] == [False, True, False]
+    # the reference's `if cb != mejor` flags EVERY non-best member,
+    # the never-marked one included (association.py:144-148)
+    assert g[0].get("corregido") is True
+    assert g[1].get("corregido") is None
+    assert g[2].get("corregido") is True
+
+
+def test_qa_pairs_drop_empty_text_and_average_confianza():
+    cbs = [{"bbox": (0, 0, 20, 20), "marked": True, "confidence": 60.0, "tipo": "square"}]
+    # no text lines at all → associated text '' → pair dropped (ref :150-155)
+    assert association.build_question_answer_pairs(cbs, []) == []
+    line = {"text": "si", "bbox": (40, 0, 20, 20), "conf": 80.0}
+    qa = association.build_question_answer_pairs(cbs, [line])
+    assert len(qa) == 1
+    # confianza = (detection confidence + association confidence) / 2
+    assoc = association.score_association(cbs[0], line)
+    assert abs(qa[0]["confianza"] - (60.0 + assoc) / 2) < 1e-9
 
 
 def _overlaps(a, b):
@@ -131,6 +180,61 @@ def test_radio_form_correction_end_to_end():
     qa = association.build_question_answer_pairs(cbs, engine.group_words_into_lines(words))
     assert sum(p["respuesta"] == "marcado" for p in qa) == 1
     assert any(p["corregido_por_grupo"] for p in qa)
+
+
+def test_inciso_detection_end_to_end():
+    img, layout = render.render_form(
+        [{"label": "opcion", "marked": False, "kind": "inciso", "y": 0,
+          "inciso_char": "d"}])
+    b = enhance.binarize_otsu(img)
+    cbs = cbk.detect_checkboxes(b)
+    incisos = [c for c in cbs if c["tipo"] == "inciso"]
+    assert len(incisos) == 1
+    assert incisos[0]["text"] == "(d)"
+    assert incisos[0]["marked"] is False
+    assert incisos[0]["confidence"] == 100.0
+    words = [w for w in engine.get_text_data(img)
+             if not any(_overlaps(w["bbox"], c["bbox"]) for c in cbs)]
+    qa = association.build_question_answer_pairs(cbs, engine.group_words_into_lines(words))
+    got = [(p["pregunta"], p["respuesta"], p["tipo"]) for p in qa
+           if p["tipo"] == "inciso"]
+    assert got == [("opcion", "no marcado", "inciso")]
+
+
+def test_inciso_rejects_non_pattern_components():
+    # a lone elongated dash-like strip passes the aspect/area gate but its
+    # OCR does not match ^\([a-zA-Z0-9]\)$ → not an inciso
+    import numpy as np
+    img = np.full((40, 80), 230, dtype=np.uint8)
+    img[18:21, 10:60] = 30
+    cbs = cbk.detect_checkboxes(enhance.binarize_otsu(img))
+    assert cbs == []
+
+
+def test_far_label_associates_via_soft_decay():
+    # label center ~145-190 px away: inside the reference's soft decay
+    # reach, outside any hard 100-px cutoff
+    img, _ = render.render_form(
+        [{"label": "lejos", "marked": True, "kind": "square", "y": 0,
+          "label_dx": 140}])
+    b = enhance.binarize_otsu(img)
+    cbs = cbk.detect_checkboxes(b)
+    words = [w for w in engine.get_text_data(img)
+             if not any(_overlaps(w["bbox"], c["bbox"]) for c in cbs)]
+    qa = association.build_question_answer_pairs(cbs, engine.group_words_into_lines(words))
+    assert [(p["pregunta"], p["respuesta"]) for p in qa] == [("lejos", "marcado")]
+
+
+def test_orphan_checkbox_emits_no_pair():
+    img, _ = render.render_form(
+        [{"label": None, "marked": True, "kind": "square", "y": 0}])
+    b = enhance.binarize_otsu(img)
+    cbs = cbk.detect_checkboxes(b)
+    assert len(cbs) == 1
+    words = [w for w in engine.get_text_data(img)
+             if not any(_overlaps(w["bbox"], c["bbox"]) for c in cbs)]
+    qa = association.build_question_answer_pairs(cbs, engine.group_words_into_lines(words))
+    assert qa == []
 
 
 # ----------------------------------------------------------- postprocess
