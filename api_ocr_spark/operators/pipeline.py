@@ -2,11 +2,13 @@
 
   documents → flat spans → media join → salted repartition →
   mapInPandas(decode → route → preprocess → OCR) →
-  union passthrough text spans → offset-ordered reassembly.
+  union passthrough text spans → offset-ordered two-level reassembly.
 
-Exactly one shuffle beyond the media join: the reassembly groupBy. The OCR
-stage streams Arrow batches (generator mapInPandas — a partition is never
-materialized), mirroring the reference's memory hygiene
+Beyond the media join, the only shuffles are the reassembly's two grouped
+exchanges — level 1 on (doc_id, salt) with map-side partial aggregation,
+level 2 on doc_id over already-collapsed partial arrays (skew-proof by
+construction). The OCR stage streams Arrow batches (generator mapInPandas —
+a partition is never materialized), mirroring the reference's memory hygiene
 (/root/reference/main.py:207-209 del/gc) as bounded batch sizes.
 """
 
@@ -28,6 +30,22 @@ OCR_SCHEMA = StructType(
         StructField("offset", IntegerType()),
         StructField("media_ref", StringType()),
         StructField("ocr_text", StringType()),
+        StructField("route", StringType()),
+        StructField("n_words", IntegerType()),
+        StructField("mean_conf", DoubleType()),
+        StructField("ocr_ms", DoubleType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+# unified span stage output: OCR'd media rows AND passthrough text rows
+SPAN_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("offset", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("text", StringType()),
         StructField("route", StringType()),
         StructField("n_words", IntegerType()),
         StructField("mean_conf", DoubleType()),
@@ -79,6 +97,68 @@ def _make_ocr_udf(mode: str):
     return ocr_batches
 
 
+def _make_span_udf(mode: str):
+    """Unified span stage (the fused synthetic path): media rows are
+    rendered → PNG-encoded → decoded → OCR'd inside ONE Python worker (the
+    byte round trip keeps the work equivalent to a real media store read,
+    but the PNG bytes never cross an Arrow boundary); text rows pass
+    through untouched."""
+
+    def span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ..config import RENDER_SEED_MULT, SCENARIO_MULT
+        from ..imaging import png as png_codec
+        from ..imaging.render import SCENARIOS, render_text_image
+        from . import modes as mode_lib
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        cols = ("doc_id", "offset", "kind", "media_ref", "text", "route",
+                "n_words", "mean_conf", "ocr_ms", "partition_id")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, doc_num, offset, kind, chunk, media_ref in zip(
+                pdf["doc_id"].tolist(), pdf["doc_num"].tolist(),
+                pdf["offset"].tolist(), pdf["kind"].tolist(),
+                pdf["chunk"].tolist(), pdf["media_ref"].tolist(),
+            ):
+                if kind != "media":
+                    text, route = str(chunk), "text"
+                    n_words, mean_conf, ocr_ms = len(text.split()), 0.0, 0.0
+                else:
+                    t0 = time.perf_counter()
+                    try:
+                        scenario = SCENARIOS[
+                            (int(doc_num) * SCENARIO_MULT + int(offset)) % len(SCENARIOS)
+                        ]
+                        seed = int(doc_num) * RENDER_SEED_MULT + int(offset)
+                        img = render_text_image(str(chunk), scenario, seed=seed)
+                        data = png_codec.encode_gray(img)
+                        gray = png_codec.decode_gray(data)
+                        result = mode_lib.run_mode(gray, mode)
+                        text = result.get("text", "")
+                        route = result.get("route", mode)
+                        n_words = len(text.split())
+                        mean_conf = round(float(result.get("mean_conf", 0.0)), 2)
+                    except Exception as exc:  # noqa: BLE001 — error rows, never task failures
+                        text, route = "", f"error:{type(exc).__name__}"
+                        n_words, mean_conf = 0, 0.0
+                    ocr_ms = round((time.perf_counter() - t0) * 1e3, 3)
+                rows["doc_id"].append(doc_id)
+                rows["offset"].append(int(offset))
+                rows["kind"].append(kind)
+                rows["media_ref"].append(media_ref)
+                rows["text"].append(text)
+                rows["route"].append(route)
+                rows["n_words"].append(n_words)
+                rows["mean_conf"].append(mean_conf)
+                rows["ocr_ms"].append(ocr_ms)
+                rows["partition_id"].append(pid)
+            yield pd.DataFrame(rows)
+
+    return span_batches
+
+
 def ocr_media_spans(
     media_spans: DataFrame,
     media: DataFrame,
@@ -114,19 +194,26 @@ def _norm(col):
 
 
 def reassemble_two_level(flat: DataFrame, ocr_out: DataFrame, salt_buckets: int = 16) -> DataFrame:
-    """Skew-proof reassembly (SURVEY.md §4.3.1): a media-heavy document's
-    collect_list can overload one reducer. Level 1 partially collects per
-    (doc_id, salt) — a heavy doc spreads over `salt_buckets` reducers; level
-    2 flattens the partial arrays and sorts once. Output is identical to
-    :func:`reassemble` (asserted in tests); use when span-count skew is
-    extreme (e.g. 500-media documents)."""
+    """Skew-proof reassembly (SURVEY.md §4.3.1) — the DEFAULT for
+    extract_documents/extract_from_spans: a media-heavy document's
+    collect_list would land on ONE reducer (an aggregation key AQE cannot
+    split). Level 1 partially collects per (doc_id, salt) — a heavy doc
+    spreads over `salt_buckets` reducers; level 2 flattens the (already
+    ~salt_buckets× smaller) partial arrays and sorts once. Output is
+    identical to :func:`reassemble` (asserted in tests)."""
     text_rows = flat.filter(F.col("kind") == "text").select(
         "doc_id", "offset", F.lit("text").alias("kind"),
         F.col("chunk").alias("text"), F.col("media_ref"))
     media_rows = ocr_out.select(
         "doc_id", "offset", F.lit("media").alias("kind"),
         _norm(F.col("ocr_text")).alias("text"), F.col("media_ref"))
-    unioned = text_rows.unionByName(media_rows).withColumn(
+    return _two_level_agg(text_rows.unionByName(media_rows), salt_buckets)
+
+
+def _two_level_agg(unioned: DataFrame, salt_buckets: int) -> DataFrame:
+    """Salted two-level collect_list over (doc_id, offset, kind, text,
+    media_ref) rows → (doc_id, spans, extracted_text)."""
+    unioned = unioned.withColumn(
         "salt", F.pmod(F.xxhash64("offset"), F.lit(salt_buckets)))
     partial = unioned.groupBy("doc_id", "salt").agg(
         F.collect_list(F.struct("offset", "kind", "text", "media_ref")).alias("part"))
@@ -141,6 +228,19 @@ def reassemble_two_level(flat: DataFrame, ocr_out: DataFrame, salt_buckets: int 
         spans.alias("spans"),
         F.concat_ws(" ", F.transform(ordered, lambda s: s.text)).alias("extracted_text"),
     )
+
+
+def reassemble_unified(span_out: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Two-level reassembly directly over the unified span stage's output
+    (no union: text and media rows already share one stream). Media text is
+    whitespace-normalized JVM-side, text rows pass through verbatim."""
+    rows = span_out.select(
+        "doc_id", "offset", "kind",
+        F.when(F.col("kind") == "media", _norm(F.col("text")))
+         .otherwise(F.col("text")).alias("text"),
+        "media_ref",
+    )
+    return _two_level_agg(rows, salt_buckets)
 
 
 def reassemble(flat: DataFrame, ocr_out: DataFrame) -> DataFrame:
@@ -183,23 +283,29 @@ def extract_documents(
     salt_partitions: int | None = None,
 ) -> DataFrame:
     """End-to-end: documents(doc_id, text) → interleaved spans → media render
-    (if no media table given) → OCR → reassembled spans + extracted_text."""
-    from ..sources.interleave import build_media_spans, flat_spans
+    (if no media table given) → OCR → reassembled spans + extracted_text.
+
+    Single-scan fused path (media=None): ALL spans — text and media — flow
+    through one stage chain: scan → repartition(doc_id) for parallel
+    chunking → span-spread repartition on xxhash64(doc_id, offset) (a
+    media-heavy document spreads over every task slot) → one Arrow UDF that
+    renders+encodes+decodes+OCRs media rows and passes text rows through →
+    two-level reassembly. The source table is scanned ONCE, there is no
+    branch union, and PNG bytes never cross an Arrow boundary (verified in
+    PLANS.md — at 100 TB the second full-table scan of the old two-branch
+    plan is the dominant saving)."""
+    from ..sources.interleave import flat_spans
 
     flat = flat_spans(documents)
     if media is None:
-        # fused path: the renderer emits (doc_id, offset, media_ref, bytes)
-        # already salt-partitioned by xxhash64(media_ref) — the OCR stage
-        # consumes it directly with NO further exchange (PNG bytes cross the
-        # wire zero times beyond the render shuffle)
-        rendered = build_media_spans(documents, partitions=salt_partitions)
-        ocr_out = rendered.select("doc_id", "offset", "media_ref", "bytes").mapInPandas(
-            _make_ocr_udf(mode), schema=OCR_SCHEMA
-        )
-    else:
-        media_spans = flat.filter(F.col("kind") == "media")
-        ocr_out = ocr_media_spans(media_spans, media, mode=mode, salt_partitions=salt_partitions)
-    return reassemble(flat, ocr_out)
+        if salt_partitions is None:
+            salt_partitions = 2 * flat.sparkSession.sparkContext.defaultParallelism
+        spans = flat.repartition(salt_partitions, F.xxhash64("doc_id", "offset"))
+        out = spans.mapInPandas(_make_span_udf(mode), schema=SPAN_OUT_SCHEMA)
+        return reassemble_unified(out)
+    media_spans = flat.filter(F.col("kind") == "media")
+    ocr_out = ocr_media_spans(media_spans, media, mode=mode, salt_partitions=salt_partitions)
+    return reassemble_two_level(flat, ocr_out)
 
 
 def extract_from_spans(
@@ -226,4 +332,4 @@ def extract_from_spans(
     )
     media_spans = flat.filter(F.col("kind") == "media")
     ocr_out = ocr_media_spans(media_spans, media, mode=mode, salt_partitions=salt_partitions)
-    return reassemble(flat, ocr_out)
+    return reassemble_two_level(flat, ocr_out)

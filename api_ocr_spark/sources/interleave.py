@@ -158,15 +158,27 @@ MEDIA_SPAN_SCHEMA = StructType(
 )
 
 
-def build_media_spans(documents: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Like build_media but keyed by (doc_id, offset) — the fused path for
-    extract_documents: the renderer already knows which span each image
-    belongs to, so the synthesized pipeline skips the media_ref join (and
-    its two PNG-byte exchanges). The production path over a real media
-    store (extract_from_spans) keeps the join."""
-    fs = flat_spans(documents).filter(F.col("kind") == "media")
+def render_media_spans(flat: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Render the media spans of an ALREADY-BUILT flat-spans DataFrame,
+    keyed by (doc_id, offset) — the fused path for extract_documents.
+
+    Taking `flat` (not `documents`) lets the caller share ONE flat-spans
+    stage between the text-passthrough branch and this render branch: both
+    subtrees hang off the same repartition(doc_id) exchange, which Catalyst
+    deduplicates into a ReusedExchange — the source table is scanned ONCE
+    (at 100 TB a second full scan is the difference that matters)."""
+    fs = flat.filter(F.col("kind") == "media")
     fs = fs.select("doc_id", "doc_num", "offset", "chunk", "media_ref")
     if partitions is None:
         partitions = 2 * fs.sparkSession.sparkContext.defaultParallelism
     fs = fs.repartition(partitions, F.xxhash64("media_ref"))
     return fs.mapInPandas(_render_batches, schema=MEDIA_SPAN_SCHEMA)
+
+
+def build_media_spans(documents: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Like build_media but keyed by (doc_id, offset) — the renderer already
+    knows which span each image belongs to, so the synthesized pipeline
+    skips the media_ref join (and its two PNG-byte exchanges). The
+    production path over a real media store (extract_from_spans) keeps the
+    join."""
+    return render_media_spans(flat_spans(documents), partitions=partitions)

@@ -69,7 +69,8 @@ def test_media_table_schema_and_determinism(spark, docs):
     assert [bytes(r.bytes) for r in m1] == [bytes(r.bytes) for r in m2]
     for r in m1:
         assert r.fmt == "png" and r.width > 0 and r.height > 0
-        assert r.scenario in ("plain", "skewed", "noisy", "shadow", "ruled", "boxed")
+        from api_ocr_spark.imaging.render import SCENARIOS
+        assert r.scenario in SCENARIOS
 
 
 @pytest.mark.parametrize("mode", ["basico", "segmentado", "tabla", "documento_completo"])
@@ -178,3 +179,36 @@ def test_skewed_doc_distribution(spark):
     counts = [r["count"] for r in per_part]
     assert len(counts) >= 4  # heavy doc did not collapse into one partition
     assert max(counts) <= 2 * (sum(counts) / len(counts)) + 1
+
+
+def test_reassembly_reducer_balance_on_media_heavy_doc(spark):
+    """Skew-proofing must hold THROUGH the reassembly stage, not just OCR
+    (SURVEY.md §4.3.1 acceptance): a ~500-media document's level-1 partial
+    collect_list rows spread over the salt buckets, so no single reducer
+    receives the whole document."""
+    # one doc with ~1500 spans (~500 media at MEDIA_MOD=3), a few small docs
+    heavy_text = " ".join(["w%d" % i for i in range(1500 * 8)])
+    rows = [(777000, heavy_text)] + [(777001 + i, "small doc words here all ok") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flat = interleave.flat_spans(docs)
+    text_rows = flat.filter(F.col("kind") == "text").select(
+        "doc_id", "offset", F.lit("text").alias("kind"),
+        F.col("chunk").alias("text"), F.col("media_ref"))
+    salt_buckets = 8
+    partial = (
+        text_rows.withColumn("salt", F.pmod(F.xxhash64("offset"), F.lit(salt_buckets)))
+        .groupBy("doc_id", "salt")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("doc_id") == "777000")
+        .collect()
+    )
+    # the heavy doc's level-1 aggregation keys span (nearly) all salt buckets
+    assert len(partial) >= salt_buckets - 1
+    counts = [r["n"] for r in partial]
+    assert max(counts) <= 2 * (sum(counts) / len(counts))
+    # and the end-to-end default path (extract_documents → two-level
+    # reassembly) still reproduces the heavy doc exactly
+    out = pipeline.extract_documents(docs, mode="basico", salt_partitions=8)
+    got = {r["doc_id"]: r["extracted_text"] for r in out.collect()}
+    assert got["777000"] == " ".join(heavy_text.lower().split())
+    assert len(got) == 5
