@@ -133,31 +133,39 @@ def lang_guess(col: Column) -> Column:
     )
 
 
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
 def simhash16(col: Column) -> Column:
     """16-bit SimHash over the token multiset, md5-based so the DuckDB oracle
     reproduces it bit-for-bit: bit j of a token's hash is the high bit of hex
     digit j of md5(token); simhash bit j = sign of the sum of ±1 votes.
 
-    Built as a fold over hex digits — pure Catalyst expressions.
+    Single-pass Catalyst expression: md5 is computed ONCE per token (at
+    100 TB the hash dominates — the previous 16-fold form recomputed it per
+    bit), then one aggregate folds a 16-counter vote array; a final indexed
+    transform turns counter signs into bits. Everything stays JVM-side.
     """
     t = tokens(col)
-
-    def vote(j: int):
-        # single-arg lambda: F.transform dispatches (element, index) to
-        # two-arg lambdas, so the bit index must be bound via a closure
-        def f(x):
-            return F.when(
-                F.substring(F.md5(x), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-
-        return f
-
-    out = F.lit(0)
-    for j in range(16):
-        total = F.aggregate(F.transform(t, vote(j)), F.lit(0), lambda acc, v: acc + v)
-        out = out + F.when(total > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out
+    hashes = F.transform(t, lambda x: F.md5(x))
+    # acc[j] += +1 if hex digit j of md5(token) is in 8..f else -1
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, h: F.transform(
+            acc,
+            # two-arg transform lambda receives (element, index)
+            lambda a, j: a
+            + F.when(F.substr(h, j + F.lit(1), F.lit(1)).isin(*_HIGH_HEX), F.lit(1))
+             .otherwise(F.lit(-1)),
+        ),
+    )
+    bits = F.transform(
+        counts,
+        # 2^j via pow is exact for j <= 15 (shiftleft needs an int literal)
+        lambda c, j: F.when(c > 0, F.pow(F.lit(2.0), j).cast("int")).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, b: a + b)
 
 
 def hamming16(a: Column, b: Column) -> Column:
