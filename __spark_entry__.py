@@ -126,29 +126,55 @@ WHERE (doc_id + off) % 3 = 0
 
 
 def _enriched(col_doc_num, col_text):
+    """Deterministic enrichment exercising every estructurar field: weekday
+    variants (accented included), bare + am/pm times, a time range, a long
+    date, a 'deben traer' material list and a newline-separated nota. The
+    SQL twin _ENRICH_SQL mirrors this expression term by term."""
     hh = (col_doc_num % 24).cast("string")
     mm = F.lpad((col_doc_num % 60).cast("string"), 2, "0")
     day = (col_doc_num % 28 + 1).cast("string")
     yd = (col_doc_num % 10).cast("string")
-    return F.concat_ws(
+    wk = F.when(col_doc_num % 2 == 0, F.lit("miércoles")).otherwise(F.lit("sábado 15"))
+    ampm = F.when(col_doc_num % 3 == 0, F.lit("10:30 am")).otherwise(F.lit("4:15 p.m."))
+    mat = F.when(
+        col_doc_num % 4 == 0,
+        F.lit("\ndeben traer lapiz, papel y tijeras extra."),
+    ).otherwise(F.lit(""))
+    nota = F.when(
+        col_doc_num % 5 == 0, F.lit("\nnota: asistencia obligatoria")
+    ).otherwise(F.lit(""))
+    main = F.concat_ws(
         " ",
         F.lower(col_text),
         F.lit("lunes"),
+        wk,
         F.concat(hh, F.lit(":"), mm),
+        ampm,
+        F.lit("9:00-17:00"),
         F.concat(day, F.lit(" de enero de 202"), yd),
     )
+    return F.concat(main, mat, nota)
 
 
 _ENRICH_SQL = (
-    "lower(text) || ' lunes ' || CAST(doc_id % 24 AS VARCHAR) || ':' || "
+    "lower(text) || ' lunes ' || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'miércoles' ELSE 'sábado 15' END || ' ' || "
+    "CAST(doc_id % 24 AS VARCHAR) || ':' || "
     "lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ' ' || "
-    "CAST(doc_id % 28 + 1 AS VARCHAR) || ' de enero de 202' || CAST(doc_id % 10 AS VARCHAR)"
+    "CASE WHEN doc_id % 3 = 0 THEN '10:30 am' ELSE '4:15 p.m.' END || "
+    "' 9:00-17:00 ' || "
+    "CAST(doc_id % 28 + 1 AS VARCHAR) || ' de enero de 202' || CAST(doc_id % 10 AS VARCHAR) || "
+    "CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'deben traer lapiz, papel y tijeras extra.' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'nota: asistencia obligatoria' ELSE '' END"
 )
 
 
 def q_estructurar_texto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured extraction (estructurar_texto_ocr) as native expressions
-    over deterministically enriched text (the corpus has no times/dates)."""
+    """Structured extraction (estructurar_texto_ocr,
+    /root/reference/ocr/postprocess.py:136-153) as native expressions over
+    deterministically enriched text — ALL six fields oracle-checked:
+    texto_limpio, horarios (am/pm forms included), dias (accented weekday
+    forms included), materiales, notas, fechas."""
     docs = _docs(spark, sf_dir)
     enriched = _enriched(F.col("doc_id"), F.col("text"))
     return docs.select(
@@ -156,25 +182,43 @@ def q_estructurar_texto(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.normalize_ws(enriched).alias("texto_limpio"),
         T.horarios_str(enriched).alias("horarios"),
         T.dias_str(enriched).alias("dias"),
+        T.materiales_str(enriched).alias("materiales"),
+        T.notas_str(enriched).alias("notas"),
         T.fechas_str(enriched).alias("fechas"),
     )
 
 
-ORACLE_ESTRUCTURAR = f"""
-WITH e AS (SELECT doc_id, {_ENRICH_SQL} AS et FROM documents)
+# the oracle uses the SAME regex constants as the Spark expressions —
+# textually identical patterns, substituted below
+_WEEKDAYS_SQL = ",".join(f"'{d}'" for d in T.WEEKDAYS)
+_DIAS_NUM_PATTERN = r"\b((?:" + "|".join(T.WEEKDAYS) + r")\s+[0-9]{1,2})\b"
+
+ORACLE_ESTRUCTURAR = r"""
+WITH e AS (SELECT doc_id, <ENRICH> AS et FROM documents)
 SELECT doc_id,
-  trim(regexp_replace(et, '\\s+', ' ', 'g')) AS texto_limpio,
+  trim(regexp_replace(et, '\s+', ' ', 'g')) AS texto_limpio,
   array_to_string(list_sort(list_distinct(
-      list_concat(regexp_extract_all(et, '([0-9]{{1,2}}:[0-9]{{2}})', 1),
-                  regexp_extract_all(et, '([0-9]{{1,2}}:[0-9]{{2}} *[-–] *[0-9]{{1,2}}:[0-9]{{2}})', 1)))), ',') AS horarios,
+      list_concat(regexp_extract_all(et, '(<TIME>)', 1),
+                  regexp_extract_all(et, '(<RANGE>)', 1)))), ',') AS horarios,
   array_to_string(list_sort(list_distinct(list_concat(
-      list_filter(['lunes','martes','miercoles','jueves','viernes','sabado','domingo'],
-                  d -> contains(lower(et), d)),
-      regexp_extract_all(lower(et), '((?:lunes|martes|miercoles|jueves|viernes|sabado|domingo) [0-9]{{1,2}})', 1)))), ',') AS dias,
+      list_filter([<WEEKDAYS>], d -> contains(lower(et), d)),
+      regexp_extract_all(lower(et), '<DIASNUM>', 1)))), ',') AS dias,
+  coalesce(array_to_string(list_filter(list_transform(
+      string_split_regex(regexp_extract(et, '<MAT>', 1), '[,\n]'),
+      x -> trim(x)), x -> x != ''), ','), '') AS materiales,
+  coalesce(array_to_string(list_transform(list_filter(string_split(et, chr(10)),
+      l -> contains(lower(l), 'asisten el día') OR contains(lower(l), 'nota')),
+      l -> trim(l)), ' '), '') AS notas,
   array_to_string(list_sort(list_distinct(
-      regexp_extract_all(lower(et), '([0-9]{{1,2}} de [a-z]+ de [0-9]{{4}})', 1))), ',') AS fechas
+      regexp_extract_all(lower(et), '(<DATE>)', 1))), ',') AS fechas
 FROM e
-"""
+""".replace("<ENRICH>", _ENRICH_SQL) \
+   .replace("<TIME>", T.TIME_PATTERN) \
+   .replace("<RANGE>", T.TIME_RANGE_PATTERN) \
+   .replace("<WEEKDAYS>", _WEEKDAYS_SQL) \
+   .replace("<DIASNUM>", _DIAS_NUM_PATTERN) \
+   .replace("<MAT>", T.MATERIALES_PATTERN) \
+   .replace("<DATE>", T.DATE_PATTERN)
 
 
 def q_limpiar_texto(spark: SparkSession, sf_dir: str) -> DataFrame:

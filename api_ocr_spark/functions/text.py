@@ -17,9 +17,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TIME_PATTERN = "[0-9]{1,2}:[0-9]{2}"
+# am/pm suffix — the reference's optional-dot alternation a\.?m\.? verbatim
+# (/root/reference/ocr/postprocess.py:47; the final \.? backs off so the
+# trailing \b can land on 'm', i.e. '9:00 a.m.' captures as '9:00 a.m').
+# The whole suffix group sits INSIDE the optional (the reference puts \s*
+# outside it, which captures a trailing space when a bare time precedes a
+# word — pinned deviation, SURVEY.md §5.2.5); (?i:...) reproduces the
+# reference's re.IGNORECASE and parses identically in Java regex and RE2
+TIME_PATTERN = r"\b[0-9]{1,2}:[0-9]{2}(?:\s*(?i:a\.?m\.?|p\.?m\.?))?\b"
+TIME_RANGE_PATTERN = TIME_PATTERN + r"\s*[-–]\s*" + TIME_PATTERN
 DATE_PATTERN = "[0-9]{1,2} de [a-z]+ de [0-9]{4}"
-WEEKDAYS = ("lunes", "martes", "miercoles", "jueves", "viernes", "sabado", "domingo")
+# accented + unaccented weekday forms (the reference has only the accented
+# Spanish spellings, postprocess.py:64-72; OCR output is often unaccented,
+# so both are matched — superset, documented)
+WEEKDAYS = ("lunes", "martes", "miercoles", "miércoles", "jueves",
+            "viernes", "sabado", "sábado", "domingo")
+MATERIALES_PATTERN = r"(?i)deben traer\s*([^\.\n]+)"  # postprocess.py:91-99 verbatim
 STOPWORDS = ("the", "a", "de", "la", "el")
 
 
@@ -46,24 +59,49 @@ def _sorted_unique_joined(arr: Column) -> Column:
 
 
 def horarios_str(col: Column) -> Column:
-    """extraer_horarios (postprocess.py:41-56): times + ranges, sorted-unique."""
+    """extraer_horarios (/root/reference/ocr/postprocess.py:41-56): times —
+    with the reference's optional am/pm/a.m./p.m. suffixes — plus time
+    ranges, sorted-unique."""
     times = F.regexp_extract_all(col, F.lit(f"({TIME_PATTERN})"), 1)
-    ranges = F.regexp_extract_all(
-        col, F.lit(f"({TIME_PATTERN} *[-–] *{TIME_PATTERN})"), 1
-    )
+    ranges = F.regexp_extract_all(col, F.lit(f"({TIME_RANGE_PATTERN})"), 1)
     return _sorted_unique_joined(F.concat(times, ranges))
 
 
 def dias_str(col: Column) -> Column:
-    """extraer_dias (postprocess.py:59-80): weekday mentions + 'weekday N'."""
+    """extraer_dias (postprocess.py:59-80): weekday mentions (accented and
+    unaccented forms) + 'weekday N'."""
     low = F.lower(col)
     plain = F.filter(
         F.array(*[F.when(low.contains(d), F.lit(d)) for d in WEEKDAYS]),
         lambda x: x.isNotNull(),
     )
     alt = "|".join(WEEKDAYS)
-    numbered = F.regexp_extract_all(low, F.lit(f"((?:{alt}) [0-9]{{1,2}})"), 1)
+    numbered = F.regexp_extract_all(low, F.lit(rf"\b((?:{alt})\s+[0-9]{{1,2}})\b"), 1)
     return _sorted_unique_joined(F.concat(plain, numbered))
+
+
+def materiales_str(col: Column) -> Column:
+    """extraer_materiales (postprocess.py:91-99): the reference regex
+    verbatim — capture after 'deben traer' up to the first period or
+    newline, split on comma/newline, trim, drop empties; comma-joined in
+    match order (the reference returns the list unsorted)."""
+    seg = F.regexp_extract(col, MATERIALES_PATTERN, 1)
+    items = F.filter(
+        F.transform(F.split(seg, r"[,\n]"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    return F.array_join(items, ",")
+
+
+def notas_str(col: Column) -> Column:
+    """extraer_notas (postprocess.py:102-111): lines mentioning
+    'asisten el día' or 'nota' (lowercased test), trimmed, space-joined."""
+    lines = F.split(col, "\n")
+    hits = F.filter(
+        lines,
+        lambda ln: F.lower(ln).contains("asisten el día") | F.lower(ln).contains("nota"),
+    )
+    return F.array_join(F.transform(hits, lambda ln: F.trim(ln)), " ")
 
 
 def fechas_str(col: Column) -> Column:

@@ -63,9 +63,12 @@ def extraer_fechas(text: str) -> list[str]:
 
 
 def extraer_materiales(text: str) -> list[str]:
-    """Material list after 'deben traer', comma/newline-split
-    (/root/reference/ocr/postprocess.py:91-99)."""
-    m = re.search(r"deben\s+traer\s*:?\s*(.+?)(?:\.|$)", text, re.IGNORECASE | re.DOTALL)
+    """Material list after 'deben traer' — reference regex verbatim
+    (/root/reference/ocr/postprocess.py:91-99): capture up to the first
+    period or newline, split on comma/newline, trim, drop empties. Faithful
+    quirks kept: a colon right after 'traer' stays in the first item, and a
+    newline ends the capture."""
+    m = re.search(r"deben traer\s*([^\.\n]+)", text, re.IGNORECASE)
     if not m:
         return []
     items = re.split(r"[,\n]", m.group(1))

@@ -266,8 +266,14 @@ def test_extraer_fechas():
 
 
 def test_extraer_materiales():
-    got = postprocess.extraer_materiales("los alumnos deben traer: lapiz, papel\ny regla.")
-    assert got == ["lapiz", "papel", "y regla"]
+    got = postprocess.extraer_materiales("los alumnos deben traer lapiz, papel y regla. fin")
+    assert got == ["lapiz", "papel y regla"]
+    # faithful reference quirks (postprocess.py:91-99): the capture stops at
+    # a newline, and a colon right after 'traer' stays in the first item
+    assert postprocess.extraer_materiales("deben traer lapiz, papel\ny regla.") == [
+        "lapiz", "papel"]
+    assert postprocess.extraer_materiales("deben traer: a, b") == [": a", "b"]
+    assert postprocess.extraer_materiales("no hay lista") == []
 
 
 def test_extraer_notas():
