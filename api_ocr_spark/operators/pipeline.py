@@ -34,6 +34,7 @@ OCR_SCHEMA = StructType(
         StructField("n_words", IntegerType()),
         StructField("mean_conf", DoubleType()),
         StructField("ocr_ms", DoubleType()),
+        StructField("n_bytes", IntegerType()),
         StructField("partition_id", IntegerType()),
     ]
 )
@@ -66,7 +67,7 @@ def _make_ocr_udf(mode: str):
         for pdf in batches:
             rows = {k: [] for k in (
                 "doc_id", "offset", "media_ref", "ocr_text", "route",
-                "n_words", "mean_conf", "ocr_ms", "partition_id")}
+                "n_words", "mean_conf", "ocr_ms", "n_bytes", "partition_id")}
             # plain-list iteration: pandas Series item access is the slow path
             for doc_id, offset, media_ref, data in zip(
                 pdf["doc_id"].tolist(), pdf["offset"].tolist(),
@@ -91,6 +92,7 @@ def _make_ocr_udf(mode: str):
                 rows["n_words"].append(n_words)
                 rows["mean_conf"].append(round(mean_conf, 2))
                 rows["ocr_ms"].append(round((time.perf_counter() - t0) * 1e3, 3))
+                rows["n_bytes"].append(len(data) if data is not None else 0)
                 rows["partition_id"].append(pid)
             yield pd.DataFrame(rows)
 

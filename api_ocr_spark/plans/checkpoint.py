@@ -3,23 +3,31 @@
 Replaces the reference's in-memory async task store
 (/root/reference/background.py:10-45) with durable tables:
 
-  output/    extracted documents (doc_id, spans, extracted_text), appended
-             per completed bucket
-  lineage/   one row per (run_id, bucket): doc/span counts, wall ms, status
-  metrics/   per OCR-partition rows: span counts, conf stats, wall ms —
-             the distributed twin of the reference's SQLite ocr_requests
-             table (/root/reference/metrics.py:17-66)
+  output/bucket=<b>/   extracted documents (doc_id, spans, extracted_text,
+                       run_id), one directory per bucket, OVERWRITTEN on
+                       (re)processing — reprocessing replaces, never appends
+  lineage/             one row per completed (run_group, run_id, bucket):
+                       doc/span counts, wall ms, status (append-only history)
+  metrics/bucket=<b>/  per OCR-partition rows: span/error counts, conf and
+                       byte stats, wall ms — the distributed twin of the
+                       reference's SQLite ocr_requests table
+                       (/root/reference/metrics.py:17-66)
 
 Resume semantics: work is split into `n_buckets` by pmod(xxhash64(doc_id), B).
 Completed buckets are recorded in lineage; a restarted run anti-joins its
-input against completed buckets and processes only the remainder. Output
-appends are idempotent because a bucket commits atomically (Spark's
-file-commit protocol) and is never reprocessed after its lineage row lands.
+input against completed buckets and processes only the remainder.
+
+Exactly-once: output and metrics are written per-bucket with dynamic
+directory overwrite, so the kill window BETWEEN the output commit and the
+lineage row landing is safe — the resumed run reprocesses the bucket and
+REPLACES its directory instead of appending duplicates. read_output
+additionally semi-joins on lineage's done buckets, so a bucket whose output
+committed but whose lineage row never landed is invisible until reprocessed.
 
 On a production lakehouse these are Iceberg tables (MERGE / snapshot
 isolation); the sandbox has no Iceberg runtime, so the same protocol runs on
-parquet directories — the access pattern and the anti-join resume are
-identical (SURVEY.md §1.2).
+parquet directories — the access pattern, the per-bucket replace, and the
+anti-join resume are identical (SURVEY.md §1.2).
 """
 
 from __future__ import annotations
@@ -57,14 +65,17 @@ def run_with_checkpoint(
     mode: str = "documento_completo",
     n_buckets: int = 4,
     max_buckets: int | None = None,
+    media: DataFrame | None = None,
 ) -> dict:
     """Extract `documents` bucket-by-bucket with checkpoint/resume.
 
     `max_buckets` caps how many *new* buckets this invocation processes —
-    the kill-at-50% test uses it to simulate a dying job. Returns a summary
-    {processed: [...], skipped: [...]}.
+    the kill-at-50% test uses it to simulate a dying job. `media` is an
+    optional external media store (media_ref, bytes) — the production
+    shape; when omitted, media is synthesized from the documents. Returns a
+    summary {processed: [...], skipped: [...]}.
     """
-    from ..operators.pipeline import ocr_media_spans, reassemble
+    from ..operators.pipeline import ocr_media_spans, reassemble_two_level
     from ..sources.interleave import build_media, flat_spans
 
     done = completed_buckets(spark, base_dir, run_group)
@@ -82,36 +93,38 @@ def run_with_checkpoint(
         subset = docs_b.filter(F.col("bucket") == b).drop("bucket")
         t0 = time.perf_counter()
         flat = flat_spans(subset)
-        media = build_media(subset)
+        media_b = media if media is not None else build_media(subset)
         ocr_out = ocr_media_spans(
-            flat.filter(F.col("kind") == "media"), media, mode=mode
+            flat.filter(F.col("kind") == "media"), media_b, mode=mode
         ).cache()
-        result = reassemble(flat, ocr_out)
-        result.withColumn("bucket", F.lit(b)).withColumn(
-            "run_id", F.lit(run_id)
-        ).write.mode("append").parquet(out_path)
-        # per-partition OCR metrics (the reference's metrics.log_request twin)
+        result = reassemble_two_level(flat, ocr_out)
+        # per-bucket directory overwrite: reprocessing REPLACES (exactly-once
+        # even when a previous attempt died between this commit and lineage)
+        bucket_out = os.path.join(out_path, f"bucket={b}")
+        result.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(bucket_out)
+        # per-partition OCR metrics (the reference's metrics.log_request twin,
+        # /root/reference/metrics.py:17-35: endpoint→mode+route, image
+        # size→byte stats, error→error-route counts, timing→ocr_ms)
         metrics = (
             ocr_out.groupBy("partition_id", "route")
             .agg(
                 F.count("*").alias("n_spans"),
+                F.sum(F.when(F.col("route").startswith("error:"), 1).otherwise(0)).alias("n_errors"),
                 F.round(F.avg("mean_conf"), 2).alias("avg_conf"),
                 F.round(F.sum("ocr_ms"), 1).alias("sum_ocr_ms"),
                 F.round(F.max("ocr_ms"), 1).alias("max_ocr_ms"),
                 F.sum("n_words").alias("n_words"),
+                F.sum("n_bytes").alias("sum_bytes"),
+                F.round(F.avg("n_bytes"), 1).alias("avg_bytes"),
             )
+            .withColumn("mode", F.lit(mode))
             .withColumn("run_group", F.lit(run_group))
             .withColumn("run_id", F.lit(run_id))
-            .withColumn("bucket", F.lit(b))
         )
-        metrics.write.mode("append").parquet(metrics_path)
-        # count from the committed files — counting `result` would re-execute
-        # the whole extraction a second time
-        n_docs = (
-            spark.read.parquet(out_path)
-            .filter((F.col("bucket") == b) & (F.col("run_id") == run_id))
-            .count()
-        )
+        metrics.write.mode("overwrite").parquet(os.path.join(metrics_path, f"bucket={b}"))
+        # count from the committed bucket directory only — O(bucket), not a
+        # rescan of every previous bucket, and no second pipeline execution
+        n_docs = spark.read.parquet(bucket_out).count()
         n_media = ocr_out.count()
         ocr_out.unpersist()
         wall_ms = round((time.perf_counter() - t0) * 1e3, 1)
@@ -125,8 +138,21 @@ def run_with_checkpoint(
     return {"processed": processed, "skipped": skipped}
 
 
-def read_output(spark: SparkSession, base_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(base_dir, "output"))
+def read_output(spark: SparkSession, base_dir: str, run_group: str | None = None) -> DataFrame:
+    """Committed output only: semi-join the bucket-partitioned output on
+    lineage's done buckets, so an output directory whose lineage row never
+    landed (kill between commit and lineage) is excluded until its bucket is
+    reprocessed."""
+    out = spark.read.parquet(os.path.join(base_dir, "output"))
+    try:
+        lin = spark.read.parquet(os.path.join(base_dir, "lineage"))
+    except Exception:  # noqa: BLE001 — no lineage: nothing is committed
+        return out.limit(0)
+    lin = lin.filter(F.col("status") == "done")
+    if run_group is not None:
+        lin = lin.filter(F.col("run_group") == run_group)
+    done = lin.select("bucket").distinct()
+    return out.join(F.broadcast(done), "bucket", "left_semi")
 
 
 def read_lineage(spark: SparkSession, base_dir: str) -> DataFrame:

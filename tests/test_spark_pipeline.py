@@ -141,6 +141,59 @@ def test_checkpoint_idempotent_rerun(spark, docs, tmp_path):
     assert out.count() == out.select("doc_id").distinct().count()
 
 
+def test_checkpoint_exactly_once_mid_bucket_kill(spark, docs, golden, tmp_path):
+    """The kill window BETWEEN the output commit and the lineage row landing
+    (ADVICE r01): the resumed run must reprocess the bucket and REPLACE its
+    output directory — no duplicate rows — and read_output must hide the
+    orphaned bucket until it is reprocessed."""
+    import shutil
+
+    base = os.path.join(str(tmp_path), "ckpt3")
+    checkpoint.run_with_checkpoint(spark, docs, base, run_group="g", run_id="a",
+                                   mode="basico", n_buckets=3)
+    # simulate the window for bucket 1: its output directory exists but its
+    # lineage row never landed
+    lin_path = os.path.join(base, "lineage")
+    kept = spark.read.parquet(lin_path).filter(F.col("bucket") != 1).collect()
+    shutil.rmtree(lin_path)
+    spark.createDataFrame(
+        kept,
+        "run_group string, run_id string, bucket int, n_docs long, "
+        "n_media long, wall_ms double, status string",
+    ).write.parquet(lin_path)
+    vis = checkpoint.read_output(spark, base)
+    assert vis.filter(F.col("bucket") == 1).count() == 0  # orphan hidden
+    r = checkpoint.run_with_checkpoint(spark, docs, base, run_group="g", run_id="b",
+                                       mode="basico", n_buckets=3)
+    assert r["processed"] == [1] and sorted(r["skipped"]) == [0, 2]
+    out = checkpoint.read_output(spark, base)
+    assert out.count() == out.select("doc_id").distinct().count() == N_DOCS
+    bad = out.join(golden, "doc_id").filter(F.col("extracted_text") != F.col("want"))
+    assert bad.count() == 0
+
+
+def test_metrics_error_rows_and_byte_stats(spark, docs, tmp_path):
+    """Reference metrics parity (/root/reference/metrics.py:17-35): byte-size
+    stats and error rows land in the metrics table — a corrupted media
+    payload shows up as an error:* route with its bytes counted."""
+    base = os.path.join(str(tmp_path), "ckptm")
+    media = interleave.build_media(docs)
+    first_ref = media.select("media_ref").orderBy("media_ref").first()[0]
+    corrupt = media.withColumn(
+        "bytes",
+        F.when(F.col("media_ref") == first_ref, F.lit(b"not a png"))
+         .otherwise(F.col("bytes")),
+    )
+    checkpoint.run_with_checkpoint(spark, docs, base, run_group="g", run_id="a",
+                                   mode="basico", n_buckets=2, media=corrupt)
+    met = checkpoint.read_metrics(spark, base)
+    err = met.filter(F.col("route").startswith("error:"))
+    assert err.agg(F.sum("n_errors")).first()[0] == 1
+    assert err.agg(F.sum("sum_bytes")).first()[0] == len(b"not a png")
+    assert met.agg(F.sum("sum_bytes")).first()[0] > 0
+    assert met.filter(F.col("mode") != "basico").count() == 0
+
+
 def test_streaming_matches_batch(spark, docs, tmp_path):
     """Streaming OCR over the same media rows equals the batch stage."""
     from api_ocr_spark.streaming import stream as st
