@@ -118,7 +118,7 @@ def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MEDIA_MANIFEST = _SPANS_CTE + """
 SELECT 'm-' || CAST(doc_id AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
        'png' AS fmt,
-       (['plain','skewed','noisy','shadow','ruled','boxed','skewed_noisy'])[CAST((doc_id*31 + off) % 7 AS BIGINT) + 1] AS scenario,
+       (['plain','skewed','noisy','shadow','ruled','boxed','skewed_noisy','large'])[CAST((doc_id*31 + off) % 8 AS BIGINT) + 1] AS scenario,
        lower(array_to_string(ws[CAST(off*8+1 AS BIGINT):CAST(off*8+8 AS BIGINT)], ' ')) AS truth_text
 FROM c
 WHERE (doc_id + off) % 3 = 0

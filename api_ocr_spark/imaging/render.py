@@ -29,7 +29,14 @@ INK = 30
 BG = 230
 MARGIN = 8
 MAX_LINE_CHARS = 32
-SCENARIOS = ("plain", "skewed", "noisy", "shadow", "ruled", "boxed", "skewed_noisy")
+SCENARIOS = ("plain", "skewed", "noisy", "shadow", "ruled", "boxed",
+             "skewed_noisy", "large")
+
+# 'large' canvas width: > MAX_DIMENSION_DOCUMENTO (1300) so the documento
+# cap FIRES, and one factor-of-2 decimation lands at 980 — under every
+# mode's cap (basico 1000, segmentado/tabla 1100, documento 1300), so all
+# modes see the SAME exactly-decimated base-scale image
+LARGE_W = 1960
 
 # Skew uses the same discrete shear model in render and deskew search so the
 # inverse is exact: shift(y) = round(tan(deg) * (y - h/2)).
@@ -176,6 +183,15 @@ def render_text_image(text: str, scenario: str = "plain", seed: int = 0) -> np.n
         # the skew-candidate retry ladder under a degraded profile
         deg = SKEW_DEGREES[int(rng.integers(0, len(SKEW_DEGREES)))]
         return _apply_noise(_apply_skew(img, deg), rng)
+    if scenario == "large":
+        # oversized page: 2x pixel-doubled render padded to LARGE_W — makes
+        # the mode dimension caps fire; one [::2, ::2] decimation recovers
+        # the base-scale render bit-exactly (see enhance.cap_max_dimension)
+        up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+        h, w = up.shape
+        out = np.full((h, LARGE_W), BG, dtype=np.uint8)
+        out[:, :w] = up
+        return out
     raise ValueError(f"unknown scenario {scenario!r}")
 
 

@@ -282,13 +282,19 @@ def resize_nearest(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
 
 
 def cap_max_dimension(img: np.ndarray, max_dim: int) -> np.ndarray:
-    """Reference dimension cap (/root/reference/utils/file_handling.py:46-53)."""
-    h, w = img.shape[:2]
-    m = max(h, w)
-    if m <= max_dim:
-        return img
-    scale = max_dim / m
-    return resize_nearest(img, max(1, int(h * scale)), max(1, int(w * scale)))
+    """Dimension cap — reference semantics: result max dim <= max_dim
+    (/root/reference/utils/file_handling.py:46-53). Pinned deviation
+    (documented): a factor-of-2 decimation ladder ([::2, ::2] until small
+    enough) instead of the reference's arbitrary-ratio cv2 resample. Exact
+    grid decimation has the property the engine's exactness contract needs:
+    decimating a 2k-scaled glyph grid (even offsets) yields the k-scaled
+    glyph BIT-EXACTLY, so oversized pages OCR exactly after capping; an
+    arbitrary-ratio nearest resample drifts the sampling grid and distorts
+    glyph bitmaps."""
+    out = img
+    while max(out.shape[:2]) > max_dim:
+        out = out[::2, ::2]
+    return out
 
 
 def area_budget_resize(img: np.ndarray, max_size_mb: float) -> np.ndarray:

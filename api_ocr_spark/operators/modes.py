@@ -112,6 +112,10 @@ def run_tabla(gray: np.ndarray, _pre: tuple | None = None) -> dict:
     if _pre is not None:
         deskewed, binary = _pre
     else:
+        # the reference's tabla endpoint reads through the same 1100-px cap
+        # as segmentado (/root/reference/main.py:895-906: read_image with
+        # max_dimension=DOCUMENTO_MAX_DIMENSION)
+        gray = enhance.cap_max_dimension(gray, MAX_DIMENSION_SEGMENTADO)
         deskewed, binary, _ = engine.best_deskew(gray)
     tables = detection.detect_tables(binary)
     if not tables:

@@ -137,11 +137,17 @@ def sample_video_frames_stub(media: DataFrame, fps: float = 1.0, fake: bool = Fa
             from ..imaging.render import render_text_image
 
             out = {"media_ref": [], "frame_idx": [], "ts_s": [], "frame_png": []}
+            import zlib
+
             for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
                 n_frames = 1 + (len(bytes(data)) % 3)
                 for i in range(n_frames):
+                    # crc32, not builtin hash(): str hashing is randomized
+                    # per process (PYTHONHASHSEED) and would make fake
+                    # frames differ across executors/runs
+                    seed = zlib.crc32(str(ref).encode()) + i
                     img = render_text_image(f"frame {i} of {ref}"[:24], "plain",
-                                            seed=hash(ref) % (2**31) + i)
+                                            seed=seed)
                     out["media_ref"].append(ref)
                     out["frame_idx"].append(i)
                     out["ts_s"].append(round(i / fps, 3))

@@ -54,18 +54,19 @@ def callback_sink(df: DataFrame, callback, batch_size: int = 1000) -> int:
     """foreachPartition-based result callback — the engine analogue of the
     reference's InfinityFree POST client (integration/infinityfree.py:20-43,
     instantiated but never called — kept for API parity). `callback` receives
-    lists of Row dicts; returns number of rows sent."""
-    count = df.count()
-
+    lists of Row dicts; returns number of rows sent (counted inside the same
+    single execution via a mapPartitions pass — a separate df.count() would
+    run the input plan twice)."""
     def handle(it):
-        buf = []
+        buf, n = [], 0
         for row in it:
             buf.append(row.asDict(recursive=True))
+            n += 1
             if len(buf) >= batch_size:
                 callback(buf)
                 buf = []
         if buf:
             callback(buf)
+        yield n
 
-    df.foreachPartition(handle)
-    return count
+    return sum(df.rdd.mapPartitions(handle).collect())

@@ -25,7 +25,11 @@ _text = st.lists(st.one_of(_word, _punct_word), min_size=2, max_size=30).map(" "
 @settings(max_examples=40, deadline=None)
 @given(text=_text, scenario=st.sampled_from(render.SCENARIOS), seed=st.integers(0, 2**31 - 1))
 def test_roundtrip_property(text, scenario, seed):
+    from api_ocr_spark.kernels import enhance
+
     img = render.render_text_image(text, scenario, seed=seed)
+    # pipeline modes cap before OCR ('large' needs the decimation cap)
+    img = enhance.cap_max_dimension(img, 1300)
     got = engine.ocr_image(png.decode_gray(png.encode_gray(img)))
     assert got.replace("\n", " ") == " ".join(text.split())
 
