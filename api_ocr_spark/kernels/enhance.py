@@ -129,9 +129,34 @@ def median3(gray: np.ndarray) -> np.ndarray:
     return np.median(stack, axis=0).astype(np.uint8)
 
 
+GAUSS5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0  # binomial 5-tap
+
+
+def gaussian5(gray: np.ndarray) -> np.ndarray:
+    """Separable 5x5 gaussian blur — the reference's
+    cv2.GaussianBlur(gray, (5,5), 0) (/root/reference/preprocessing/
+    enhance.py:56-57). With ksize=5 and sigma=0 OpenCV uses the fixed
+    binomial kernel [1,4,6,4,1]/16 and BORDER_REFLECT_101; both are
+    reproduced here (np.pad mode='reflect' IS reflect-101), row pass then
+    column pass, round-half-away like OpenCV's fixed-point rounding."""
+    x = gray.astype(np.float64)
+    x = np.pad(x, ((2, 2), (2, 2)), mode="reflect")
+    rows = sum(w * x[:, i : x.shape[1] - 4 + i] for i, w in enumerate(GAUSS5))
+    cols = sum(w * rows[i : rows.shape[0] - 4 + i, :] for i, w in enumerate(GAUSS5))
+    return np.floor(cols + 0.5).astype(np.uint8)
+
+
 def remove_noise(gray: np.ndarray, method: str = "median") -> np.ndarray:
+    """Denoise dispatch (/root/reference/preprocessing/enhance.py:43-63).
+    The reference offers nlmeans (its default) / gaussian / median /
+    bilateral via OpenCV; without cv2, median (the engine default, exactness
+    proven by the scenario sweeps) and the separable gaussian are real;
+    nlmeans/bilateral are patch-similarity algorithms whose faithful
+    pure-numpy forms would be O(search·patch) per pixel — documented gaps."""
     if method == "median":
         return median3(gray)
+    if method == "gaussian":
+        return gaussian5(gray)
     if method == "none":
         return gray
     raise ValueError(f"unknown denoise method {method!r}")

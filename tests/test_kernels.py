@@ -86,6 +86,34 @@ def test_area_budget_resize():
     assert same.shape == img.shape
 
 
+def test_gaussian5_matches_hand_computed():
+    # single bright pixel on black: the response IS the outer product of
+    # [1,4,6,4,1]/16 with itself, scaled by 160 and rounded
+    img = np.zeros((9, 9), np.uint8)
+    img[4, 4] = 160
+    out = enhance.gaussian5(img)
+    k = np.array([1, 4, 6, 4, 1]) / 16.0
+    want = np.floor(np.outer(k, k) * 160 + 0.5).astype(np.uint8)
+    assert (out[2:7, 2:7] == want).all()
+    assert out[0, 0] == 0 and out.dtype == np.uint8
+    # constant image is a fixed point (kernel sums to 1, reflect border)
+    flat = np.full((6, 7), 137, np.uint8)
+    assert (enhance.gaussian5(flat) == 137).all()
+    # dispatch
+    assert (enhance.remove_noise(flat, "gaussian") == 137).all()
+    # hand-computed 5x5 on a step edge row: [0,0,0,255,255] with reflect-101
+    # padding -> [0,0,0,255,255,255,0? no] ... compute a 1-row case exactly
+    row = np.array([[0, 0, 0, 255, 255]], np.uint8)
+    got = enhance.gaussian5(row)
+    # vertical pass is identity (reflect of a 1-row image repeats the row);
+    # horizontal: padded row = [0,0, 0,0,0,255,255, 255,0]... np.pad reflect
+    # of [0,0,0,255,255] is [0,0, 0,0,0,255,255, 0,255]
+    padded = np.pad(np.array([0, 0, 0, 255, 255.0]), 2, mode="reflect")
+    want_row = np.floor(np.convolve(padded, np.array([1, 4, 6, 4, 1]) / 16.0,
+                                    "valid") + 0.5).astype(np.uint8)
+    assert (got[0] == want_row).all()
+
+
 def test_cap_max_dimension():
     img = np.zeros((100, 400), np.uint8)
     out = enhance.cap_max_dimension(img, 200)
