@@ -581,8 +581,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.02, max_doc_id=150)
 
 
-ORACLE_NGRAM_JACCARD = f"""
-WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 150),
+_NGRAM_CTES = f"""d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 150),
 w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
 g AS (
   SELECT doc_id,
@@ -596,11 +595,47 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
   FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_NGRAM_CTES}
 SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
        round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.02
+"""
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution (connected components over the pair
+    graph) — the op a dedup pipeline needs downstream of any pair generator.
+    Oracle-checked over the deterministic exact-Jaccard pairs (the LSH pair
+    source is probabilistic; at scale the same clusterer consumes
+    minhash_lsh_pairs)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.02, max_doc_id=150)
+    return dedup.neardup_clusters(pairs.select("doc_a", "doc_b")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+# transitive closure via recursive CTE: cluster_id = min reachable doc_id
+ORACLE_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+p AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.02
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(doc_id, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, r.lab FROM e JOIN reach r ON e.b = r.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc_id
 """
 
 
@@ -644,6 +679,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         T.token_count(c).cast("long").alias("n_tokens"),
+        T.subword_count(c).cast("long").alias("n_subwords"),
         F.length(c).cast("long").alias("n_chars"),
         T.distinct_token_ratio(c).alias("distinct_ratio"),
         T.stopword_ratio(c).alias("stopword_ratio"),
@@ -658,6 +694,10 @@ ORACLE_TEXT_STATS = f"""
 WITH d AS (SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS ws FROM documents)
 SELECT doc_id,
   CAST(len(ws) AS BIGINT) AS n_tokens,
+  CAST(list_sum(list_transform(
+      regexp_extract_all(lower(text), '({T.PRETOKEN_PATTERN})', 1),
+      p -> (length(trim(p)) + {T.CHARS_PER_SUBWORD - 1}) // {T.CHARS_PER_SUBWORD}
+  )) AS BIGINT) AS n_subwords,
   CAST(length(text) AS BIGINT) AS n_chars,
   round(len(list_distinct(ws)) / len(ws), 6) AS distinct_ratio,
   round(len(list_filter(ws, x -> x IN ('the','a','de','la','el'))) / len(ws), 6) AS stopword_ratio,
@@ -769,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline family
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "neardup_clusters": q_neardup_clusters,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -803,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_event_types": ORACLE_SET_OPS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+        "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
         "simhash": ORACLE_SIMHASH,
         "text_stats": ORACLE_TEXT_STATS,
         "ann_cosine_topk": ORACLE_ANN_TOPK,

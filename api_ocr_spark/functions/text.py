@@ -138,6 +138,24 @@ def avg_token_len(col: Column) -> Column:
     return F.round(total / F.size(t), 6)
 
 
+# GPT-2-style pre-tokenizer, simplified to the Java/RE2/DuckDB-common ASCII
+# subset: a piece is an optionally-space-prefixed letter run, digit run, or
+# punctuation run (whitespace runs match too and count zero)
+PRETOKEN_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+CHARS_PER_SUBWORD = 4  # BPE averages ~4 chars/token on English-like text
+
+
+def subword_count(col: Column) -> Column:
+    """BPE-ish subword count: GPT-2-style pre-tokenization into pieces, then
+    ceil(len/4) subwords per piece (long words split, as BPE would). Pure
+    Catalyst; the DuckDB oracle runs the identical pattern + arithmetic."""
+    pieces = F.regexp_extract_all(F.lower(col), F.lit(f"({PRETOKEN_PATTERN})"), 1)
+    per_piece = lambda p: F.floor(  # noqa: E731 — ceil(n/4) as (n+3) div 4
+        (F.length(F.trim(p)) + F.lit(CHARS_PER_SUBWORD - 1)) / CHARS_PER_SUBWORD
+    ).cast("int")
+    return F.aggregate(pieces, F.lit(0), lambda acc, p: acc + per_piece(p))
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Exact-dedup document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_ws(F.lower(col)))

@@ -213,3 +213,58 @@ def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFra
         .filter(F.col("hamming") <= max_hamming)
     )
     return out.select("doc_a", "doc_b", "hamming")
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into connected-component CLUSTERS —
+    (doc_id, cluster_id = min doc_id of the component). The op a dedup
+    pipeline actually needs downstream of any pair generator (exact, LSH,
+    SimHash): keep one representative per cluster, drop the rest.
+
+    Distributed shape: iterative min-label propagation — each round every
+    vertex takes min(own label, neighbors' labels) via one equi-join + one
+    map-side-partial groupBy; converges in graph-diameter rounds (near-dup
+    components are small chains/cliques, so a handful). Each round ends in
+    localCheckpoint(eager) — mandatory for iterative Spark algorithms: it
+    cuts the exponentially-growing lineage AND gives the convergence test a
+    materialized frame. At 10^12 docs the same loop runs with the labels
+    frame persisted on cluster storage; the alternating large-star/small-star
+    contraction (Kiveris et al.) drops in here if diameters ever grow.
+
+    Raises RuntimeError if not converged within max_iter (never observed:
+    diameter-bound)."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+            .withColumnRenamed("a", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"neardup_clusters did not converge in {max_iter} rounds")

@@ -117,46 +117,71 @@ def _make_span_udf(mode: str):
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         cols = ("doc_id", "offset", "kind", "media_ref", "text", "route",
                 "n_words", "mean_conf", "ocr_ms", "partition_id")
+        def passthrough(tp: pd.DataFrame) -> pd.DataFrame:
+            # text rows pass through VECTORIZED — no per-row Python (they
+            # are ~2/3 of all spans; chunks are single-spaced by
+            # construction so count(' ')+1 == len(split()))
+            return pd.DataFrame(
+                {
+                    "doc_id": tp["doc_id"],
+                    "offset": tp["offset"].astype("int64"),
+                    "kind": tp["kind"],
+                    "media_ref": tp["media_ref"],
+                    "text": tp["chunk"],
+                    "route": "text",
+                    "n_words": (tp["chunk"].str.count(" ") + 1).astype("int64"),
+                    "mean_conf": 0.0,
+                    "ocr_ms": 0.0,
+                    "partition_id": pid,
+                }
+            )
+
         for pdf in batches:
+            media_mask = pdf["kind"].to_numpy() == "media"
+            n_media = int(media_mask.sum())
+            if n_media == 0:
+                # homogeneous text batch (the common case: the span-spread
+                # stage sorts within partitions by kind): pure column work
+                yield passthrough(pdf)
+                continue
+            text_out = passthrough(pdf[~media_mask]) if n_media < len(pdf) else None
+            mp = pdf if n_media == len(pdf) else pdf[media_mask]
             rows = {k: [] for k in cols}
-            for doc_id, doc_num, offset, kind, chunk, media_ref in zip(
-                pdf["doc_id"].tolist(), pdf["doc_num"].tolist(),
-                pdf["offset"].tolist(), pdf["kind"].tolist(),
-                pdf["chunk"].tolist(), pdf["media_ref"].tolist(),
+            for doc_id, doc_num, offset, chunk, media_ref in zip(
+                mp["doc_id"].tolist(), mp["doc_num"].tolist(),
+                mp["offset"].tolist(), mp["chunk"].tolist(),
+                mp["media_ref"].tolist(),
             ):
-                if kind != "media":
-                    text, route = str(chunk), "text"
-                    n_words, mean_conf, ocr_ms = len(text.split()), 0.0, 0.0
-                else:
-                    t0 = time.perf_counter()
-                    try:
-                        scenario = SCENARIOS[
-                            (int(doc_num) * SCENARIO_MULT + int(offset)) % len(SCENARIOS)
-                        ]
-                        seed = int(doc_num) * RENDER_SEED_MULT + int(offset)
-                        img = render_text_image(str(chunk), scenario, seed=seed)
-                        data = png_codec.encode_gray(img)
-                        gray = png_codec.decode_gray(data)
-                        result = mode_lib.run_mode(gray, mode)
-                        text = result.get("text", "")
-                        route = result.get("route", mode)
-                        n_words = len(text.split())
-                        mean_conf = round(float(result.get("mean_conf", 0.0)), 2)
-                    except Exception as exc:  # noqa: BLE001 — error rows, never task failures
-                        text, route = "", f"error:{type(exc).__name__}"
-                        n_words, mean_conf = 0, 0.0
-                    ocr_ms = round((time.perf_counter() - t0) * 1e3, 3)
+                t0 = time.perf_counter()
+                try:
+                    scenario = SCENARIOS[
+                        (int(doc_num) * SCENARIO_MULT + int(offset)) % len(SCENARIOS)
+                    ]
+                    seed = int(doc_num) * RENDER_SEED_MULT + int(offset)
+                    img = render_text_image(str(chunk), scenario, seed=seed)
+                    data = png_codec.encode_gray(img)
+                    gray = png_codec.decode_gray(data)
+                    result = mode_lib.run_mode(gray, mode)
+                    text = result.get("text", "")
+                    route = result.get("route", mode)
+                    n_words = len(text.split())
+                    mean_conf = round(float(result.get("mean_conf", 0.0)), 2)
+                except Exception as exc:  # noqa: BLE001 — error rows, never task failures
+                    text, route = "", f"error:{type(exc).__name__}"
+                    n_words, mean_conf = 0, 0.0
                 rows["doc_id"].append(doc_id)
                 rows["offset"].append(int(offset))
-                rows["kind"].append(kind)
+                rows["kind"].append("media")
                 rows["media_ref"].append(media_ref)
                 rows["text"].append(text)
                 rows["route"].append(route)
                 rows["n_words"].append(n_words)
                 rows["mean_conf"].append(mean_conf)
-                rows["ocr_ms"].append(ocr_ms)
+                rows["ocr_ms"].append(round((time.perf_counter() - t0) * 1e3, 3))
                 rows["partition_id"].append(pid)
-            yield pd.DataFrame(rows)
+            media_out = pd.DataFrame(rows)
+            yield media_out if text_out is None else pd.concat(
+                [text_out, media_out], ignore_index=True)
 
     return span_batches
 
@@ -214,9 +239,15 @@ def reassemble_two_level(flat: DataFrame, ocr_out: DataFrame, salt_buckets: int 
 
 def _two_level_agg(unioned: DataFrame, salt_buckets: int) -> DataFrame:
     """Salted two-level collect_list over (doc_id, offset, kind, text,
-    media_ref) rows → (doc_id, spans, extracted_text)."""
+    media_ref) rows → (doc_id, spans, extracted_text).
+
+    Salt is OFFSET-BLOCK based (floor(offset/32) % buckets), not a per-span
+    hash: a document with <= 32 spans lands in ONE level-1 group (the
+    two-level pass degenerates to a cheap flatten for the common case),
+    while a media-heavy document spreads one 32-span block per reducer —
+    the skew case that motivates the salting."""
     unioned = unioned.withColumn(
-        "salt", F.pmod(F.xxhash64("offset"), F.lit(salt_buckets)))
+        "salt", F.pmod(F.floor(F.col("offset") / F.lit(32)), F.lit(salt_buckets)))
     partial = unioned.groupBy("doc_id", "salt").agg(
         F.collect_list(F.struct("offset", "kind", "text", "media_ref")).alias("part"))
     ordered = F.array_sort(F.flatten(F.collect_list("part")))
@@ -302,7 +333,11 @@ def extract_documents(
     if media is None:
         if salt_partitions is None:
             salt_partitions = 2 * flat.sparkSession.sparkContext.defaultParallelism
-        spans = flat.repartition(salt_partitions, F.xxhash64("doc_id", "offset"))
+        # sortWithinPartitions makes Arrow batches kind-homogeneous, so the
+        # UDF's text fast path sees whole batches (no per-batch masking)
+        spans = flat.repartition(
+            salt_partitions, F.xxhash64("doc_id", "offset")
+        ).sortWithinPartitions("kind")
         out = spans.mapInPandas(_make_span_udf(mode), schema=SPAN_OUT_SCHEMA)
         return reassemble_unified(out)
     media_spans = flat.filter(F.col("kind") == "media")

@@ -112,3 +112,32 @@ def test_lsh_bucket_determinism(vectors):
     b = q.withColumn("b", similarity.lsh_bucket(F.col("qvec"), planes)).collect()
     assert [r.b for r in a] == [r.b for r in b]
     assert all(0 <= r.b < 256 for r in a)
+
+
+def test_neardup_clusters_connected_components(spark):
+    # two chains and a singleton-free pair graph: {1-2-3}, {7-9}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup.neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 20: 20, 21: 20, 22: 20}
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    # a 12-node path needs label propagation over the full diameter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup.neardup_clusters(pairs).collect()}
+    assert set(got.values()) == {100} and len(got) == 13
+
+
+def test_subword_count(spark):
+    from api_ocr_spark.functions import text as T
+    df = spark.createDataFrame(
+        [("hello world",),            # 2 pieces, ceil(5/4)*2 = 4
+         ("internationalization",),   # 1 piece of 20 chars -> 5
+         ("a b, c 1234 99",),         # a(1) b(1) ,(1) c(1) 1234(1) 99(1) = 6
+         ("",)],
+        "t string")
+    got = [r.n for r in df.select(T.subword_count(F.col("t")).alias("n")).collect()]
+    assert got == [4, 5, 6, 0]

@@ -249,7 +249,8 @@ def test_reassembly_reducer_balance_on_media_heavy_doc(spark):
         F.col("chunk").alias("text"), F.col("media_ref"))
     salt_buckets = 8
     partial = (
-        text_rows.withColumn("salt", F.pmod(F.xxhash64("offset"), F.lit(salt_buckets)))
+        text_rows.withColumn(
+            "salt", F.pmod(F.floor(F.col("offset") / F.lit(32)), F.lit(salt_buckets)))
         .groupBy("doc_id", "salt")
         .agg(F.count("*").alias("n"))
         .filter(F.col("doc_id") == "777000")
