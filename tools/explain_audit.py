@@ -32,6 +32,7 @@ CHECKS = {
     "ocr_documento_completo": [
         ("Arrow-batched python stages", r"MapInPandas|ArrowEvalPython"),
         ("offset-ordered reassembly agg", r"(ObjectHashAggregate|SortAggregate|HashAggregate)"),
+        ("SINGLE source scan (unified span stage)", ("count==1", r"\(\d+\) Scan parquet")),
     ],
     "ann_cosine_topk": [
         ("broadcast of query side", r"Broadcast"),
@@ -61,7 +62,10 @@ def main():
         txt = plan_text(qs[name](spark, sf_dir))
         results = []
         for label, pat in checks:
-            ok = re.search(pat, txt) is not None
+            if isinstance(pat, tuple) and pat[0] == "count==1":
+                ok = len(re.findall(pat[1], txt)) == 1
+            else:
+                ok = re.search(pat, txt) is not None
             results.append((label, ok))
             if not ok:
                 failures.append(f"{name}: {label}")
