@@ -99,6 +99,64 @@ def _make_ocr_udf(mode: str):
     return ocr_batches
 
 
+def _make_render_ocr_udf(mode: str):
+    """Fused render→encode→decode→OCR over MEDIA span rows (doc_id, doc_num,
+    offset, chunk, media_ref): the synthetic twin of the media-store OCR
+    stage. PNG bytes live and die inside one Python worker — they never
+    cross an Arrow boundary."""
+
+    def render_ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ..config import RENDER_SEED_MULT, SCENARIO_MULT
+        from ..imaging import png as png_codec
+        from ..imaging.render import SCENARIOS, render_text_image
+        from . import modes as mode_lib
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        cols = ("doc_id", "offset", "media_ref", "ocr_text", "route",
+                "n_words", "mean_conf", "ocr_ms", "n_bytes", "partition_id")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, doc_num, offset, chunk, media_ref in zip(
+                pdf["doc_id"].tolist(), pdf["doc_num"].tolist(),
+                pdf["offset"].tolist(), pdf["chunk"].tolist(),
+                pdf["media_ref"].tolist(),
+            ):
+                t0 = time.perf_counter()
+                n_bytes = 0
+                try:
+                    scenario = SCENARIOS[
+                        (int(doc_num) * SCENARIO_MULT + int(offset)) % len(SCENARIOS)
+                    ]
+                    seed = int(doc_num) * RENDER_SEED_MULT + int(offset)
+                    img = render_text_image(str(chunk), scenario, seed=seed)
+                    data = png_codec.encode_gray(img)
+                    n_bytes = len(data)
+                    gray = png_codec.decode_gray(data)
+                    result = mode_lib.run_mode(gray, mode)
+                    text = result.get("text", "")
+                    route = result.get("route", mode)
+                    n_words = len(text.split())
+                    mean_conf = round(float(result.get("mean_conf", 0.0)), 2)
+                except Exception as exc:  # noqa: BLE001 — error rows, never task failures
+                    text, route = "", f"error:{type(exc).__name__}"
+                    n_words, mean_conf = 0, 0.0
+                rows["doc_id"].append(doc_id)
+                rows["offset"].append(int(offset))
+                rows["media_ref"].append(media_ref)
+                rows["ocr_text"].append(text)
+                rows["route"].append(route)
+                rows["n_words"].append(n_words)
+                rows["mean_conf"].append(mean_conf)
+                rows["ocr_ms"].append(round((time.perf_counter() - t0) * 1e3, 3))
+                rows["n_bytes"].append(n_bytes)
+                rows["partition_id"].append(pid)
+            yield pd.DataFrame(rows)
+
+    return render_ocr_batches
+
+
 def _make_span_udf(mode: str):
     """Unified span stage (the fused synthetic path): media rows are
     rendered → PNG-encoded → decoded → OCR'd inside ONE Python worker (the
@@ -314,32 +372,52 @@ def extract_documents(
     media: DataFrame | None = None,
     mode: str = "documento_completo",
     salt_partitions: int | None = None,
+    strategy: str = "persist",
 ) -> DataFrame:
     """End-to-end: documents(doc_id, text) → interleaved spans → media render
     (if no media table given) → OCR → reassembled spans + extracted_text.
 
-    Single-scan fused path (media=None): ALL spans — text and media — flow
-    through one stage chain: scan → repartition(doc_id) for parallel
-    chunking → span-spread repartition on xxhash64(doc_id, offset) (a
-    media-heavy document spreads over every task slot) → one Arrow UDF that
-    renders+encodes+decodes+OCRs media rows and passes text rows through →
-    two-level reassembly. The source table is scanned ONCE, there is no
-    branch union, and PNG bytes never cross an Arrow boundary (verified in
-    PLANS.md — at 100 TB the second full-table scan of the old two-branch
-    plan is the dominant saving)."""
+    Single-scan fused path (media=None), the PERSISTED FLAT-SPANS design:
+    the source table is scanned once into a persisted (memory-and-disk)
+    flat-spans stage; the text-passthrough branch and the media branch both
+    read the cache, so text spans stay entirely JVM-side (no Arrow round
+    trip) while media rows flow through ONE fused Arrow UDF
+    (render→encode→decode→OCR — PNG bytes never cross an Arrow boundary).
+    Verified in PLANS.md: exactly one parquet scan under one
+    InMemoryRelation. At 100 TB the persist is a local-disk materialization
+    of the chunked spans — strictly cheaper than re-reading the source
+    table over the storage network, which is what a two-branch unpersisted
+    plan degenerates to (Catalyst pushes each branch's filter below the
+    shared exchange, so there is no ReusedExchange to rely on).
+
+    `strategy="unified"` keeps the alternative single-stage plan (ALL spans
+    through one UDF, text rows vectorized-passthrough): zero persist
+    footprint, one extra Arrow round trip for text — the right trade when
+    executor disk, not storage bandwidth, is the constraint."""
+    from pyspark import StorageLevel
+
     from ..sources.interleave import flat_spans
 
     flat = flat_spans(documents)
     if media is None:
         if salt_partitions is None:
             salt_partitions = 2 * flat.sparkSession.sparkContext.defaultParallelism
-        # sortWithinPartitions makes Arrow batches kind-homogeneous, so the
-        # UDF's text fast path sees whole batches (no per-batch masking)
-        spans = flat.repartition(
-            salt_partitions, F.xxhash64("doc_id", "offset")
-        ).sortWithinPartitions("kind")
-        out = spans.mapInPandas(_make_span_udf(mode), schema=SPAN_OUT_SCHEMA)
-        return reassemble_unified(out)
+        if strategy == "unified":
+            # sortWithinPartitions makes Arrow batches kind-homogeneous, so
+            # the UDF's text fast path sees whole batches (no masking)
+            spans = flat.repartition(
+                salt_partitions, F.xxhash64("doc_id", "offset")
+            ).sortWithinPartitions("kind")
+            out = spans.mapInPandas(_make_span_udf(mode), schema=SPAN_OUT_SCHEMA)
+            return reassemble_unified(out)
+        flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
+        media_rows = (
+            flat.filter(F.col("kind") == "media")
+            .select("doc_id", "doc_num", "offset", "chunk", "media_ref")
+            .repartition(salt_partitions, F.xxhash64("media_ref"))
+        )
+        ocr_out = media_rows.mapInPandas(_make_render_ocr_udf(mode), schema=OCR_SCHEMA)
+        return reassemble_two_level(flat, ocr_out)
     media_spans = flat.filter(F.col("kind") == "media")
     ocr_out = ocr_media_spans(media_spans, media, mode=mode, salt_partitions=salt_partitions)
     return reassemble_two_level(flat, ocr_out)

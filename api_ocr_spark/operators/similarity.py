@@ -195,3 +195,134 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.9, dim: int = 64) -> 
         "vec_a", "vec_b", cosine(dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cos")
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def centroid_table(spark, centroids: list[list[int]]) -> DataFrame:
+    """Centroids as a (centroid_id, cvec, cnorm2) DataFrame — the k >= 256
+    path: literal centroid expressions grow the plan O(k·d); a broadcast
+    TABLE join keeps the plan constant-size at any codebook size."""
+    rows = [(cid, [int(v) for v in c], int(sum(v * v for v in c)) or 1)
+            for cid, c in enumerate(centroids)]
+    return spark.createDataFrame(
+        rows, "centroid_id int, cvec array<bigint>, cnorm2 bigint")
+
+
+def ivf_assign_table(emb: DataFrame, n_centroids: int = 16, iters: int = 3,
+                     seed: int = 11) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer with the centroid codebook as a broadcast TABLE
+    (vs ivf_assign's literal expressions — same math, plan size independent
+    of k·d, so it scales to production codebooks of 256-65536 centroids).
+
+    Each Lloyd round: broadcast-join corpus × codebook (k rows) → argmax
+    cosine per vector via max_by (one map-side-partial aggregation) →
+    per-(centroid, dim) mean via posexplode + one groupBy. Returns
+    (assignments(vec_id, qvec, norm2, centroid_id), codebook df)."""
+    spark = emb.sparkSession
+    q = quantized(emb).cache()
+    seed_rows = (
+        q.withColumn("h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .orderBy("h").limit(n_centroids).select("qvec").collect()
+    )
+    cents = centroid_table(spark, [[int(v) for v in r.qvec] for r in seed_rows])
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        cos = dot(F.col("qvec"), F.col("cvec")) / F.sqrt(
+            (F.col("norm2") * F.col("cnorm2")).cast("double"))
+        scored = q.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id", "qvec", "norm2", "centroid_id", cos.alias("ccos"))
+        best = scored.groupBy("vec_id").agg(
+            F.max_by("centroid_id", F.struct("ccos", (-F.col("centroid_id")).alias("tb"))).alias("centroid_id"))
+        return q.join(best, "vec_id")
+
+    dim = len(seed_rows[0].qvec)
+    for _ in range(iters):
+        assigned = assign(cents)
+        means = (
+            assigned.select("centroid_id", F.posexplode("qvec").alias("d", "v"))
+            .groupBy("centroid_id", "d")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                # bround = HALF_EVEN, matching python round() in ivf_assign
+                F.transform(F.col("dm"), lambda s: F.bround(s.m, 0).cast("bigint")).alias("cvec"),
+            )
+            .collect()
+        )
+        new = {r.centroid_id: list(r.cvec) for r in means}
+        old = {r.centroid_id: list(r.cvec) for r in cents.collect()}
+        cents = centroid_table(
+            spark, [new.get(i, old[i]) for i in range(n_centroids)])
+        _ = dim
+    return assign(cents), cents
+
+
+def ivf_topk_table(emb: DataFrame, k: int = 5, n_queries: int = 8,
+                   n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF approximate top-k over the TABLE codebook: the query side scores
+    all centroids via a broadcast join (not k literal expressions), keeps
+    its n_probe nearest, then candidates meet only inside probed inverted
+    lists — identical shape to ivf_topk but plan-size-safe for big k."""
+    from pyspark.sql.window import Window
+
+    assigned, cents = ivf_assign_table(emb, n_centroids)
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec"),
+        F.col("norm2").alias("q_norm2"))
+    ccos = dot(F.col("q_qvec"), F.col("cvec")) / F.sqrt(
+        (F.col("q_norm2") * F.col("cnorm2")).cast("double"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_qvec", "q_norm2", "centroid_id", ccos.alias("ccos"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .groupBy("query_id")
+        .agg(F.first("q_qvec").alias("q_qvec"), F.first("q_norm2").alias("q_norm2"),
+             F.collect_set("centroid_id").alias("probe"))
+    )
+    cand = probes.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "qvec", "norm2", "centroid_id"),
+        F.array_contains(F.col("probe"), F.col("centroid_id"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id", "neighbor_id",
+        cosine(dot(F.col("q_qvec"), F.col("qvec")), F.col("q_norm2"), F.col("norm2")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplane_table(spark, dim: int = 64, bits: int = LSH_BITS,
+                     seed: int = LSH_SEED) -> DataFrame:
+    """The LSH hyperplanes as a (plane_id, plane) DataFrame — the dim >= 1k
+    path: lsh_bucket's literal arrays put bits·dim constants into the plan;
+    a broadcast table keeps the plan flat at any dimensionality."""
+    planes = lsh_hyperplanes(dim, bits, seed)
+    return spark.createDataFrame(
+        [(j, [int(v) for v in p]) for j, p in enumerate(planes)],
+        "plane_id int, plane array<bigint>")
+
+
+def lsh_buckets_table(emb: DataFrame, dim: int = 64, bits: int = LSH_BITS,
+                      seed: int = LSH_SEED) -> DataFrame:
+    """(vec_id, qvec, norm2, bucket) with buckets computed via a broadcast
+    hyperplane join + one map-side-partial groupBy (sum of sign bits) —
+    bit-identical to lsh_bucket's literal form (asserted in tests)."""
+    q = quantized(emb)
+    planes = hyperplane_table(emb.sparkSession, dim, bits, seed)
+    # 2^plane_id via pow (shiftleft needs an int literal); exact for <= 2^30
+    bit = F.when(dot(F.col("qvec"), F.col("plane")) > 0,
+                 F.pow(F.lit(2.0), F.col("plane_id")).cast("long")).otherwise(F.lit(0))
+    buckets = (
+        q.crossJoin(F.broadcast(planes))
+        .select("vec_id", bit.alias("bit"))
+        .groupBy("vec_id")
+        .agg(F.sum("bit").cast("int").alias("bucket"))
+    )
+    return q.join(buckets, "vec_id")

@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_neardup",
     "simhash",
+    "neardup_clusters",
     "text_stats",
     "ann_cosine_topk",
     "lsh_embedding_neardup",

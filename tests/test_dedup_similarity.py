@@ -141,3 +141,29 @@ def test_subword_count(spark):
         "t string")
     got = [r.n for r in df.select(T.subword_count(F.col("t")).alias("n")).collect()]
     assert got == [4, 5, 6, 0]
+
+
+def test_lsh_bucket_table_matches_literal_form(vectors):
+    q = similarity.quantized(vectors)
+    planes = similarity.lsh_hyperplanes(64)
+    lit = {r.vec_id: r.b for r in
+           q.withColumn("b", similarity.lsh_bucket(F.col("qvec"), planes)).collect()}
+    tab = {r.vec_id: r.bucket for r in
+           similarity.lsh_buckets_table(vectors, dim=64).collect()}
+    assert lit == tab
+
+
+def test_ivf_table_matches_literal_assignments(vectors):
+    lit, _ = similarity.ivf_assign(vectors, n_centroids=4, iters=2)
+    tab, _ = similarity.ivf_assign_table(vectors, n_centroids=4, iters=2)
+    a = {r.vec_id: r.centroid_id for r in lit.collect()}
+    b = {r.vec_id: r.centroid_id for r in tab.collect()}
+    assert a == b
+
+
+def test_ivf_topk_table_matches_literal(vectors):
+    lit = {(r.query_id, r.rank): r.neighbor_id
+           for r in similarity.ivf_topk(vectors, k=3, n_queries=4, n_centroids=4).collect()}
+    tab = {(r.query_id, r.rank): r.neighbor_id
+           for r in similarity.ivf_topk_table(vectors, k=3, n_queries=4, n_centroids=4).collect()}
+    assert lit == tab

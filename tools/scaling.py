@@ -33,44 +33,28 @@ def run_bench(cores: int, sf_dir: str, multiply: int) -> dict:
     return json.loads(line)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cores", default="4,8,16,32",
-                    help="comma-separated parallelism levels to measure")
-    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument(
-        "--multiply", type=int, default=32,
-        help="corpus replication factor: makes the job compute-bound (the "
-             "100TB regime) instead of overhead-bound at sandbox scale")
-    args = ap.parse_args()
-    cores = sorted({int(c) for c in args.cores.split(",")})
-
-    runs: dict[int, dict] = {}
-    for c in cores:
-        b = run_bench(c, args.sf_dir, args.multiply)
-        t = b["queries"]["ocr_documento_completo"]
-        runs[c] = {"sec": t, "docs_per_sec": round(b["docs"] / t, 2), "docs": b["docs"]}
-
-    def eff(lo: int, hi: int) -> float | None:
+def write_report(runs: dict, sf_dir: str) -> dict:
+    def eff(lo: int, hi: int):
         if lo not in runs or hi not in runs:
             return None
         return round(runs[hi]["docs_per_sec"] / runs[lo]["docs_per_sec"] / (hi / lo), 3)
 
     eff_8_32 = eff(8, 32)
     eff_4_16 = eff(4, 16)
+    cores = sorted(runs)
     docs = runs[cores[0]]["docs"]
     result = {
-        "sf_dir": args.sf_dir,
+        "sf_dir": sf_dir,
         "docs": docs,
         **{f"local[{c}]": {"sec": r["sec"], "docs_per_sec": r["docs_per_sec"]}
-           for c, r in runs.items()},
+           for c, r in sorted(runs.items())},
         "efficiency_8_to_32": eff_8_32,
         "efficiency_4_to_16": eff_4_16,
         "target": 0.8,
     }
     rows = "\n".join(
         f"| local[{c}] | {r['sec']:.2f} | {r['docs_per_sec']:.2f} |"
-        for c, r in runs.items()
+        for c, r in sorted(runs.items())
     )
 
     def verdict(e):
@@ -83,7 +67,7 @@ def main() -> None:
 
 Flagship: interleaved-document extraction (documento_completo mode), full
 pipeline (span synthesis → media render → decode → route → preprocess →
-glyph OCR → reassembly), {docs} documents at {args.sf_dir}.
+glyph OCR → reassembly), {docs} documents at {sf_dir}.
 
 Scaling evidence protocol (BASELINE.md): identical job, identical input,
 each parallelism level in its own JVM — the sandbox stand-in for N and 4N
@@ -112,7 +96,28 @@ Correctness gate: 100% span-sequence equality at sf0.01 via the DuckDB
 oracle (tools/check_oracle.py; driver CORRECTNESS_r*.json).
 """
         )
-    print(json.dumps(result))
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", default="4,8,16,32",
+                    help="comma-separated parallelism levels to measure")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--multiply", type=int, default=32,
+        help="corpus replication factor: makes the job compute-bound (the "
+             "100TB regime) instead of overhead-bound at sandbox scale")
+    args = ap.parse_args()
+    cores = sorted({int(c) for c in args.cores.split(",")})
+
+    runs: dict[int, dict] = {}
+    for c in cores:
+        b = run_bench(c, args.sf_dir, args.multiply)
+        t = b["queries"]["ocr_documento_completo"]
+        runs[c] = {"sec": t, "docs_per_sec": round(b["docs"] / t, 2), "docs": b["docs"]}
+
+    print(json.dumps(write_report(runs, args.sf_dir)))
 
 
 if __name__ == "__main__":
