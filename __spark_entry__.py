@@ -353,6 +353,66 @@ SELECT doc_id, lower(substr(ws[7], 1, 8)), 'no marcado', 'inciso', false FROM w
 # Relational operator family (SURVEY.md §2.2-2.6 analogues on TPC-H tables)
 # --------------------------------------------------------------------------
 
+def q_checkbox_nearest_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's nearest-ABOVE checkbox↔text join
+    (/root/reference/preprocessing/checkbox.py:157-190) as a genuinely
+    distributed DataFrame op over deterministic synthetic geometry: text
+    regions strictly above the checkbox center within 100 px, argmin
+    distance, '' / -1 defaults when no candidate (doc-dependent for the
+    third checkbox — both branches exercised)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim("text"), " ").alias("ws"),
+    )
+    cbs = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("cb_id")
+    ).select(
+        "doc_id", F.col("cb_id").cast("long").alias("cb_id")
+    ).withColumn("cb_center", F.lit(120) + 90 * F.col("cb_id") + F.col("doc_id") % 7)
+    trs = docs.select(
+        "doc_id", "ws", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("tr_id")
+    ).select(
+        "doc_id",
+        (F.lit(30) + 55 * F.col("tr_id").cast("long") + F.col("doc_id") % 11).alias("tr_center"),
+        F.col("ws")[F.col("tr_id")].alias("tr_text"),
+    )
+    dist = F.col("cb_center") - F.col("tr_center")
+    cand = cbs.join(trs, "doc_id").filter((F.col("tr_center") < F.col("cb_center")) & (dist < 100))
+    best = cand.groupBy("doc_id", "cb_id").agg(
+        F.min_by("tr_text", dist).alias("best_text"),
+        F.min(dist).alias("best_dist"),
+    )
+    return cbs.join(best, ["doc_id", "cb_id"], "left").select(
+        "doc_id",
+        "cb_id",
+        F.coalesce("best_text", F.lit("")).alias("associated_text"),
+        F.coalesce("best_dist", F.lit(-1)).cast("long").alias("distance"),
+    )
+
+
+ORACLE_CHECKBOX_NEAREST = """
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+cb AS (SELECT doc_id, unnest(range(3)) AS cb_id FROM d),
+cbc AS (SELECT doc_id, cb_id, 120 + 90 * cb_id + doc_id % 7 AS cb_center FROM cb),
+tr AS (SELECT doc_id, unnest(range(4)) AS tr_id, ws FROM d),
+trc AS (SELECT doc_id, 30 + 55 * tr_id + doc_id % 11 AS tr_center,
+               ws[CAST(tr_id + 1 AS BIGINT)] AS tr_text FROM tr),
+best AS (
+  SELECT c.doc_id, c.cb_id,
+         arg_min(t.tr_text, c.cb_center - t.tr_center) AS best_text,
+         min(c.cb_center - t.tr_center) AS best_dist
+  FROM cbc c JOIN trc t
+    ON c.doc_id = t.doc_id AND t.tr_center < c.cb_center
+   AND c.cb_center - t.tr_center < 100
+  GROUP BY 1, 2
+)
+SELECT c.doc_id, CAST(c.cb_id AS BIGINT) AS cb_id,
+       coalesce(b.best_text, '') AS associated_text,
+       CAST(coalesce(b.best_dist, -1) AS BIGINT) AS distance
+FROM cbc c LEFT JOIN best b ON c.doc_id = b.doc_id AND c.cb_id = b.cb_id
+"""
+
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-flavor aggregation; money quantized to cents so sums are
     integer-exact in both engines (partial agg map-side; one shuffle)."""
@@ -797,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "estructurar_texto": q_estructurar_texto,
         "limpiar_texto": q_limpiar_texto,
         "checkbox_qa": q_checkbox_qa,
+        "checkbox_nearest_text": q_checkbox_nearest_text,
         # relational operator family
         "agg_pricing_summary": q_agg_pricing_summary,
         "rollup_pricing": q_rollup_pricing,
@@ -834,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "estructurar_texto": ORACLE_ESTRUCTURAR,
         "limpiar_texto": ORACLE_LIMPIAR,
         "checkbox_qa": ORACLE_CHECKBOX_QA,
+        "checkbox_nearest_text": ORACLE_CHECKBOX_NEAREST,
         "agg_pricing_summary": ORACLE_AGG_PRICING,
         "rollup_pricing": ORACLE_ROLLUP_PRICING,
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
