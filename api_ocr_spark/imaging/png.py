@@ -96,3 +96,14 @@ def decode_gray(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
     return out
+
+
+def decode_gray_auto(data: bytes):
+    """Magic-sniffing grayscale decode: PNG (\\x89PNG) or baseline JPEG
+    (\\xff\\xd8) — the media-store path accepts either format
+    (/root/reference's read_image handles any cv2-decodable upload)."""
+    if bytes(data[:2]) == b"\xff\xd8":
+        from . import jpeg as _jpeg
+
+        return _jpeg.decode_gray_jpeg(bytes(data))
+    return decode_gray(data)

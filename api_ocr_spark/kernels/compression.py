@@ -1,47 +1,72 @@
 """Image compression — the engine twin of the reference's ImageCompressor
 (/root/reference/preprocessing/compression.py:10-117).
 
-Reference semantics: cap max dimension at 1200 (INTER_AREA), then walk a JPEG
-quality ladder 95→15 (floor 75) re-encoding until the payload fits the MB
-budget, decoding the winner back so downstream OCR sees the compressed
-pixels (lossy — pixel-affecting, compression.py:70-100).
+Reference semantics, now reproduced with a REAL baseline JPEG codec
+(imaging/jpeg.py — pure numpy + stdlib, written for this engine since the
+container has no cv2/PIL): cap max dimension at 1200, then walk the quality
+ladder [95, 85, 75, ...] stopping below min_quality=75, accepting the first
+rung that fits the byte budget and otherwise keeping the best (smallest)
+rung seen — decoding the winner back so downstream OCR sees the compressed
+pixels (lossy, exactly like the reference).
 
-Deviation (documented): no JPEG codec exists in this environment (no
-cv2/PIL), so the ladder walks zlib/PNG compression levels 1→9 instead —
-same byte-budget contract and the same decode-back step, but lossless, so
-OCR pixels are unchanged. The dimension-cap half of the reference's
-behavior (which *is* pixel-affecting) is reproduced exactly.
+The earlier PNG-level ladder survives as method='png' (lossless; the right
+choice when the corpus contract requires pixel-exact OCR downstream).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..imaging import png
+from ..imaging import jpeg, png
 from .enhance import cap_max_dimension
 
 MAX_DIMENSION = 1200  # /root/reference/preprocessing/compression.py:16
-PNG_LEVEL_LADDER = tuple(range(1, 10))  # stands in for JPEG 95→15 (floor 75)
+JPEG_QUALITY_LADDER = (95, 85, 75, 65, 55, 45, 35, 25, 15)  # compression.py:75
+MIN_QUALITY = 75  # compression.py:71 — ladder stops below this
+PNG_LEVEL_LADDER = tuple(range(1, 10))
 
 
 def compress_image(
-    img: np.ndarray, target_mb: float = 1.0, max_dimension: int = MAX_DIMENSION
+    img: np.ndarray,
+    target_mb: float = 1.0,
+    max_dimension: int = MAX_DIMENSION,
+    method: str = "jpeg",
 ) -> tuple[np.ndarray, bytes, dict]:
-    """Returns (decoded_back_image, encoded_bytes, info). Walks the ladder
-    until the encoded payload fits target_mb; keeps the last rung otherwise
-    (the reference's floor-quality fallback, compression.py:92-100)."""
+    """Returns (decoded_back_image, encoded_bytes, info).
+
+    method='jpeg' (default — reference-exact ladder semantics): first
+    quality >= MIN_QUALITY whose payload fits target_mb wins; if none fits,
+    the smallest payload seen wins (the reference's best-result fallback,
+    compression.py:95-100). method='png' walks zlib levels 1→9 (lossless)."""
     capped = cap_max_dimension(img, max_dimension)
     target_bytes = int(target_mb * 1024 * 1024)
-    encoded = b""
-    level = PNG_LEVEL_LADDER[0]
-    for level in PNG_LEVEL_LADDER:
-        encoded = png.encode_gray(capped, compress_level=level)
-        if len(encoded) <= target_bytes:
+    if method == "png":
+        encoded = b""
+        level = PNG_LEVEL_LADDER[0]
+        for level in PNG_LEVEL_LADDER:
+            encoded = png.encode_gray(capped, compress_level=level)
+            if len(encoded) <= target_bytes:
+                break
+        return png.decode_gray(encoded), encoded, {
+            "method": "png", "level": level, "bytes": len(encoded),
+            "fit": len(encoded) <= target_bytes,
+            "resized": capped.shape != img.shape[:2],
+        }
+    best: bytes | None = None
+    best_q = None
+    for q in JPEG_QUALITY_LADDER:
+        if q < MIN_QUALITY:
             break
-    decoded = png.decode_gray(encoded)
-    return decoded, encoded, {
-        "level": level,
-        "bytes": len(encoded),
-        "fit": len(encoded) <= target_bytes,
-        "resized": capped.shape != img.shape[:2],
+        encoded = jpeg.encode_gray_jpeg(capped, quality=q)
+        if len(encoded) <= target_bytes:
+            return jpeg.decode_gray_jpeg(encoded), encoded, {
+                "method": "jpeg", "quality": q, "bytes": len(encoded),
+                "fit": True, "resized": capped.shape != img.shape[:2],
+            }
+        if best is None or len(encoded) < len(best):
+            best, best_q = encoded, q
+    assert best is not None
+    return jpeg.decode_gray_jpeg(best), best, {
+        "method": "jpeg", "quality": best_q, "bytes": len(best),
+        "fit": False, "resized": capped.shape != img.shape[:2],
     }

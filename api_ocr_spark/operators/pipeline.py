@@ -75,7 +75,7 @@ def _make_ocr_udf(mode: str):
             ):
                 t0 = time.perf_counter()
                 try:
-                    gray = png_codec.decode_gray(bytes(data))
+                    gray = png_codec.decode_gray_auto(bytes(data))
                     result = mode_lib.run_mode(gray, mode)
                     text = result.get("text", "")
                     route = result.get("route", mode)

@@ -16,11 +16,60 @@ def test_compress_image_caps_dimension_and_fits_budget():
     assert len(encoded) <= 1024 * 1024
 
 
-def test_compress_image_lossless_roundtrip():
+def test_compress_image_lossless_png_method():
     img = render.render_text_image("compress me please", "plain", 0)
-    decoded, _, info = compression.compress_image(img, target_mb=10.0)
-    assert np.array_equal(decoded, img)  # PNG ladder is lossless (documented deviation)
-    assert not info["resized"]
+    decoded, _, info = compression.compress_image(img, target_mb=10.0, method="png")
+    assert np.array_equal(decoded, img)  # PNG ladder is lossless
+    assert not info["resized"] and info["method"] == "png"
+
+
+def test_compress_image_jpeg_ladder_reference_semantics():
+    img = render.render_text_image("compress me with the real jpeg ladder", "plain", 0)
+    # roomy budget → first rung (quality 95) wins
+    decoded, encoded, info = compression.compress_image(img, target_mb=10.0)
+    assert info == {"method": "jpeg", "quality": 95, "bytes": len(encoded),
+                    "fit": True, "resized": False}
+    assert encoded[:2] == b"\xff\xd8" and encoded[-2:] == b"\xff\xd9"
+    # impossible budget → best (smallest) rung >= min_quality 75 kept,
+    # exactly the reference's fallback (compression.py:71,95-100)
+    _, enc2, info2 = compression.compress_image(img, target_mb=1e-5)
+    assert info2["fit"] is False and info2["quality"] in (95, 85, 75)
+    # the decoded-back pixels still binarize to the SAME ink mask → OCR exact
+    from api_ocr_spark.kernels import enhance as enh
+    assert np.array_equal(enh.binarize_otsu(decoded) > 0, enh.binarize_otsu(img) > 0)
+
+
+def test_jpeg_codec_roundtrip_properties():
+    from api_ocr_spark.imaging import jpeg
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (37, 61)).astype(np.uint8)  # non-multiple-of-8 dims
+    prev_psnr = 0.0
+    prev_size = 10**9
+    for q in (15, 50, 75, 95):
+        data = jpeg.encode_gray_jpeg(img, q)
+        dec = jpeg.decode_gray_jpeg(data)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        mse = float(((dec.astype(float) - img) ** 2).mean())
+        psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+        assert psnr > prev_psnr  # quality is monotone in PSNR
+        prev_psnr = psnr
+        _ = prev_size
+    # constant image survives exactly (DC-only blocks)
+    flat = np.full((16, 24), 131, np.uint8)
+    assert np.array_equal(jpeg.decode_gray_jpeg(jpeg.encode_gray_jpeg(flat, 75)), flat)
+
+
+def test_ocr_exact_through_jpeg_roundtrip():
+    """Lossy JPEG at ladder qualities preserves the binarized ink mask of
+    rendered pages — measured property backing the jpg media-store path."""
+    from api_ocr_spark.imaging import jpeg
+    from api_ocr_spark.kernels import enhance as enh
+    from api_ocr_spark.ocr import engine as eng
+    page = render.render_text_image("the quick brown fox 12:30 jumps", "noisy", 7)
+    for q in (95, 85):
+        dec = jpeg.decode_gray_jpeg(jpeg.encode_gray_jpeg(page, q))
+        assert eng.ocr_image(dec) == eng.ocr_image(page), q
+        assert np.array_equal(enh.binarize_otsu(dec) > 0, enh.binarize_otsu(page) > 0)
 
 
 def test_pdf_from_words_valid_and_searchable():

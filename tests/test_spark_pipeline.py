@@ -266,3 +266,33 @@ def test_reassembly_reducer_balance_on_media_heavy_doc(spark):
     got = {r["doc_id"]: r["extracted_text"] for r in out.collect()}
     assert got["777000"] == " ".join(heavy_text.lower().split())
     assert len(got) == 5
+
+
+def test_extraction_exact_over_jpeg_media_store(spark):
+    """The media-store path accepts JPEG payloads: a store transcoded to
+    baseline JPEG (quality 90, imaging/jpeg.py) still extracts exactly —
+    the measured lossy-roundtrip ink-mask property end-to-end."""
+    import pandas as pd
+
+    rows = [(880000 + i, "jpeg media store words here all readable fine ok yes")
+            for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = interleave.build_media(docs)
+
+    def transcode(batches):
+        from api_ocr_spark.imaging import jpeg, png
+        for pdf in batches:
+            out = pdf.copy()
+            out["bytes"] = [
+                jpeg.encode_gray_jpeg(png.decode_gray(bytes(b)), quality=90)
+                for b in pdf["bytes"]
+            ]
+            out["fmt"] = "jpg"
+            yield out
+
+    jpg_media = media.mapInPandas(transcode, schema=media.schema)
+    spans = interleave.build_documents_spans(docs)
+    out = pipeline.extract_from_spans(spans, jpg_media, mode="basico")
+    got = {r["doc_id"]: r["extracted_text"] for r in out.collect()}
+    for i in range(5):
+        assert got[str(880000 + i)] == "jpeg media store words here all readable fine ok yes"
