@@ -101,3 +101,24 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_to_parquet(
+    spark: SparkSession, input_dir: str, out_dir: str, ckpt_dir: str,
+    mode: str = "documento_completo",
+) -> None:
+    """Drain all currently-available input into a parquet sink with a
+    CHECKPOINT LOCATION — the streaming twin of plans/checkpoint.py's
+    exactly-once story: a killed query restarted on the same checkpoint
+    resumes from its committed offsets, so already-processed files are never
+    re-OCR'd and never re-appended (asserted by the kill/restart test)."""
+    q = (
+        stream_ocr(spark, input_dir, mode)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

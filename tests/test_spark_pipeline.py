@@ -296,3 +296,39 @@ def test_extraction_exact_over_jpeg_media_store(spark):
     got = {r["doc_id"]: r["extracted_text"] for r in out.collect()}
     for i in range(5):
         assert got[str(880000 + i)] == "jpeg media store words here all readable fine ok yes"
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Streaming exactly-once across a kill/restart: the second run of the
+    same query (same checkpointLocation) processes ONLY files that arrived
+    after the first run — no span is OCR'd or appended twice."""
+    from api_ocr_spark.streaming import stream as st
+
+    rows = [(770000 + i, "stream restart words all readable here ok")
+            for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flat = interleave.flat_spans(docs)
+    media = interleave.build_media(docs)
+    joined = (
+        flat.filter(F.col("kind") == "media")
+        .select("doc_id", "offset", "media_ref")
+        .join(media.select("media_ref", "bytes"), "media_ref")
+        .withColumn("event_time", F.current_timestamp())
+        .select("doc_id", "offset", "media_ref", "bytes", "event_time")
+    ).cache()
+    total = joined.count()
+    first = joined.limit(total // 2).cache()
+    rest = joined.exceptAll(first)
+    in_dir = os.path.join(str(tmp_path), "sin")
+    out_dir = os.path.join(str(tmp_path), "sout")
+    ckpt = os.path.join(str(tmp_path), "sckpt")
+    first.write.mode("append").parquet(in_dir)
+    st.run_stream_to_parquet(spark, in_dir, out_dir, ckpt, mode="basico")
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == total // 2
+    # "kill": the query ended; more data arrives; restart on SAME checkpoint
+    rest.write.mode("append").parquet(in_dir)
+    st.run_stream_to_parquet(spark, in_dir, out_dir, ckpt, mode="basico")
+    out = spark.read.parquet(out_dir)
+    assert out.count() == total  # nothing reprocessed, nothing lost
+    assert out.select("doc_id", "offset").distinct().count() == total
