@@ -332,3 +332,17 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == total  # nothing reprocessed, nothing lost
     assert out.select("doc_id", "offset").distinct().count() == total
+
+
+def test_extraction_strategies_equal(spark, docs, golden):
+    """persist / unified / auto produce identical results (the strategy only
+    changes the physical plan shape)."""
+    outs = {
+        s: pipeline.extract_documents(docs, mode="basico", strategy=s)
+             .select("doc_id", "extracted_text")
+        for s in ("persist", "unified", "auto")
+    }
+    base = outs["persist"]
+    for s in ("unified", "auto"):
+        assert base.exceptAll(outs[s]).count() == 0
+        assert outs[s].count() == N_DOCS
