@@ -92,15 +92,29 @@ def run_segmentado(
     regions.sort(key=lambda r: (r["bbox"][1], r["bbox"][0]))  # reading order
     if not regions:
         return {"text": engine.ocr_image(deskewed, preprocess=False), "route": "segmentado_empty"}
-    # solid-ink regions (density ~1: ruling lines, separators) carry no text —
-    # the OCR engine would drop them as rule rows anyway; skip the call
-    texts = [
-        "" if (r["type"] == "line" and r["confidence"] > 0.9)
-        else engine.ocr_region(binary, r["bbox"])
-        for r in regions
-    ]
+    # ONE full-page recognition pass, then words assigned to regions by
+    # bbox-center containment — text-identical to per-region crop OCR (the
+    # engine binarizes globally, so a crop's words ARE the page's words
+    # restricted to the crop; proven by the media sweeps) at a fraction of
+    # the cost: per-region ocr_region calls re-ran banding/segmentation per
+    # crop, the dominant expense on ruled/boxed pages.
+    words_all = engine.get_text_data(deskewed, binary=binary)
+
+    def region_text(r: dict) -> str:
+        # solid-ink regions (density ~1: ruling lines, separators) carry no
+        # text — the OCR engine would drop them as rule rows anyway
+        if r["type"] == "line" and r["confidence"] > 0.9:
+            return ""
+        rx, ry, rw, rh = r["bbox"]
+        ws = [
+            w for w in words_all
+            if rx <= w["bbox"][0] + w["bbox"][2] / 2 < rx + rw
+            and ry <= w["bbox"][1] + w["bbox"][3] / 2 < ry + rh
+        ]
+        return "\n".join(ln["text"] for ln in engine.group_words_into_lines(ws))
+
     return {
-        "text": "\n".join(t for t in texts),
+        "text": "\n".join(region_text(r) for r in regions),
         "route": "segmentado",
         "n_regions": len(regions),
     }
