@@ -776,6 +776,53 @@ FROM d
 """
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling — the reproducible
+    down-sampling op a training-data pipeline runs per source/language:
+    hash-bucket each doc (md5_bucket, identical in both engines) and keep
+    language-dependent rates (en 50%, es 20%, unknown 10%). rand(seed) would
+    NOT be oracle-checkable (engine-private stream); the hash bucket is."""
+    docs = _docs(spark, sf_dir)
+    lang = T.lang_guess(F.col("text"))
+    bucket = T.md5_bucket(F.col("doc_id").cast("string"), 100)
+    rate = (
+        F.when(lang == "en", F.lit(50))
+        .when(lang == "es", F.lit(20))
+        .otherwise(F.lit(10))
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            lang.alias("lang"),
+            bucket.alias("bucket"),
+            T.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+        )
+        .filter(F.col("bucket") < rate)
+    )
+
+
+ORACLE_CORPUS_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS ws,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+         CASE WHEN len(list_filter(string_split({_NORM_SQL}, ' '), x -> x IN ('the','a','of')))
+                   > len(list_filter(string_split({_NORM_SQL}, ' '), x -> x IN ('de','la','el'))) THEN 'en'
+              WHEN len(list_filter(string_split({_NORM_SQL}, ' '), x -> x IN ('de','la','el')))
+                   > len(list_filter(string_split({_NORM_SQL}, ' '), x -> x IN ('the','a','of'))) THEN 'es'
+              WHEN len(list_filter(string_split({_NORM_SQL}, ' '), x -> x IN ('the','a','of'))) > 0 THEN 'en'
+              ELSE 'unknown' END AS lang
+  FROM documents
+)
+SELECT doc_id, lang, bucket,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(ws, x -> CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT))),
+         (acc, hx) -> (acc * 31 + hx) % 2147483647) AS rolling_fp
+FROM d
+WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 ELSE 10 END)
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         load_table(spark, sf_dir, "embeddings"), k=5, n_queries=8)
@@ -875,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "text_stats": q_text_stats,
+        "corpus_sample": q_corpus_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
@@ -909,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
         "simhash": ORACLE_SIMHASH,
         "text_stats": ORACLE_TEXT_STATS,
+        "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
         # minhash_lsh_neardup / simhash_neardup / lsh_embedding_neardup:

@@ -161,6 +161,31 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalize_ws(F.lower(col)))
 
 
+def md5_bucket(col: Column, n: int) -> Column:
+    """Deterministic hash bucket in [0, n): the first 8 hex digits of
+    md5(col) parsed as an integer, mod n. The engine's reproducible-sampling
+    primitive — DuckDB computes the identical value via
+    CAST('0x'||substr(md5(x),1,8) AS BIGINT) % n, so sampled subsets are
+    oracle-checkable (unlike rand(seed), whose stream is engine-private)."""
+    return F.pmod(F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), F.lit(n))
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Rolling (polynomial) document fingerprint over the token stream:
+    h ← (h·31 + md5_28bits(token)) mod (2³¹−1). Order-sensitive (unlike the
+    flat md5), so re-ordered near-copies fingerprint differently — the
+    Rabin-Karp-style rolling hash a training-data pipeline uses for
+    order-aware dedup. Arithmetic stays < 2³⁶, safely inside BIGINT in both
+    engines (DuckDB raises on BIGINT overflow; Spark would wrap silently —
+    the bound keeps the fold identical)."""
+    t = tokens(col)
+    tok_h = lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        t, F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + tok_h(x), F.lit(2147483647)),
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite quality score: length saturation + lexical diversity +
     stopword sanity. Deterministic, SQL-reproducible (integer/ratio algebra).

@@ -167,3 +167,30 @@ def test_ivf_topk_table_matches_literal(vectors):
     tab = {(r.query_id, r.rank): r.neighbor_id
            for r in similarity.ivf_topk_table(vectors, k=3, n_queries=4, n_centroids=4).collect()}
     assert lit == tab
+
+
+def test_md5_bucket_and_rolling_fingerprint(spark):
+    from api_ocr_spark.functions import text as T
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",), ("totally different words",)],
+        "t string")
+    rows = df.select(
+        T.md5_bucket(F.col("t"), 100).alias("b"),
+        T.rolling_fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    assert all(0 <= r.b < 100 for r in rows)
+    fps = [r.fp for r in rows]
+    assert fps[0] == fps[2]          # deterministic
+    assert fps[0] != fps[1]          # ORDER-sensitive (same tokens reordered)
+    assert fps[0] != fps[3]
+    assert all(0 <= f < 2147483647 for f in fps)
+
+
+def test_md5_bucket_roughly_uniform(spark):
+    from api_ocr_spark.functions import text as T
+    df = spark.range(2000).select(F.col("id").cast("string").alias("t"))
+    counts = (df.select(T.md5_bucket(F.col("t"), 10).alias("b"))
+              .groupBy("b").count().collect())
+    assert len(counts) == 10
+    ns = [r["count"] for r in counts]
+    assert min(ns) > 2000 / 10 * 0.7 and max(ns) < 2000 / 10 * 1.3
