@@ -32,6 +32,7 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "simhash",
     "neardup_clusters",
+    "corpus_sample",
     "text_stats",
     "ann_cosine_topk",
     "lsh_embedding_neardup",
