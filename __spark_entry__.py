@@ -286,6 +286,11 @@ def q_checkbox_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             return association.build_question_answer_pairs(
                 cbs, engine.group_words_into_lines(wds))
 
+        # the orphan-only form is doc-independent: render + QA it ONCE per
+        # task (it must emit zero pairs; re-rendering per doc was pure waste)
+        orphan_img, _ = render_form(
+            [{"label": None, "marked": False, "kind": "square", "y": 0}])
+        orphan_pairs = qa_of(orphan_img)
         for pdf in batches:
             out = {"doc_id": [], "pregunta": [], "respuesta": [], "tipo": [],
                    "corregido": []}
@@ -305,9 +310,7 @@ def q_checkbox_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "inciso_char": "b"},
                 ]
                 img, _ = render_form(rows)
-                orphan_img, _ = render_form(
-                    [{"label": None, "marked": False, "kind": "square", "y": 0}])
-                for p in qa_of(img) + qa_of(orphan_img):
+                for p in qa_of(img) + orphan_pairs:
                     out["doc_id"].append(d)
                     out["pregunta"].append(p["pregunta"])
                     out["respuesta"].append(p["respuesta"])
@@ -875,8 +878,10 @@ def q_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse-quantizer probe — the 100 TB ANN path;
     approximate by design → rows-only check; recall asserted in tests on
-    clustered fixtures)."""
-    return similarity.ivf_topk(
+    clustered fixtures). Wired to the TABLE-codebook variant (broadcast
+    codebook join): the literal-expression form grows the plan O(k·d) and is
+    kept only as the small-k reference twin (equality asserted in tests)."""
+    return similarity.ivf_topk_table(
         load_table(spark, sf_dir, "embeddings"), k=5, n_queries=8,
         n_centroids=16, n_probe=4)
 

@@ -36,8 +36,14 @@ def compress_image(
 
     method='jpeg' (default — reference-exact ladder semantics): first
     quality >= MIN_QUALITY whose payload fits target_mb wins; if none fits,
-    the smallest payload seen wins (the reference's best-result fallback,
-    compression.py:95-100). method='png' walks zlib levels 1→9 (lossless)."""
+    the best-result fallback seeds with the ORIGINAL (capped) pixels at the
+    quality-85 size estimate exactly like the reference
+    (compression.py:73-100 seeds best_result=image /
+    best_size=_estimate_size(image)): a rung replaces the seed only when
+    strictly smaller than that estimate, otherwise the UNCOMPRESSED pixels
+    come back (info['fallback']='original'; the bytes field then carries the
+    q85 estimate encoding, since the reference returns pixels only).
+    method='png' walks zlib levels 1→9 (lossless)."""
     capped = cap_max_dimension(img, max_dimension)
     target_bytes = int(target_mb * 1024 * 1024)
     if method == "png":
@@ -52,8 +58,11 @@ def compress_image(
             "fit": len(encoded) <= target_bytes,
             "resized": capped.shape != img.shape[:2],
         }
-    best: bytes | None = None
-    best_q = None
+    # reference seed: best_result = original image at the q85 size estimate
+    # (_estimate_size, compression.py:102-107) — if no rung beats it, the
+    # uncompressed pixels win
+    estimate = jpeg.encode_gray_jpeg(capped, quality=85)
+    best, best_q, best_size = estimate, None, len(estimate)
     for q in JPEG_QUALITY_LADDER:
         if q < MIN_QUALITY:
             break
@@ -63,9 +72,14 @@ def compress_image(
                 "method": "jpeg", "quality": q, "bytes": len(encoded),
                 "fit": True, "resized": capped.shape != img.shape[:2],
             }
-        if best is None or len(encoded) < len(best):
-            best, best_q = encoded, q
-    assert best is not None
+        if len(encoded) < best_size:
+            best, best_q, best_size = encoded, q, len(encoded)
+    if best_q is None:
+        return capped, estimate, {
+            "method": "jpeg", "quality": None, "bytes": len(estimate),
+            "fit": False, "fallback": "original",
+            "resized": capped.shape != img.shape[:2],
+        }
     return jpeg.decode_gray_jpeg(best), best, {
         "method": "jpeg", "quality": best_q, "bytes": len(best),
         "fit": False, "resized": capped.shape != img.shape[:2],

@@ -177,8 +177,10 @@ def _make_span_udf(mode: str):
                 "n_words", "mean_conf", "ocr_ms", "partition_id")
         def passthrough(tp: pd.DataFrame) -> pd.DataFrame:
             # text rows pass through VECTORIZED — no per-row Python (they
-            # are ~2/3 of all spans; chunks are single-spaced by
-            # construction so count(' ')+1 == len(split()))
+            # are ~2/3 of all spans). n_words uses split() semantics
+            # (str.split with no pattern collapses whitespace runs and
+            # drops empties) so metrics agree with the media path and the
+            # 'persist' strategy on multi-space/empty chunks.
             return pd.DataFrame(
                 {
                     "doc_id": tp["doc_id"],
@@ -187,7 +189,7 @@ def _make_span_udf(mode: str):
                     "media_ref": tp["media_ref"],
                     "text": tp["chunk"],
                     "route": "text",
-                    "n_words": (tp["chunk"].str.count(" ") + 1).astype("int64"),
+                    "n_words": tp["chunk"].str.split().str.len().fillna(0).astype("int64"),
                     "mean_conf": 0.0,
                     "ocr_ms": 0.0,
                     "partition_id": pid,
@@ -273,9 +275,31 @@ def ocr_media_spans(
 # strategy='auto' crossover: below this corpus size the persist's
 # materialization overhead exceeds what the cache saves (measured: 5k docs →
 # unified ~4.0s vs persist ~5.0s at 32 cores; 120k docs → persist 1623 vs
-# unified 1390 docs/s at 16 cores). The count() that decides is a cheap
-# metadata/short job relative to either pipeline.
+# unified 1390 docs/s at 16 cores). The probe that decides is a
+# limit(N).count() — it stops scanning after N rows, so the decision job is
+# O(crossover), never a full pass over an arbitrary source plan.
 AUTO_PERSIST_MIN_DOCS = 50_000
+
+# Persisted flat-spans stages handed out by extract_documents. Spark only
+# reclaims them when the ContextCleaner GCs the plan, so long-lived sessions
+# that extract many corpora should call release_persisted() between runs
+# (bench.py does). Entries are (weakly) the DataFrames themselves — small.
+_PERSISTED: list = []
+
+
+def release_persisted() -> int:
+    """Unpersist every cached flat-spans stage handed out so far (safe after
+    the caller's terminal action; lazily re-computed if a plan is re-run).
+    Returns the number of stages released."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return n
 
 NORMALIZE = "regexp_replace(trim(x), '\\\\s+', ' ')"
 
@@ -413,9 +437,11 @@ def extract_documents(
         if salt_partitions is None:
             salt_partitions = 2 * flat.sparkSession.sparkContext.defaultParallelism
         if strategy == "auto":
-            strategy = (
-                "persist" if documents.count() >= AUTO_PERSIST_MIN_DOCS else "unified"
-            )
+            # bounded probe: limit(N).count() short-circuits at N rows, so
+            # the decision costs O(AUTO_PERSIST_MIN_DOCS) on ANY source plan
+            # (a bare count() would be a full pass on non-parquet sources)
+            probe = documents.limit(AUTO_PERSIST_MIN_DOCS).count()
+            strategy = "persist" if probe >= AUTO_PERSIST_MIN_DOCS else "unified"
         if strategy == "unified":
             # sortWithinPartitions makes Arrow batches kind-homogeneous, so
             # the UDF's text fast path sees whole batches (no masking)
@@ -425,6 +451,7 @@ def extract_documents(
             out = spans.mapInPandas(_make_span_udf(mode), schema=SPAN_OUT_SCHEMA)
             return reassemble_unified(out)
         flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(flat)  # reclaimable via release_persisted()
         media_rows = (
             flat.filter(F.col("kind") == "media")
             .select("doc_id", "doc_num", "offset", "chunk", "media_ref")

@@ -142,15 +142,31 @@ def read_output(spark: SparkSession, base_dir: str, run_group: str | None = None
     """Committed output only: semi-join the bucket-partitioned output on
     lineage's done buckets, so an output directory whose lineage row never
     landed (kill between commit and lineage) is excluded until its bucket is
-    reprocessed."""
+    reprocessed.
+
+    `run_group` must match the writer's: output bucket directories are
+    overwritten by whichever run_group last processed them, so done-bucket
+    visibility is only exactly-once when reader and writer agree on the
+    group. With run_group=None the group is AUTO-DETECTED from lineage — a
+    base_dir belongs to exactly one run_group, and a base_dir whose lineage
+    shows several groups raises (unioning groups could expose a bucket
+    committed under an older group whose directory now holds a newer group's
+    rows)."""
     out = spark.read.parquet(os.path.join(base_dir, "output"))
     try:
         lin = spark.read.parquet(os.path.join(base_dir, "lineage"))
     except Exception:  # noqa: BLE001 — no lineage: nothing is committed
         return out.limit(0)
     lin = lin.filter(F.col("status") == "done")
-    if run_group is not None:
-        lin = lin.filter(F.col("run_group") == run_group)
+    if run_group is None:
+        groups = [r.run_group for r in lin.select("run_group").distinct().collect()]
+        if len(groups) > 1:
+            raise ValueError(
+                f"{base_dir} has lineage for multiple run_groups {sorted(groups)}; "
+                "pass run_group= explicitly (bucket directories hold only the "
+                "LAST group's rows, so unioning groups is not exactly-once)")
+        run_group = groups[0] if groups else "default"
+    lin = lin.filter(F.col("run_group") == run_group)
     done = lin.select("bucket").distinct()
     return out.join(F.broadcast(done), "bucket", "left_semi")
 

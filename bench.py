@@ -105,6 +105,11 @@ def main() -> None:
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3)
+        # reclaim any persisted flat-spans stage between queries (long-lived
+        # sessions would otherwise accumulate caches)
+        from api_ocr_spark.operators.pipeline import release_persisted
+
+        release_persisted()
     flagship = timings.get("ocr_documento_completo")
     docs_per_sec = round(n_docs / flagship, 2) if flagship else None
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -39,6 +39,18 @@ def test_compress_image_jpeg_ladder_reference_semantics():
     assert np.array_equal(enh.binarize_otsu(decoded) > 0, enh.binarize_otsu(img) > 0)
 
 
+def test_compress_image_no_fit_seeds_with_original():
+    """Reference fallback seed (compression.py:73-76,95-100): best_result
+    starts as the ORIGINAL image at the q85 size estimate — when no rung is
+    strictly smaller (constant image: all rungs encode identically), the
+    UNCOMPRESSED pixels come back."""
+    flat = np.full((32, 32), 131, np.uint8)
+    decoded, _, info = compression.compress_image(flat, target_mb=1e-9)
+    assert info["fit"] is False and info.get("fallback") == "original"
+    assert info["quality"] is None
+    assert np.array_equal(decoded, flat)  # original pixels, not decoded JPEG
+
+
 def test_jpeg_codec_roundtrip_properties():
     from api_ocr_spark.imaging import jpeg
     rng = np.random.default_rng(1)

@@ -38,7 +38,10 @@ def test_ivf_assign_groups_clusters(clustered):
 
 
 def test_ivf_topk_recall_on_clustered(clustered):
-    ivf = similarity.ivf_topk(clustered, k=5, n_queries=6, n_centroids=4, n_probe=1)
+    # recall asserted on the TABLE-codebook variant — the plan-size-safe form
+    # wired into __spark_entry__.q_ivf_ann_topk (the literal-expression twin
+    # is equality-checked against it in test_dedup_similarity)
+    ivf = similarity.ivf_topk_table(clustered, k=5, n_queries=6, n_centroids=4, n_probe=1)
     brute = similarity.brute_force_topk(clustered, k=5, n_queries=6)
     ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     brute_set = {(r.query_id, r.neighbor_id) for r in brute.collect()}
