@@ -851,14 +851,35 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.8, max_vec_id=300)
+    """Exact cosine near-dup over the PLANTED-augmented corpus: the synthetic
+    embeddings fixture has NO pair with cosine >= 0.8 (measured max 0.51 at
+    sf0.01 / 0.60 at sf0.1), so the bare query was vacuously green (0 == 0).
+    augment_with_planted unions in deterministic negated-coordinate copies
+    (cos ≈ 0.95-0.99) — expressed identically in the oracle SQL — so the
+    equality check now discriminates."""
+    base = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    aug = similarity.augment_with_planted(base)
+    return similarity.neardup_pairs(aug, threshold=0.8)
 
 
-ORACLE_EMBEDDING_NEARDUP = """
-WITH q AS (
+# the augmentation CTE — the SQL twin of similarity.augment_with_planted
+# (every=20, id_offset=500000; negation is float-exact, so both engines
+# quantize identical values)
+_AUG_SQL = """
+aug AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + 500000 AS vec_id,
+         list_concat([-embedding[1]], embedding[2:]) AS embedding
+  FROM base WHERE vec_id % 20 = 0
+)"""
+
+ORACLE_EMBEDDING_NEARDUP = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+{_AUG_SQL},
+q AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
-  FROM embeddings WHERE vec_id < 300
+  FROM aug
 ), n AS (
   SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q
 )
@@ -870,9 +891,46 @@ WHERE round(list_dot_product(a.qv, b.qv) / sqrt(a.norm2 * b.norm2), 6) >= 0.8
 
 
 def q_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed near-dup (ANN semantics → rows-only check)."""
-    return similarity.lsh_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.8)
+    """Sign-LSH bucketed near-dup over the planted-augmented corpus — now
+    FULLY oracle-checked: the hyperplanes are md5-derived
+    (similarity.lsh_hyperplanes), so the DuckDB oracle re-derives the same
+    planes in SQL and replicates the entire pipeline (bucket → meet →
+    exact-cosine verify). Equality holds whatever the LSH recall is, because
+    the oracle computes the same buckets — recall itself is measured in
+    tests/test_dedup_similarity.py on planted pairs."""
+    aug = similarity.augment_with_planted(load_table(spark, sf_dir, "embeddings"))
+    return similarity.lsh_neardup_pairs(aug, threshold=0.8)
+
+
+# full algorithmic twin of similarity.lsh_neardup_pairs: md5-derived planes,
+# sign-bucket, within-bucket meet, exact integer-dot cosine verify
+ORACLE_LSH_EMBEDDING_NEARDUP = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+{_AUG_SQL},
+q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM aug
+), n AS (
+  SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q
+), planes AS (
+  SELECT j, list_transform(range(0, 64), i ->
+           CASE WHEN substr(md5('p{similarity.LSH_SEED}_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS plane
+  FROM (SELECT unnest(range({similarity.LSH_BITS})) AS j)
+), bucketed AS (
+  SELECT n.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(n.qv, p.plane) > 0
+                       THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS INTEGER) AS bucket
+  FROM n CROSS JOIN planes p
+  GROUP BY n.vec_id
+), nb AS (
+  SELECT n.vec_id, n.qv, n.norm2, b.bucket FROM n JOIN bucketed b ON n.vec_id = b.vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.qv, b.qv) / sqrt(a.norm2 * b.norm2), 6) AS cos
+FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.qv, b.qv) / sqrt(a.norm2 * b.norm2), 6) >= 0.8
+"""
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,6 +1023,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
-        # minhash_lsh_neardup / simhash_neardup / lsh_embedding_neardup:
-        # probabilistic-recall or blocked variants → rows-only checks
+        "lsh_embedding_neardup": ORACLE_LSH_EMBEDDING_NEARDUP,
+        # minhash_lsh_neardup / simhash_neardup: see their oracles below
     }

@@ -15,7 +15,6 @@ JVM-side (zip_with/aggregate folds; the hyperplanes are literal arrays).
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,9 +87,46 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.9, max_vec_id: int | None
 
 
 def lsh_hyperplanes(dim: int = 64, bits: int = LSH_BITS, seed: int = LSH_SEED) -> list[list[int]]:
-    """Deterministic ±1 hyperplanes (seeded; literal arrays in the plan)."""
-    rng = np.random.default_rng(seed)
-    return (rng.integers(0, 2, size=(bits, dim)) * 2 - 1).tolist()
+    """Deterministic ±1 hyperplanes, md5-DERIVED (not RNG-seeded): component
+    (j, i) is +1 iff the first hex digit of md5('p{seed}_{j}_{i}') has its
+    high bit set. md5 is the one hash all three engines share (Python
+    hashlib here, F.md5 in Spark, md5() in DuckDB), so the ORACLE can
+    re-derive the planes in SQL and replicate the whole sign-LSH pipeline —
+    the md5_bucket sampling trick generalized to geometry (a seeded numpy
+    RNG would make the bucketing engine-private, i.e. only rows-checkable).
+    """
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"p{seed}_{j}_{i}".encode()).hexdigest()[0], 16) >= 8
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def augment_with_planted(emb: DataFrame, every: int = 20, id_offset: int = 500_000) -> DataFrame:
+    """Union the corpus with deterministic planted NEAR-duplicates: every
+    `every`-th vector is copied to vec_id + id_offset with its first
+    coordinate negated — cosine vs the source is 1 − 2·x₀²/‖v‖² ≈ 0.95-0.99,
+    comfortably above the 0.8 near-dup threshold while no natural pair
+    reaches it (measured max natural cosine: 0.51 at sf0.01, 0.60 at sf0.1).
+    The synthetic embeddings fixture has no near-dup pairs at all, which made
+    the near-dup oracles vacuously green (0 == 0 rows); this augmentation is
+    expressed identically in the DuckDB oracle SQL (negation is float-exact,
+    so both engines quantize the same values) and makes them discriminating.
+    """
+    e = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    planted = e.filter(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + id_offset).alias("vec_id"),
+        F.concat(
+            F.array(-F.col("embedding")[0]),
+            F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return e.unionByName(planted)
 
 
 def lsh_bucket(qvec: Column, planes: list[list[int]]) -> Column:

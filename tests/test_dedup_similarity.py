@@ -143,6 +143,39 @@ def test_subword_count(spark):
     assert got == [4, 5, 6, 0]
 
 
+def test_lsh_hyperplanes_match_duckdb_derivation():
+    """The md5-derived planes must be re-derivable in DuckDB SQL — the
+    property the full lsh_embedding_neardup oracle rests on."""
+    import duckdb
+
+    planes = similarity.lsh_hyperplanes(dim=16, bits=4)
+    sql = duckdb.sql(f"""
+      SELECT j, list_transform(range(0, 16), i ->
+               CASE WHEN substr(md5('p{similarity.LSH_SEED}_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS plane
+      FROM (SELECT unnest(range(4)) AS j) ORDER BY j
+    """).fetchall()
+    assert [list(r[1]) for r in sql] == planes
+
+
+def test_augment_with_planted_creates_neardups(vectors, spark):
+    """Planted negated-coordinate copies score cosine >= 0.8 vs their source
+    (the de-vacuation contract), and the LSH path's measured recall on them
+    is logged."""
+    aug = similarity.augment_with_planted(vectors, every=2, id_offset=1000)
+    exact = {(r.vec_a, r.vec_b): r.cos
+             for r in similarity.neardup_pairs(aug, threshold=0.8).collect()}
+    planted = {(v, v + 1000) for v in range(0, vectors.count(), 2)}
+    assert planted <= set(exact), "every planted pair must clear 0.8 exactly"
+    found = {(r.vec_a, r.vec_b) for r in
+             similarity.lsh_neardup_pairs(aug, threshold=0.8).collect()}
+    assert found <= set(exact)  # soundness: LSH emits only true near-dups
+    recall = len(found & planted) / len(planted)
+    print(f"sign-LSH recall on planted negated-coordinate pairs: {recall:.2f}")
+    assert recall > 0  # ANN path finds a nonempty subset; exactness is the
+    # oracle's job (the DuckDB twin recomputes the same buckets)
+
+
 def test_lsh_bucket_table_matches_literal_form(vectors):
     q = similarity.quantized(vectors)
     planes = similarity.lsh_hyperplanes(64)
