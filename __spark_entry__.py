@@ -703,9 +703,65 @@ FROM reach GROUP BY doc_id
 
 
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path near-dup (MinHash+LSH candidates, exact-Jaccard verify).
-    Probabilistic candidate recall → no SQL oracle (driver rows-only check)."""
+    """Scale-path near-dup (MinHash+LSH candidates, exact-Jaccard verify) —
+    now FULLY oracle-checked: the shingle base hash and the permutation
+    family are md5-derived (dedup.minhash_perm_constants), so the DuckDB
+    oracle regenerates the identical signatures, bands, candidates and
+    verified pairs. Equality holds whatever the LSH recall is — the oracle
+    runs the same algorithm, not the exact quadratic one (that remains
+    ngram_jaccard_pairs' job)."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """Full algorithmic twin of dedup.minhash_lsh_pairs: same md5 base hash,
+    same (a,b) permutation constants (generated by the same Python), same
+    polynomial band fold, same candidate meet + exact-Jaccard verify."""
+    rows = num_hashes // bands
+    perms = ",".join(f"({i},{a},{b})" for i, (a, b) in
+                     enumerate(dedup.minhash_perm_constants(num_hashes)))
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8)) AS BIGINT)
+         ))) AS h
+  FROM w
+),
+perms(i, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, p.i, min((p.a * g.h + p.b) % {dedup.MINHASH_PRIME}) AS mh
+  FROM g CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // {rows} AS band_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY i)),
+                     (acc, x) -> acc * 31 + x) AS band_key
+  FROM sig GROUP BY doc_id, i // {rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.doc_a
+  JOIN g gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
+"""
+
+
+ORACLE_MINHASH_LSH = _minhash_oracle()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,9 +787,38 @@ FROM v GROUP BY doc_id
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming pairs, half-blocked self-join (rows-only check —
-    expressible in SQL but quadratic; the blocked form is the point)."""
+    """SimHash Hamming pairs, half-blocked self-join — fully oracle-checked:
+    the oracle twins the BLOCKING too (pairs must share the lo or hi byte),
+    so the algorithm's recall trade (a hamming-2 pair split 1+1 across halves
+    is skipped by design) is reproduced, not papered over."""
     return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=2)
+
+
+# simhash CTE reused from ORACLE_SIMHASH; blocking + popcount twin
+ORACLE_SIMHASH_NEARDUP = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), v AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN substr(md5(tok), CAST(j + 1 AS INTEGER), 1)
+                       IN ('8','9','a','b','c','d','e','f')
+             THEN 1 ELSE -1 END) AS s
+  FROM t, (SELECT unnest(range(16)) AS j)
+  GROUP BY doc_id, j
+), sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS INTEGER) AS simhash
+  FROM v GROUP BY doc_id
+), h AS (
+  SELECT doc_id, simhash, simhash & 255 AS lo, (simhash >> 8) & 255 AS hi FROM sh
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INTEGER) AS hamming
+  FROM h a JOIN h b
+    ON a.doc_id < b.doc_id AND (a.lo = b.lo OR a.hi = b.hi)
+) WHERE hamming <= 2
+"""
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,8 +1106,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash": ORACLE_SIMHASH,
         "text_stats": ORACLE_TEXT_STATS,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
+        "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
+        "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
         "lsh_embedding_neardup": ORACLE_LSH_EMBEDDING_NEARDUP,
-        # minhash_lsh_neardup / simhash_neardup: see their oracles below
+        # remaining rows-only entries: ivf_ann_topk (iterative Lloyd — the
+        # recursive refinement isn't single-query SQL; recall + literal/table
+        # equivalence in tests), image_metadata (render-geometry semantics)
     }

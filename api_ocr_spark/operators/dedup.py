@@ -48,17 +48,45 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 − 1: (a·h + b) stays < 2^63 for 32-bit h
+
+
+def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """The (aᵢ, bᵢ) constants of the MinHash permutation family
+    hᵢ(x) = (aᵢ·x + bᵢ) mod (2³¹−1), md5-derived so any engine (or the
+    DuckDB oracle's VALUES list) regenerates the identical family. aᵢ ≥ 1."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh_a_{i}".encode()).hexdigest()[:8], 16) % (MINHASH_PRIME - 1) + 1
+        b = int(hashlib.md5(f"mh_b_{i}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
 def doc_shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id:long, shingle:bigint) — 3-gram shingles hashed to 64 bits
-    inside the transform (the MinHash path only needs shingle identity;
-    collisions are negligible). Two deliberate plan choices, each worth ~3-6x:
+    """(doc_id:long, shingle:bigint) — 3-gram shingles hashed to a 32-bit
+    base inside the transform (the MinHash path only needs shingle identity;
+    collisions are negligible AND identical in the oracle, which uses the
+    same hash). The base hash is md5-derived — first 8 hex digits as an
+    integer — because md5 is the one hash Spark and DuckDB share: it makes
+    the ENTIRE MinHash+LSH pipeline SQL-replicable (see
+    ORACLE_MINHASH_LSH in __spark_entry__). At petabyte scale where the
+    oracle property is moot, xxhash64(gram) is the drop-in (one line, ~2×
+    cheaper per shingle). Two deliberate plan choices, each worth ~3-6x:
     the words array is materialized behind a projection so the split isn't
     re-evaluated per shingle, and the exploded column is a bigint, not a
     string (nothing row-size-heavy crosses the explode)."""
     words = F.split(normalize_ws(F.lower(F.col("text"))), " ")
     staged = documents.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
     starts = F.sequence(F.lit(1), F.greatest(F.size("ws") - (n - 1), F.lit(1)))
-    grams = F.transform(starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice("ws", i, n))))
+    grams = F.transform(
+        starts,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("ws", i, n))), 1, 8), 16, 10
+        ).cast("long"),
+    )
     return staged.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
@@ -95,12 +123,16 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32) -> DataFrame:
-    """MinHash signatures: min over shingles of xxhash64(shingle, seed_i).
-    One groupBy; signature is an array column ordered by seed index."""
+    """MinHash signatures: min over shingles of the md5-derived permutation
+    family hᵢ(x) = (aᵢ·x + bᵢ) mod (2³¹−1) (minhash_perm_constants) — pure
+    64-bit integer arithmetic both here and in the DuckDB oracle, so the
+    signatures are engine-identical. One groupBy (map-side partial min);
+    signature is an array column ordered by permutation index."""
     sh = doc_shingle_hashes(documents)
+    perms = minhash_perm_constants(num_hashes)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.pmod(F.lit(a) * F.col("shingle") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"h{i}")
+        for i, (a, b) in enumerate(perms)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
@@ -121,13 +153,22 @@ def minhash_lsh_pairs(
     scale path; no quadratic shingle join)."""
     rows = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes)
+
+    def band_key(b: int):
+        # polynomial fold of the band's r signature values (each < 2^31, so
+        # the fold stays < 2^46 for r=4) — SQL-replicable, unlike xxhash64;
+        # fold collisions only ever ADD candidates, which verify filters,
+        # and the oracle twins the fold anyway
+        acc = F.lit(0).cast("long")
+        for r in range(rows):
+            acc = acc * 31 + F.col("signature")[b * rows + r]
+        return acc
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col("signature")[b * rows + r] for r in range(rows)]
-                ).alias("band_hash"),
+                band_key(b).alias("band_hash"),
             )
             for b in range(bands)
         ]
