@@ -821,6 +821,61 @@ SELECT doc_a, doc_b, hamming FROM (
 """
 
 
+def q_simhash64_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width 64-bit SimHash near-dup (4×16-bit bands, pigeonhole-
+    complete blocking for hamming<=3 — recall 1.0 by construction, unlike the
+    16-bit toy form). The corpus has no natural hamming<=3 pair at 64 bits,
+    so the query runs over a planted-augmented corpus (every 50th doc copied
+    with one appended token — a near-identical pair) to keep the oracle
+    discriminating; the oracle twins augmentation, bands and blocking."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zyxq")).alias("text"))
+    return dedup.simhash64_neardup_pairs(docs.unionByName(planted), max_hamming=3)
+
+
+ORACLE_SIMHASH64_NEARDUP = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text || ' zyxq' AS text
+  FROM documents WHERE doc_id % 50 = 0
+), t AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM aug
+), v AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (CAST(('0x' || substr(md5(tok), (j // 4) + 1, 1)) AS INTEGER)
+                        >> (j % 4)) & 1 = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM t, (SELECT unnest(range(64)) AS j)
+  GROUP BY doc_id, j
+), b AS (
+  SELECT doc_id, j // 16 AS band,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j % 16) AS BIGINT) ELSE 0 END) AS INTEGER) AS bv
+  FROM v GROUP BY doc_id, j // 16
+), wide AS (
+  SELECT doc_id,
+         max(CASE WHEN band = 0 THEN bv END) AS b0,
+         max(CASE WHEN band = 1 THEN bv END) AS b1,
+         max(CASE WHEN band = 2 THEN bv END) AS b2,
+         max(CASE WHEN band = 3 THEN bv END) AS b3
+  FROM b GROUP BY doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+            + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+            + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+            + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS INTEGER) AS hamming
+  FROM wide a JOIN wide b
+    ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+) WHERE hamming <= 3
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     c = F.col("text")
@@ -1069,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
+        "simhash64_neardup": q_simhash64_neardup,
         "text_stats": q_text_stats,
         "corpus_sample": q_corpus_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1108,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
+        "simhash64_neardup": ORACLE_SIMHASH64_NEARDUP,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
         "lsh_embedding_neardup": ORACLE_LSH_EMBEDDING_NEARDUP,

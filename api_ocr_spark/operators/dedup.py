@@ -256,6 +256,54 @@ def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFra
     return out.select("doc_a", "doc_b", "hamming")
 
 
+def simhash64_table(documents: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) — PRODUCTION-width 64-bit SimHash as four 16-bit
+    bands (functions.text.simhash64_bands). The vote-counter array is
+    materialized behind a projection so the 64 band-bit tests index a
+    computed column, not 64 copies of the fold expression."""
+    from ..functions.text import simhash64_bands_from_counts, simhash64_counts
+
+    staged = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        simhash64_counts(F.col("text")).alias("cnt"),
+    )
+    banded = staged.select(
+        "doc_id", simhash64_bands_from_counts(F.col("cnt")).alias("bands"))
+    return banded.select(
+        "doc_id",
+        *[F.col("bands")[b].alias(f"b{b}") for b in range(4)],
+    )
+
+
+def simhash64_neardup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """64-bit SimHash near-dup pairs, band-blocked self-join: a pair within
+    Hamming distance <= 3 must agree EXACTLY on at least one of the 4
+    16-bit bands (pigeonhole — so unlike the 16-bit toy form, this blocking
+    is COMPLETE for the default threshold: recall 1.0 by construction).
+    Four equi-joins (one per band), unioned, distinct, popcount verify —
+    every join is shuffle-on-band-value, the 100 TB shape."""
+    from ..functions.text import hamming16
+
+    sh = simhash64_table(documents)
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)])
+    b_ = sh.select(F.col("doc_id").alias("doc_b"),
+                   *[F.col(f"b{b}").alias(f"c{b}") for b in range(4)])
+    pairs = None
+    for b in range(4):
+        p = a.join(
+            b_, (F.col(f"a{b}") == F.col(f"c{b}")) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = sum(hamming16(F.col(f"a{b}"), F.col(f"c{b}")) for b in range(4))
+    out = (
+        pairs.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return out.select("doc_a", "doc_b", "hamming")
+
+
 def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Resolve near-dup PAIRS into connected-component CLUSTERS —
     (doc_id, cluster_id = min doc_id of the component). The op a dedup

@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_neardup",
     "simhash",
+    "simhash64_neardup",
     "neardup_clusters",
     "corpus_sample",
     "text_stats",

@@ -143,6 +143,35 @@ def test_subword_count(spark):
     assert got == [4, 5, 6, 0]
 
 
+def test_simhash64_band_completeness_on_planted_dups(spark):
+    """Pigeonhole contract: any pair within Hamming <= 3 of 64 bits agrees on
+    >= 1 of the 4 bands, so the banded join finds EVERY such pair (recall 1.0
+    by construction). Planted: exact dup (hamming 0) + one-token-appended
+    near-dup (small hamming)."""
+    rows = [(0, BASE), (1, BASE), (2, BASE + " zz"),
+            (3, "totally different content about shuffle partitions and very "
+                "long documents with many distinct tokens in them today")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+          for r in dedup.simhash64_table(docs).collect()}
+    assert all(0 <= v < 65536 for bands in sh.values() for v in bands)
+    assert sh[0] == sh[1]  # identical text -> identical 64-bit simhash
+
+    def hamming(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash64_neardup_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    # the banded join result == the exact <=3 pair set (completeness)
+    ids = sorted(sh)
+    exact = {(a, b): hamming(sh[a], sh[b]) for a in ids for b in ids
+             if a < b and hamming(sh[a], sh[b]) <= 3}
+    assert pairs == exact
+    # near-dup pair must be within a few bits (one appended token)
+    assert hamming(sh[0], sh[2]) <= 10
+
+
 def test_lsh_hyperplanes_match_duckdb_derivation():
     """The md5-derived planes must be re-derivable in DuckDB SQL — the
     property the full lsh_embedding_neardup oracle rests on."""
