@@ -117,7 +117,7 @@ def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MEDIA_MANIFEST = _SPANS_CTE + """
 SELECT 'm-' || CAST(doc_id AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
-       'png' AS fmt,
+       CASE WHEN (doc_id * 7 + off) % 4 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
        (['plain','skewed','noisy','shadow','ruled','boxed','skewed_noisy','large'])[CAST((doc_id*31 + off) % 8 AS BIGINT) + 1] AS scenario,
        lower(array_to_string(ws[CAST(off*8+1 AS BIGINT):CAST(off*8+8 AS BIGINT)], ' ')) AS truth_text
 FROM c

@@ -11,6 +11,11 @@ CHUNK_WORDS = 8          # words per span
 MEDIA_MOD = 3            # span i of doc d is media iff (d + i) % MEDIA_MOD == 0
 SCENARIO_MULT = 31       # scenario index = (d * 31 + i) % len(SCENARIOS)
 RENDER_SEED_MULT = 100003  # render seed = d * 100003 + i
+JPEG_FMT_MULT = 7        # media span stored as JPEG iff (d*7 + i) % 4 == 0
+JPEG_FMT_MOD = 4         #   (else PNG) — mixed-format media store
+JPEG_MEDIA_QUALITY = 90  # q90: binarized ink mask survives (tests prove
+                         # mask equality at q >= 85), so extraction over the
+                         # lossy-compressed pixels stays span-exact
 
 # --- reference OCR envelope (kept as engine config for parity) ---
 MAX_DIMENSION_BASIC = 1000       # /root/reference/main.py:55

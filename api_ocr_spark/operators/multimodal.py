@@ -41,11 +41,11 @@ def image_metadata(media: DataFrame) -> DataFrame:
                 out["media_ref"].append(ref)
                 out["n_bytes"].append(len(raw))
                 try:
-                    img = png_codec.decode_gray(raw)
+                    img = png_codec.decode_gray_auto(raw)
                     binary = enhance.binarize_otsu(img)
                     out["width"].append(int(img.shape[1]))
                     out["height"].append(int(img.shape[0]))
-                    out["format"].append("png")
+                    out["format"].append("jpeg" if raw[:2] == b"\xff\xd8" else "png")
                     out["ink_ratio"].append(round(float((binary > 0).mean()), 6))
                     out["mean_intensity"].append(round(float(img.mean()), 4))
                 except Exception:  # noqa: BLE001 — quarantine-style row
@@ -69,7 +69,7 @@ def image_resize(media: DataFrame, max_dim: int) -> DataFrame:
         for pdf in batches:
             out = {"media_ref": [], "bytes": [], "width": [], "height": []}
             for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
-                img = enhance.cap_max_dimension(png_codec.decode_gray(bytes(data)), max_dim)
+                img = enhance.cap_max_dimension(png_codec.decode_gray_auto(bytes(data)), max_dim)
                 out["media_ref"].append(ref)
                 out["bytes"].append(png_codec.encode_gray(img))
                 out["width"].append(int(img.shape[1]))

@@ -111,6 +111,7 @@ def _make_render_ocr_udf(mode: str):
         from ..config import RENDER_SEED_MULT, SCENARIO_MULT
         from ..imaging import png as png_codec
         from ..imaging.render import SCENARIOS, render_text_image
+        from ..sources.interleave import encode_media, media_fmt
         from . import modes as mode_lib
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
@@ -131,9 +132,9 @@ def _make_render_ocr_udf(mode: str):
                     ]
                     seed = int(doc_num) * RENDER_SEED_MULT + int(offset)
                     img = render_text_image(str(chunk), scenario, seed=seed)
-                    data = png_codec.encode_gray(img)
+                    data = encode_media(img, media_fmt(int(doc_num), int(offset)))
                     n_bytes = len(data)
-                    gray = png_codec.decode_gray(data)
+                    gray = png_codec.decode_gray_auto(data)
                     result = mode_lib.run_mode(gray, mode)
                     text = result.get("text", "")
                     route = result.get("route", mode)
@@ -170,6 +171,7 @@ def _make_span_udf(mode: str):
         from ..config import RENDER_SEED_MULT, SCENARIO_MULT
         from ..imaging import png as png_codec
         from ..imaging.render import SCENARIOS, render_text_image
+        from ..sources.interleave import encode_media, media_fmt
         from . import modes as mode_lib
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
@@ -219,8 +221,8 @@ def _make_span_udf(mode: str):
                     ]
                     seed = int(doc_num) * RENDER_SEED_MULT + int(offset)
                     img = render_text_image(str(chunk), scenario, seed=seed)
-                    data = png_codec.encode_gray(img)
-                    gray = png_codec.decode_gray(data)
+                    data = encode_media(img, media_fmt(int(doc_num), int(offset)))
+                    gray = png_codec.decode_gray_auto(data)
                     result = mode_lib.run_mode(gray, mode)
                     text = result.get("text", "")
                     route = result.get("route", mode)

@@ -103,9 +103,29 @@ def build_documents_spans(documents: DataFrame) -> DataFrame:
     return fs.groupBy("doc_id").agg(ordered.alias("spans"))
 
 
+def media_fmt(doc_num: int, offset: int) -> str:
+    """Storage format of a media span — mixed PNG/JPEG store: 'jpeg' iff
+    (d·JPEG_FMT_MULT + i) % JPEG_FMT_MOD == 0 (mirrored verbatim in
+    ORACLE_MEDIA_MANIFEST). JPEG rows exercise the lossy path end-to-end:
+    the roundtrip queries decode REAL JPEG bytes and must still be
+    span-exact (ink-mask survival at q≥85, tests/test_imaging)."""
+    from ..config import JPEG_FMT_MOD, JPEG_FMT_MULT
+
+    return "jpeg" if (doc_num * JPEG_FMT_MULT + offset) % JPEG_FMT_MOD == 0 else "png"
+
+
+def encode_media(img, fmt: str) -> bytes:
+    from ..config import JPEG_MEDIA_QUALITY
+    from ..imaging import jpeg as jpeg_codec
+    from ..imaging import png as png_codec
+
+    if fmt == "jpeg":
+        return jpeg_codec.encode_gray_jpeg(img, quality=JPEG_MEDIA_QUALITY)
+    return png_codec.encode_gray(img)
+
+
 def _render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # imports inside the UDF body: executed on executors/Python workers
-    from ..imaging import png as png_codec
     from ..imaging.render import SCENARIOS, render_text_image
 
     for pdf in batches:
@@ -122,12 +142,13 @@ def _render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             scenario = SCENARIOS[(int(doc_num) * SCENARIO_MULT + int(offset)) % len(SCENARIOS)]
             seed = int(doc_num) * RENDER_SEED_MULT + int(offset)
             img = render_text_image(str(chunk), scenario, seed=seed)
+            fmt = media_fmt(int(doc_num), int(offset))
             if with_span:
                 out["doc_id"].append(doc_ids[i])
                 out["offset"].append(int(offset))
             out["media_ref"].append(media_ref)
-            out["bytes"].append(png_codec.encode_gray(img))
-            out["fmt"].append("png")
+            out["bytes"].append(encode_media(img, fmt))
+            out["fmt"].append(fmt)
             out["scenario"].append(scenario)
             out["truth_text"].append(str(chunk).lower())
             out["width"].append(img.shape[1])

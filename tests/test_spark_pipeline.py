@@ -67,10 +67,16 @@ def test_media_table_schema_and_determinism(spark, docs):
     m2 = interleave.build_media(docs).orderBy("media_ref").limit(5).collect()
     assert [r.media_ref for r in m1] == [r.media_ref for r in m2]
     assert [bytes(r.bytes) for r in m1] == [bytes(r.bytes) for r in m2]
+    from api_ocr_spark.imaging.render import SCENARIOS
+    from api_ocr_spark.sources.interleave import media_fmt
     for r in m1:
-        assert r.fmt == "png" and r.width > 0 and r.height > 0
-        from api_ocr_spark.imaging.render import SCENARIOS
+        d, off = r.media_ref[2:].rsplit("-", 1)
+        assert r.fmt == media_fmt(int(d), int(off)) and r.width > 0 and r.height > 0
+        magic = bytes(r.bytes)[:2]
+        assert magic == (b"\xff\xd8" if r.fmt == "jpeg" else b"\x89P")
         assert r.scenario in SCENARIOS
+    assert {r.fmt for r in interleave.build_media(docs).select("fmt").distinct().collect()
+            } == {"png", "jpeg"}  # mixed-format store
 
 
 @pytest.mark.parametrize("mode", ["basico", "segmentado", "tabla", "documento_completo"])
@@ -284,7 +290,7 @@ def test_extraction_exact_over_jpeg_media_store(spark):
         for pdf in batches:
             out = pdf.copy()
             out["bytes"] = [
-                jpeg.encode_gray_jpeg(png.decode_gray(bytes(b)), quality=90)
+                jpeg.encode_gray_jpeg(png.decode_gray_auto(bytes(b)), quality=90)
                 for b in pdf["bytes"]
             ]
             out["fmt"] = "jpg"
