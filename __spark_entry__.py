@@ -74,17 +74,26 @@ WITH w AS (
 """
 
 
-def q_ocr_from_spans_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ocr_from_spans(mode: str):
     """The production entry point: a pre-built input_hint-shaped spans table
     + a separate media store, joined by media_ref (extract_from_spans) —
-    exercises the media join path instead of the fused render→OCR path."""
+    exercises the media join path instead of the fused render→OCR path.
+    Driver-checked for BOTH the basico and documento_completo routes (the
+    latter adds the >10-h-lines table routing + unified-coords pass)."""
     from api_ocr_spark.sources.interleave import build_documents_spans, build_media
 
-    docs = _docs(spark, sf_dir)
-    spans_table = build_documents_spans(docs)
-    media = build_media(docs)
-    out = pipeline.extract_from_spans(spans_table, media, mode="basico")
-    return out.select("doc_id", "extracted_text")
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        spans_table = build_documents_spans(docs)
+        media = build_media(docs)
+        out = pipeline.extract_from_spans(spans_table, media, mode=mode)
+        return out.select("doc_id", "extracted_text")
+
+    return q
+
+
+q_ocr_from_spans_table = _ocr_from_spans("basico")
+q_ocr_from_spans_completo = _ocr_from_spans("documento_completo")
 
 
 def q_span_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_segmentado": _ocr_roundtrip("segmentado"),
         "ocr_tabla": _ocr_roundtrip("tabla"),
         "ocr_from_spans_table": q_ocr_from_spans_table,
+        "ocr_from_spans_completo": q_ocr_from_spans_completo,
         "span_synthesis": q_span_synthesis,
         "media_manifest": q_media_manifest,
         "estructurar_texto": q_estructurar_texto,
@@ -1142,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_segmentado": _ROUNDTRIP_ORACLE,
         "ocr_tabla": _ROUNDTRIP_ORACLE,
         "ocr_from_spans_table": _ROUNDTRIP_ORACLE,
+        "ocr_from_spans_completo": _ROUNDTRIP_ORACLE,
         "span_synthesis": ORACLE_SPAN_SYNTHESIS,
         "media_manifest": ORACLE_MEDIA_MANIFEST,
         "estructurar_texto": ORACLE_ESTRUCTURAR,
