@@ -75,6 +75,38 @@ def binarize_adaptive(gray: np.ndarray, window: int = 25, c: int = 10) -> np.nda
     return np.where(gray.astype(np.float64) < mean - c, BINARY_INK, 0).astype(np.uint8)
 
 
+def _gaussian_kernel1d(win: int, sigma: float | None = None) -> np.ndarray:
+    """Normalized 1-D gaussian taps; default sigma is OpenCV's
+    getGaussianKernel rule σ = 0.3·((win−1)/2 − 1) + 0.8."""
+    if sigma is None:
+        sigma = 0.3 * ((win - 1) * 0.5 - 1) + 0.8
+    x = np.arange(win, dtype=np.float64) - (win - 1) / 2
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def _gaussian_local_mean(gray: np.ndarray, win: int, sigma: float | None = None) -> np.ndarray:
+    """Separable gaussian-weighted local mean (the gaussian5 machinery
+    generalized to any window), float32 accumulation, reflect-101 borders."""
+    k = _gaussian_kernel1d(win, sigma).astype(np.float32)
+    r = win // 2
+    x = np.pad(gray.astype(np.float32), r, mode="reflect")
+    rows = sum(w * x[:, i : x.shape[1] - win + 1 + i] for i, w in enumerate(k))
+    return sum(w * rows[i : rows.shape[0] - win + 1 + i, :] for i, w in enumerate(k))
+
+
+def binarize_adaptive_gaussian(gray: np.ndarray, window: int = 15, c: int = 2) -> np.ndarray:
+    """Gaussian-weighted adaptive threshold — the reference's
+    ADAPTIVE_THRESH_GAUSSIAN_C with its blockSize=15, C=2 defaults
+    (/root/reference/preprocessing/enhance.py:110-113): pixel is ink iff
+    value < gaussian_local_mean − c. Output INVERTED (ink=255, the engine
+    convention; the reference passes THRESH_BINARY, i.e. background=255 —
+    the same decision boundary, complementary encoding). Closes the last
+    documented binarization delta; mean-box stays the 'adaptive' default."""
+    mean = _gaussian_local_mean(gray, window)
+    return np.where(gray.astype(np.float32) < mean - c, BINARY_INK, 0).astype(np.uint8)
+
+
 def sauvola_threshold_map(gray: np.ndarray, window: int = 25, k: float = 0.2, r: float = 128.0) -> np.ndarray:
     """Sauvola local threshold T = m*(1 + k*((s/R) - 1)); box-filter mean and
     sq-mean exactly as the reference computes them (enhance.py:75-102)."""
@@ -98,6 +130,8 @@ def binarize(gray: np.ndarray, method: str = "auto") -> np.ndarray:
         return binarize_otsu(gray)
     if method == "adaptive":
         return binarize_adaptive(gray)
+    if method == "adaptive_gaussian":
+        return binarize_adaptive_gaussian(gray)
     if method == "sauvola":
         return binarize_sauvola(gray)
     if method == "auto":

@@ -25,9 +25,32 @@ def test_otsu_bimodal():
 def test_binarize_methods_exact_on_render():
     img = render.render_text_image("the fast order", "plain", 1)
     truth = img < 128
-    for m in ("otsu", "adaptive", "sauvola", "auto"):
+    for m in ("otsu", "adaptive", "adaptive_gaussian", "sauvola", "auto"):
         got = enhance.binarize(img, m) > 0
         assert np.array_equal(got, truth), m
+
+
+def test_adaptive_gaussian_matches_hand_computed_window():
+    """Gaussian local mean vs an explicit double loop with the same OpenCV
+    sigma rule and reflect-101 borders, on a small random array."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (9, 11)).astype(np.uint8)
+    win, r, c = 5, 2, 2
+    sigma = 0.3 * ((win - 1) * 0.5 - 1) + 0.8
+    x = np.arange(win) - (win - 1) / 2
+    k1 = np.exp(-(x * x) / (2 * sigma * sigma))
+    k1 /= k1.sum()
+    k2 = np.outer(k1, k1)
+    p = np.pad(img.astype(np.float64), r, mode="reflect")
+    naive = np.array(
+        [[(p[y : y + win, x0 : x0 + win] * k2).sum() for x0 in range(11)] for y in range(9)]
+    )
+    got = enhance.binarize_adaptive_gaussian(img, window=win, c=c) > 0
+    want = img.astype(np.float64) < naive - c
+    assert np.array_equal(got, want)
+    # constant image: mean == value -> value < value - c is False everywhere
+    flat = np.full((7, 7), 90, np.uint8)
+    assert not (enhance.binarize_adaptive_gaussian(flat, window=win, c=c) > 0).any()
 
 
 def test_box_sum_matches_naive():
