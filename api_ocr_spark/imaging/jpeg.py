@@ -149,102 +149,150 @@ def _dht_segment(table_class: int, table_id: int, lengths: dict[int, int]) -> by
     return b"\xff\xc4" + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-class _BitWriter:
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, code: int, n: int) -> None:
-        self.acc = (self.acc << n) | (code & ((1 << n) - 1))
-        self.nbits += n
-        while self.nbits >= 8:
-            b = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.buf.append(b)
-            if b == 0xFF:
-                self.buf.append(0x00)  # byte stuffing
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
-
-    def flush(self) -> None:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+_POW2 = 2 ** np.arange(32, dtype=np.int64)  # bit_length via searchsorted (exact)
 
 
-def _category(v: int) -> int:
-    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+def _categories(v: np.ndarray) -> np.ndarray:
+    """Vectorized JPEG category (bit_length of |v|); 0 for v == 0."""
+    return np.searchsorted(_POW2, np.abs(v), side="right").astype(np.int64)
 
 
-def _extend_bits(v: int, cat: int) -> int:
-    return v if v >= 0 else v + (1 << cat) - 1
+def _extend(v: np.ndarray, cat: np.ndarray) -> np.ndarray:
+    """Vectorized T.81 value-bit mapping: negatives become v + 2^cat − 1."""
+    return np.where(v >= 0, v, v + (np.int64(1) << cat) - 1)
 
 
-def _block_symbols(zz: np.ndarray, prev_dc: int) -> tuple[list, int]:
-    """[(kind, symbol, value-bits, nbits), ...] for one zigzagged block."""
-    out = []
-    diff = int(zz[0]) - prev_dc
-    cat = _category(diff)
-    out.append(("dc", cat, _extend_bits(diff, cat), cat))
-    run = 0
-    last_nz = 0
-    for i in range(1, 64):
-        if zz[i] != 0:
-            last_nz = i
-    for i in range(1, last_nz + 1):
-        v = int(zz[i])
-        if v == 0:
-            run += 1
-            continue
-        while run >= 16:
-            out.append(("ac", 0xF0, 0, 0))  # ZRL
-            run -= 16
-        cat = _category(v)
-        out.append(("ac", (run << 4) | cat, _extend_bits(v, cat), cat))
-        run = 0
-    if last_nz < 63:
-        out.append(("ac", 0x00, 0, 0))  # EOB
-    return out, int(zz[0])
+def _pack_bits(codes: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized variable-length bit packing + 1s padding + byte stuffing —
+    the _BitWriter loop as four numpy passes (ragged arange over the
+    concatenated bit positions). Byte-identical to the sequential writer."""
+    total = int(lens.sum())
+    pad = (-total) % 8
+    if pad:
+        codes = np.append(codes, (1 << pad) - 1)
+        lens = np.append(lens, pad)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    within = np.arange(total + pad, dtype=np.int64) - np.repeat(starts, lens)
+    bits = (np.repeat(codes, lens) >> (np.repeat(lens, lens) - 1 - within)) & 1
+    packed = np.packbits(bits.astype(np.uint8))
+    ff = np.nonzero(packed == 0xFF)[0]
+    if len(ff):
+        packed = np.insert(packed, ff + 1, np.uint8(0))
+    return packed.tobytes()
 
 
 def encode_gray_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
     assert img.ndim == 2 and img.dtype == np.uint8
     h, w = img.shape
     ph, pw = -h % 8, -w % 8
-    x = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
-    hh, ww = x.shape
-    blocks = x.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
-    coef = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
+    x8 = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = x8.shape
+    blocks8 = x8.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+    n = blocks8.shape[0]
     qt = quant_table(quality)
-    # round-half-away (np.rint is banker's; libjpeg divides with rounding)
-    qz = np.sign(coef) * np.floor(np.abs(coef) / qt + 0.5)
-    qz = qz.astype(np.int64)
-    zzs = qz.reshape(-1, 8, 8).reshape(-1, 64)[:, _ZZ]  # row-major blocks
-    # pass 1: symbol stats
-    dc_freq: dict[int, int] = {}
-    ac_freq: dict[int, int] = {}
-    prev = 0
-    all_syms = []
-    for zz in zzs:
-        syms, prev = _block_symbols(zz, prev)
-        all_syms.append(syms)
-        for kind, sym, _v, _n in syms:
-            (dc_freq if kind == "dc" else ac_freq)[sym] = (
-                (dc_freq if kind == "dc" else ac_freq).get(sym, 0) + 1
-            )
-    dc_len = _optimal_lengths(dc_freq)
-    ac_len = _optimal_lengths(ac_freq)
+    # UNIFORM blocks (document background, the majority on rendered pages)
+    # have an analytically known DCT — coef[0,0] = 8·(v−128), AC exactly 0 —
+    # so the float64 DCT/quantize pipeline runs only on blocks with content
+    bmin = blocks8.min(axis=1)
+    uni = bmin == blocks8.max(axis=1)
+    zzs = np.zeros((n, 64), np.int64)
+    if not uni.all():
+        xb = blocks8[~uni].reshape(-1, 8, 8).astype(np.float64) - 128.0
+        coef = np.einsum("ij,ajk,lk->ail", _DCT, xb, _DCT)
+        # round-half-away (np.rint is banker's; libjpeg divides w/ rounding)
+        qz = (np.sign(coef) * np.floor(np.abs(coef) / qt + 0.5)).astype(np.int64)
+        zzs[~uni] = qz.reshape(-1, 64)[:, _ZZ]
+    if uni.any():
+        c00 = 8.0 * (bmin[uni].astype(np.float64) - 128.0)
+        zzs[uni, 0] = (np.sign(c00) * np.floor(np.abs(c00) / qt[0, 0] + 0.5)).astype(np.int64)
+
+    # ---- symbol stream, fully vectorized (order reconstructed by key sort:
+    # per block DC(key 0) < ZRLs/ACs in position order < EOB(key 2047))
+    dc = zzs[:, 0]
+    diffs = np.empty(n, np.int64)
+    diffs[0] = dc[0]
+    diffs[1:] = np.diff(dc)
+    dc_cats = _categories(diffs)
+    dc_vals = _extend(diffs, dc_cats)
+
+    mask = zzs[:, 1:] != 0
+    bids, c0 = np.nonzero(mask)
+    pos = (c0 + 1).astype(np.int64)
+    vv = zzs[bids, pos]
+    prev_pos = np.empty_like(pos)
+    if len(pos):
+        prev_pos[0] = 0
+        prev_pos[1:] = pos[:-1]
+        first = np.empty(len(bids), bool)
+        first[0] = True
+        first[1:] = bids[1:] != bids[:-1]
+        prev_pos[first] = 0
+    run = pos - prev_pos - 1
+    n_zrl = run >> 4
+    ac_cats = _categories(vv)
+    ac_syms = ((run & 15) << 4) | ac_cats
+    ac_vals = _extend(vv, ac_cats)
+    last_pos = np.zeros(n, np.int64)
+    if len(bids):
+        np.maximum.at(last_pos, bids, pos)
+    eob_blocks = np.nonzero(last_pos < 63)[0]
+
+    total_zrl = int(n_zrl.sum())
+    if total_zrl:
+        owner = np.repeat(np.arange(len(bids)), n_zrl)
+        zstarts = np.concatenate(([0], np.cumsum(n_zrl)[:-1]))
+        jwithin = np.arange(total_zrl, dtype=np.int64) - np.repeat(zstarts, n_zrl)
+        zrl_keys = bids[owner] * 2048 + pos[owner] * 16 + jwithin
+    else:
+        zrl_keys = np.empty(0, np.int64)
+
+    keys = np.concatenate([
+        np.arange(n, dtype=np.int64) * 2048,              # DC
+        zrl_keys,                                          # ZRL (0xF0)
+        bids * 2048 + pos * 16 + 15,                       # AC
+        eob_blocks * 2048 + 2047,                          # EOB (0x00)
+    ])
+    is_dc = np.concatenate([
+        np.ones(n, bool), np.zeros(total_zrl + len(bids) + len(eob_blocks), bool)])
+    syms = np.concatenate([
+        dc_cats,
+        np.full(total_zrl, 0xF0, np.int64),
+        ac_syms,
+        np.zeros(len(eob_blocks), np.int64),
+    ])
+    vals = np.concatenate([
+        dc_vals, np.zeros(total_zrl, np.int64), ac_vals,
+        np.zeros(len(eob_blocks), np.int64)])
+    vlens = np.concatenate([
+        dc_cats, np.zeros(total_zrl, np.int64), ac_cats,
+        np.zeros(len(eob_blocks), np.int64)])
+    order = np.argsort(keys, kind="stable")
+    is_dc, syms, vals, vlens = is_dc[order], syms[order], vals[order], vlens[order]
+
+    # ---- optimal tables from vectorized stats
+    dc_bins = np.bincount(dc_cats, minlength=256)
+    ac_bins = np.bincount(
+        np.concatenate([ac_syms, np.full(total_zrl, 0xF0, np.int64),
+                        np.zeros(len(eob_blocks), np.int64)]), minlength=256)
+    dc_len = _optimal_lengths({s: int(c) for s, c in enumerate(dc_bins) if c})
+    ac_len = _optimal_lengths({s: int(c) for s, c in enumerate(ac_bins) if c})
     dc_codes = _canonical_codes(dc_len)
     ac_codes = _canonical_codes(ac_len)
-    # pass 2: entropy-coded data
-    bw = _BitWriter()
-    for syms in all_syms:
-        for kind, sym, v, n in syms:
-            code, ln = (dc_codes if kind == "dc" else ac_codes)[sym]
-            bw.write(code, ln)
-            if n:
-                bw.write(v, n)
-    bw.flush()
+    code_arr = np.zeros((2, 256), np.int64)
+    len_arr = np.zeros((2, 256), np.int64)
+    for s, (c, ln) in dc_codes.items():
+        code_arr[0, s], len_arr[0, s] = c, ln
+    for s, (c, ln) in ac_codes.items():
+        code_arr[1, s], len_arr[1, s] = c, ln
+
+    # ---- entropy coding: huffman code and value bits fused into ONE
+    # emission per symbol (<= 16 + 16 bits), then vectorized packing
+    tab = (~is_dc).astype(np.int64)
+    hcodes = code_arr[tab, syms]
+    hlens = len_arr[tab, syms]
+    combined = (hcodes << vlens) | vals
+    clens = hlens + vlens
+    payload = _pack_bits(combined, clens)
     # headers
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
@@ -258,60 +306,31 @@ def encode_gray_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
     out += _dht_segment(0, 0, dc_len)
     out += _dht_segment(1, 0, ac_len)
     out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"  # SOS
-    out += bw.buf
+    out += payload
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 # ---------------------------------------------------------------- decode
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read(self, n: int) -> int:
-        while self.nbits < n:
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # de-stuff
-                else:
-                    b = 0  # marker hit (shouldn't happen mid-scan): pad
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-
-def _decode_table(bits: bytes, syms: bytes) -> dict[tuple[int, int], int]:
-    """{(nbits, code): symbol} from a DHT payload (canonical regeneration)."""
-    out: dict[tuple[int, int], int] = {}
+def _decode_table(bits: bytes, syms: bytes) -> tuple[list, list]:
+    """16-bit prefix LUT from a DHT payload: every 16-bit word whose prefix
+    is a code of length L maps to (symbol, L) — one table lookup decodes a
+    whole symbol (vs walking the canonical tree bit by bit). Returned as
+    plain Python lists (fastest per-element access in the scan loop)."""
+    sym_lut = np.zeros(65536, np.int32)
+    len_lut = np.zeros(65536, np.int32)
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = syms[k]
+            start = code << (16 - ln)
+            sym_lut[start : start + (1 << (16 - ln))] = syms[k]
+            len_lut[start : start + (1 << (16 - ln))] = ln
             code += 1
             k += 1
         code <<= 1
-    return out
-
-
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read(1)
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code")
+    return sym_lut.tolist(), len_lut.tolist()
 
 
 def decode_gray_jpeg(data: bytes) -> np.ndarray:
@@ -355,49 +374,88 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
             dc_tid = seg[2] >> 4
             ac_tid = seg[2] & 0x0F
             scan = data[pos + seg_len :]
-            # strip trailing EOI for the bit reader
-            end = scan.rfind(b"\xff\xd9")
-            br = _BitReader(scan[: end if end >= 0 else len(scan)])
+            end = scan.rfind(b"\xff\xd9")  # strip trailing EOI
+            scan = scan[: end if end >= 0 else len(scan)]
+            # de-stuff once (drop the 0x00 after each 0xFF), then expose the
+            # bitstream as 32-bit windows: word i = bits starting at byte i,
+            # so "the 16 bits at bit p" is ONE shift+mask — the _BitReader's
+            # per-bit loop became O(1) peeks against this array
+            arr = np.frombuffer(scan, np.uint8)
+            if len(arr) > 1:
+                drop = np.nonzero((arr[:-1] == 0xFF) & (arr[1:] == 0x00))[0] + 1
+                if len(drop):
+                    arr = np.delete(arr, drop)
+            c = np.concatenate([arr, np.zeros(4, np.uint8)]).astype(np.uint32)
+            words = ((c[:-3] << 24) | (c[1:-2] << 16) | (c[2:-1] << 8) | c[3:]).tolist()
+            dsym, dlen = htables[(0, dc_tid)]
+            asym, alen = htables[(1, ac_tid)]
             qt = qtables[qt_id]
-            dct = htables[(0, dc_tid)]
-            act = htables[(1, ac_tid)]
             bh, bw_ = -(-h // 8), -(-w // 8)
-            out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
-            prev_dc = 0
-            for bi in range(bh * bw_):
-                zz = np.zeros(64, dtype=np.int64)
-                cat = _huff_decode(br, dct)
+            nblocks = bh * bw_
+            dc_diffs = [0] * nblocks
+            bis: list[int] = []
+            ks: list[int] = []
+            vs: list[int] = []
+            p = 0  # bit position; the scan loop is per-SYMBOL (LUT decode),
+            # all per-block math (dequant/IDCT) is batched after it
+            for bi in range(nblocks):
+                peek = (words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                cat = dsym[peek]
+                p += dlen[peek]
                 if cat:
-                    v = br.read(cat)
+                    v = ((words[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - cat)
+                    p += cat
                     if v < (1 << (cat - 1)):
                         v -= (1 << cat) - 1
-                else:
-                    v = 0
-                prev_dc += v
-                zz[0] = prev_dc
+                    dc_diffs[bi] = v
                 k = 1
                 while k < 64:
-                    sym = _huff_decode(br, act)
+                    peek = (words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                    sym = asym[peek]
+                    p += alen[peek]
                     if sym == 0x00:  # EOB
                         break
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
+                    k += sym >> 4
+                    size = sym & 0x0F
                     if size:
-                        v = br.read(size)
+                        v = ((words[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - size)
+                        p += size
                         if v < (1 << (size - 1)):
                             v -= (1 << size) - 1
-                        zz[k] = v
+                        bis.append(bi)
+                        ks.append(k)
+                        vs.append(v)
                         k += 1
                     elif sym == 0xF0:
                         k += 1  # ZRL = 16 zeros: run(15) + this slot
                     else:
                         break
-                blk = np.zeros(64, dtype=np.int64)
-                blk[_ZZ] = zz
-                coef = blk.reshape(8, 8) * qt
-                pix = _DCT.T @ coef.astype(np.float64) @ _DCT
-                by, bx = divmod(bi, bw_)
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-            return np.clip(np.floor(out + 128.0 + 0.5), 0, 255).astype(np.uint8)[:h, :w]
+            dcv = np.cumsum(np.asarray(dc_diffs, np.int64))
+            # DC-only blocks (the common case on document pages: background)
+            # reconstruct to a UNIFORM value dc·qt[0,0]/8 — no IDCT, and the
+            # image is written once as uint8 (1 byte/px, not an (N,64)
+            # float64 per-block pipeline)
+            flat_px = np.clip(
+                np.floor(dcv * (qt[0, 0] / 8.0) + 128.5), 0, 255
+            ).astype(np.uint8)
+            out8 = np.repeat(
+                np.repeat(flat_px.reshape(bh, bw_), 8, axis=1).reshape(bh, bw_ * 8),
+                8, axis=0,
+            )
+            if bis:
+                # batched dequant + IDCT over ONLY the blocks that have AC
+                # coefficients; zigzag positions map straight into the 8×8
+                # layout (blk[:, _ZZ[k]] = v), skipping the intermediate
+                ub, inv = np.unique(np.asarray(bis), return_inverse=True)
+                blk = np.zeros((len(ub), 64), np.int64)
+                blk[inv, _ZZ[np.asarray(ks)]] = np.asarray(vs, np.int64)
+                blk[:, 0] = dcv[ub]
+                coef = blk.reshape(-1, 8, 8) * qt
+                pix = np.einsum("ji,ajk,kl->ail", _DCT, coef.astype(np.float64), _DCT)
+                pix8 = np.clip(np.floor(pix + 128.5), 0, 255).astype(np.uint8)
+                by, bx = ub // bw_, ub % bw_
+                view = out8.reshape(bh, 8, bw_, 8)
+                view[by, :, bx, :] = pix8
+            return out8[:h, :w]
         pos += seg_len
     raise ValueError("no SOS segment found")

@@ -18,9 +18,10 @@ def test_image_metadata_real_decode(media):
     meta = multimodal.image_metadata(media).collect()
     assert meta
     for r in meta:
-        assert r.format == "png" and r.width > 0 and r.height > 0
+        assert r.format in ("png", "jpeg") and r.width > 0 and r.height > 0
         assert 0 < r.ink_ratio < 0.5  # text pages are mostly background
         assert 0 < r.mean_intensity < 255
+    assert {r.format for r in meta} == {"png", "jpeg"}  # mixed-format store
 
 
 def test_image_metadata_corrupt_row(spark):
