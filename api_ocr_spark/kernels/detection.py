@@ -205,8 +205,10 @@ def rule_rows(binary: np.ndarray, min_frac: float = 0.85) -> np.ndarray:
 
     Bandwidth-aware: a cheap row-count pass prunes to candidate rows (a run
     of k pixels needs >= k ink pixels), then the exact run check touches
-    only those rows — no full-image run-length materialization."""
-    ink = binary > 0
+    only those rows — no full-image run-length materialization. Accepts a
+    bool ink mask directly (callers that already hold one skip a full
+    binary>0 pass)."""
+    ink = binary if binary.dtype == np.bool_ else binary > 0
     h, w = ink.shape
     need = min_frac * w
     counts = ink.sum(axis=1)
@@ -233,8 +235,10 @@ def rule_cols(ink: np.ndarray, min_frac: float = 0.85, min_px: int = 24) -> np.n
 def count_horizontal_lines(binary: np.ndarray, min_frac: float = 0.6) -> int:
     """Distinct horizontal rules (consecutive rule-rows = one rule). Mirrors
     the reference's HoughLinesP census that drives the table route
-    (/root/reference/main.py:272-283: lines with |Δy|<5 and length>100)."""
-    rows = (binary > 0).mean(axis=1) > min_frac
+    (/root/reference/main.py:272-283: lines with |Δy|<5 and length>100).
+    Accepts a bool ink mask directly (skips the binary>0 pass)."""
+    ink = binary if binary.dtype == np.bool_ else binary > 0
+    rows = ink.mean(axis=1) > min_frac
     if not rows.any():
         return 0
     d = np.diff(rows.astype(np.int8))

@@ -24,20 +24,35 @@ BINARY_INK = 255  # binarized images are {0,255} with ink=255 (inverted),
 
 
 def to_gray(img: np.ndarray) -> np.ndarray:
-    """HxW or HxWx3 → HxW uint8 (ITU-R BT.601 luma, like cv2.cvtColor)."""
+    """HxW or HxWx3 → HxW uint8 (ITU-R BT.601 luma, like cv2.cvtColor).
+    Integer arithmetic (77·R + 150·G + 29·B + 128) >> 8 — the classic
+    fixed-point BT.601 weights; max intermediate 65 408 fits uint16, so the
+    conversion never touches a float64 temporary (3 bytes/px in, 2 bytes/px
+    working set, vs 24 bytes/px for a float matmul)."""
     if img.ndim == 2:
         return img.astype(np.uint8, copy=False)
-    w = np.array([0.299, 0.587, 0.114])
-    return np.clip(img.astype(np.float64) @ w, 0, 255).astype(np.uint8)
+    r = img[..., 0].astype(np.uint16)
+    g = img[..., 1].astype(np.uint16)
+    b = img[..., 2].astype(np.uint16)
+    return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
 
 
 def _box_sum(a: np.ndarray, win: int) -> np.ndarray:
-    """Sliding win×win sum with edge replication, via 2-D cumsum. O(n)."""
+    """Sliding win×win sum with edge replication, via 2-D cumsum. O(n).
+
+    Bandwidth-aware dtype: uint8 input cumsums in int32 (EXACT — the total
+    image sum is < 2³¹ for any page below 2.9 gigapixels — at half the bytes
+    of float64; float32 would NOT be exact: cumsum magnitudes pass 2²⁴ on
+    megapixel pages and the window difference loses low bits). Float input
+    (the g·g square-sum path) keeps float64."""
     r = win // 2
-    pad = np.pad(a, r, mode="edge").astype(np.float64)
-    c = np.cumsum(np.cumsum(pad, axis=0), axis=1)
-    c = np.pad(c, ((1, 0), (1, 0)))
+    pad = np.pad(a, r, mode="edge")
     h, w = a.shape
+    if pad.dtype == np.uint8:
+        c = pad.cumsum(axis=0, dtype=np.int32).cumsum(axis=1, dtype=np.int32)
+    else:
+        c = np.cumsum(np.cumsum(pad.astype(np.float64), axis=0), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
     return (
         c[win : win + h, win : win + w]
         - c[:h, win : win + w]
@@ -61,18 +76,27 @@ def otsu_threshold(gray: np.ndarray) -> int:
     return int(np.argmax(sigma_b))
 
 
+_U255 = np.uint8(BINARY_INK)
+_U0 = np.uint8(0)
+
+
 def binarize_otsu(gray: np.ndarray) -> np.ndarray:
-    """Otsu global threshold, inverted: ink(dark) → 255."""
+    """Otsu global threshold, inverted: ink(dark) → 255. np.where with uint8
+    scalars keeps the whole pass at 1 byte/px (a bare np.where(c, 255, 0)
+    materializes an int64 image — 8 bytes/px — then casts it back)."""
     t = otsu_threshold(gray)
-    return np.where(gray <= t, BINARY_INK, 0).astype(np.uint8)
+    return np.where(gray <= t, _U255, _U0)
 
 
 def binarize_adaptive(gray: np.ndarray, window: int = 25, c: int = 10) -> np.ndarray:
     """Adaptive-mean threshold (reference uses ADAPTIVE_THRESH_GAUSSIAN_C,
     enhance.py:110-113; mean-box is the numpy-tractable equivalent): pixel is
     ink iff value < local_mean - c. Inverted output."""
-    mean = _box_sum(gray, window) / float(window * window)
-    return np.where(gray.astype(np.float64) < mean - c, BINARY_INK, 0).astype(np.uint8)
+    # integer comparison: gray < mean − c  ⇔  gray·win² < boxsum − c·win²
+    # (exact int32 arithmetic, no float64 image temporaries)
+    n = window * window
+    thresh = _box_sum(gray, window) - c * n
+    return np.where(gray.astype(np.int32) * n < thresh, _U255, _U0)
 
 
 def _gaussian_kernel1d(win: int, sigma: float | None = None) -> np.ndarray:
@@ -120,7 +144,7 @@ def sauvola_threshold_map(gray: np.ndarray, window: int = 25, k: float = 0.2, r:
 
 def binarize_sauvola(gray: np.ndarray, window: int = 25, k: float = 0.2, r: float = 128.0) -> np.ndarray:
     t = sauvola_threshold_map(gray, window, k, r)
-    return np.where(gray.astype(np.float64) < t, BINARY_INK, 0).astype(np.uint8)
+    return np.where(gray < t, _U255, _U0)
 
 
 def binarize(gray: np.ndarray, method: str = "auto") -> np.ndarray:
@@ -144,7 +168,7 @@ def remove_shadows(gray: np.ndarray, window: int = 21) -> np.ndarray:
     image with ink suppressed, subtract, renormalize. Functional equivalent of
     the reference's dilate→medianBlur→absdiff→normalize (enhance.py:121-128)."""
     g = gray.astype(np.float64)
-    bg = _box_sum(g, window) / float(window * window)
+    bg = _box_sum(gray, window) / float(window * window)  # int32 cumsum path
     bg = np.maximum(bg, g)  # background is at least as bright as the pixel
     flat = 255.0 - np.minimum(255.0, bg - g)
     lo, hi = flat.min(), flat.max()
@@ -300,13 +324,42 @@ def _shear_rows(img: np.ndarray, deg: float, fill: int) -> np.ndarray:
     return out
 
 
+def _profile_scores(ink: np.ndarray, h: int, w: int) -> dict[float, float] | None:
+    """Column-profile sharpness score per candidate shear angle.
+
+    Bandwidth shape (the 32-thread memory-bus tax is the engine's scaling
+    ceiling): coordinates are int32, and each angle's shifted histogram is
+    built in ITS OWN pass over an nnz-sized buffer that is reused — peak
+    working set ~8 bytes per ink pixel, vs the earlier single-bincount form
+    that materialized a |angles|×nnz int64 index matrix (120 bytes/ink-px)
+    plus an equally big gather. Same result, ~15× smaller footprint."""
+    ys, xs = np.nonzero(ink)
+    if ys.size == 0:
+        return None
+    ys32 = ys.astype(np.int32)
+    xs32 = xs.astype(np.int32)
+    yy = np.arange(h) - h / 2
+    pad = int(np.ceil(np.tan(np.deg2rad(8)) * h / 2)) + 1
+    width = w + 2 * pad
+    scores: dict[float, float] = {}
+    for deg in SKEW_SEARCH_DEGREES:
+        shift = np.round(np.tan(np.deg2rad(-deg)) * yy).astype(np.int32)
+        idx = shift.take(ys32)
+        idx += xs32
+        idx += pad
+        prof = np.bincount(idx, minlength=width)
+        scores[float(deg)] = float((prof * prof).sum())
+    return scores
+
+
 def estimate_skew(binary: np.ndarray) -> float:
     """Estimate skew by maximizing **column**-projection sharpness over the
     discrete shear family (profile-projection method; replaces the reference's
     Canny+HoughLines median angle, enhance.py:17-31). Row sums are invariant
     under per-row x-shear, so the column profile is the shear-sensitive
-    statistic: unshearing at the true angle re-aligns vertical strokes."""
-    ink = binary > 0
+    statistic: unshearing at the true angle re-aligns vertical strokes.
+    Accepts a bool ink mask directly (skips the binary>0 pass)."""
+    ink = binary if binary.dtype == np.bool_ else binary > 0
     h, w = ink.shape
     # exclude rule-dominated rows (>50% ink): full-width rules carry no skew
     # signal and multiply the ink-pixel count ~10x on ruled pages — but only
@@ -317,20 +370,9 @@ def estimate_skew(binary: np.ndarray) -> float:
     if heavy.any() and int(row_counts[~heavy].sum()) >= 400:
         ink = ink.copy()
         ink[heavy, :] = False
-    ys, xs = np.nonzero(ink)
-    if ys.size == 0:
+    scores = _profile_scores(ink, h, w)
+    if scores is None:
         return 0.0
-    yy = np.arange(h) - h / 2
-    pad = int(np.ceil(np.tan(np.deg2rad(8)) * h / 2)) + 1
-    width = w + 2 * pad
-    degs = np.array(SKEW_SEARCH_DEGREES, dtype=np.float64)
-    # all angles in ONE bincount: profile of angle k lives in [k*width, (k+1)*width)
-    shifts = np.round(np.tan(np.deg2rad(-degs))[:, None] * yy[None, :]).astype(np.int64)
-    idx = (np.arange(len(degs))[:, None] * width) + (xs[None, :] + shifts[:, ys] + pad)
-    profs = np.bincount(idx.ravel(), minlength=len(degs) * width).reshape(len(degs), width)
-    profs = profs.astype(np.float64)
-    score_arr = (profs * profs).sum(axis=1)
-    scores = {float(d): float(s) for d, s in zip(degs, score_arr)}
     best_deg = max(scores, key=lambda d: scores[d])
     # Hysteresis: profile noise on unskewed images can favor ±1° by <1%;
     # a real shear sharpens the unsheared column profile by >=2%. Below the
@@ -346,20 +388,35 @@ def estimate_skew(binary: np.ndarray) -> float:
     return best_deg
 
 
+def deskew_binary_ink(
+    gray: np.ndarray, min_abs_deg: float = 0.5
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """One-pass deskew: (deskewed_gray, binary, ink_mask, angle) with exactly
+    one extra binarization when a shear is applied and zero when not — the
+    shared primitive behind correct_skew/deskew_and_clean and the pipeline
+    modes. The bool ink mask is computed ONCE here and handed to every
+    downstream consumer (skew estimate, rule scans, band segmentation):
+    full-image passes dominate per-image cost under many-core memory-bus
+    contention, so each eliminated binary>0 re-pass is ~2 bytes/px off the
+    bus."""
+    t = otsu_threshold(gray)
+    ink = gray <= t
+    binary = np.where(ink, _U255, _U0)
+    deg = estimate_skew(ink)
+    if abs(deg) <= min_abs_deg:
+        return gray, binary, ink, 0.0
+    sheared = _shear_rows(gray, -deg, int(gray[0, 0]))
+    t2 = otsu_threshold(sheared)
+    ink2 = sheared <= t2
+    return sheared, np.where(ink2, _U255, _U0), ink2, deg
+
+
 def deskew_binary(
     gray: np.ndarray, min_abs_deg: float = 0.5
 ) -> tuple[np.ndarray, np.ndarray, float]:
-    """One-pass deskew: returns (deskewed_gray, deskewed_binary, angle) with
-    exactly one extra binarization when a shear is applied and zero when not
-    — the shared primitive behind correct_skew/deskew_and_clean and the
-    pipeline modes (keeps full-image memory passes minimal: they dominate
-    per-image cost under many-core contention)."""
-    binary = binarize_otsu(gray)
-    deg = estimate_skew(binary)
-    if abs(deg) <= min_abs_deg:
-        return gray, binary, 0.0
-    sheared = _shear_rows(gray, -deg, int(gray[0, 0]))
-    return sheared, binarize_otsu(sheared), deg
+    """Compat wrapper over deskew_binary_ink (drops the ink mask)."""
+    img, binary, _, deg = deskew_binary_ink(gray, min_abs_deg)
+    return img, binary, deg
 
 
 def skew_candidates(binary: np.ndarray, k: int = 3) -> list[float]:
@@ -368,20 +425,12 @@ def skew_candidates(binary: np.ndarray, k: int = 3) -> list[float]:
     recognition confidence instead (ocr/engine.py get_text_data)."""
     ink = binary > 0
     h, w = ink.shape
-    ys, xs = np.nonzero(ink)
-    if ys.size == 0:
+    scores = _profile_scores(ink, h, w)
+    if scores is None:
         return [0.0]
-    yy = np.arange(h) - h / 2
-    pad = int(np.ceil(np.tan(np.deg2rad(8)) * h / 2)) + 1
-    width = w + 2 * pad
-    degs = np.array(SKEW_SEARCH_DEGREES, dtype=np.float64)
-    shifts = np.round(np.tan(np.deg2rad(-degs))[:, None] * yy[None, :]).astype(np.int64)
-    idx = (np.arange(len(degs))[:, None] * width) + (xs[None, :] + shifts[:, ys] + pad)
-    profs = np.bincount(idx.ravel(), minlength=len(degs) * width).reshape(len(degs), width)
-    profs = profs.astype(np.float64)
-    score_arr = (profs * profs).sum(axis=1)
-    order = np.argsort(-score_arr, kind="stable")[:k]
-    return [float(degs[i]) for i in order]
+    degs = list(scores)
+    order = sorted(range(len(degs)), key=lambda i: (-scores[degs[i]], i))[:k]
+    return [degs[i] for i in order]
 
 
 def correct_skew(gray: np.ndarray, min_abs_deg: float = 0.5) -> tuple[np.ndarray, float]:

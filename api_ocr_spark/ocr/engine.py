@@ -130,8 +130,8 @@ def best_deskew(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray, list[dict]]:
     (remove_shadows) — the reference's degradation-ladder idiom applied to
     preprocessing (main.py:660-696). All pipeline modes deskew through this,
     so region/table/checkbox paths share the robustness."""
-    deskewed0, b0, deg0 = enhance.deskew_binary(gray)
-    words = _extract_words(b0 > 0, b0)
+    deskewed0, b0, ink0, deg0 = enhance.deskew_binary_ink(gray)
+    words = _extract_words(ink0, b0)  # ink mask reused — no binary>0 re-pass
     if _is_perfect(words):
         return deskewed0, b0, words
     best = (deskewed0, b0, words, _mean_conf(words))
@@ -169,7 +169,7 @@ def _is_perfect(words: list[dict]) -> bool:
 
 
 def _extract_words(ink: np.ndarray, binary: np.ndarray) -> list[dict]:
-    rr = rule_rows(binary)
+    rr = rule_rows(ink)  # bool mask in: no second binary>0 pass
     if rr.any():
         ink = ink.copy()
         ink[rr, :] = False
