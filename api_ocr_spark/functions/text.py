@@ -258,44 +258,7 @@ def hamming16(a: Column, b: Column) -> Column:
     return total
 
 
-def simhash64_bands(col: Column) -> Column:
-    """PRODUCTION-width SimHash: 64 bits as an array of four 16-bit band
-    values (the banding is the point — near-dup blocking joins on band
-    equality, and pigeonhole makes ≤3-Hamming blocking COMPLETE with 4
-    bands). Same md5 vote derivation as simhash16, generalized: bit j
-    (0..63) of a token's hash is bit (j mod 4) of hex digit (j div 4) of
-    md5(token) — one md5 per token, SQL-replicable digit arithmetic, so the
-    DuckDB oracle regenerates identical bands. Single-pass Catalyst
-    aggregate folding a 64-counter vote array; everything JVM-side."""
-    return simhash64_bands_from_counts(simhash64_counts(col))
-
-
-def simhash64_counts(col: Column) -> Column:
-    """The 64-element vote-counter array (one fold over the token stream).
-    Callers that index the result repeatedly should materialize it behind a
-    projection first (simhash64_table does) — otherwise Catalyst re-expands
-    the whole aggregate per index."""
-    t = tokens(col)
-    hashes = F.transform(t, lambda x: F.md5(x))
-
-    def vote(h: Column, j: Column) -> Column:
-        digit = F.conv(F.substr(h, F.floor(j / 4) + 1, F.lit(1)), 16, 10).cast("int")
-        bit = F.floor(digit / F.pow(F.lit(2.0), (j % 4).cast("double"))).cast("int") % 2
-        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
-
-    return F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.transform(acc, lambda a, j: a + vote(h, j)),
-    )
-
-
-def simhash64_bands_from_counts(counts: Column) -> Column:
-    """counts[64] → array of four 16-bit band values (sign → bit)."""
-    def band(b: int) -> Column:
-        v = F.lit(0)
-        for k in range(16):
-            v = v + F.when(counts[16 * b + k] > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        return v.cast("int")
-
-    return F.array(*[band(b) for b in range(4)])
+# simhash64 lives in operators/dedup.py as an explode + groupBy shape:
+# Catalyst higher-order lambdas (aggregate/transform) are interpreted per
+# element, so a 64-counter fold was ~50x slower than 64 codegen'd integer
+# SUM aggregates over exploded tokens. See dedup.simhash64_table.

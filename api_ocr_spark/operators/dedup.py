@@ -19,6 +19,17 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint_md5, normalize_ws
 
 
+def _fan_out(documents: DataFrame, mult: int = 2) -> DataFrame:
+    """Round-robin repartition of the input before expression-heavy
+    projections: a single-file parquet source is ONE input partition, so
+    hashing/signature pipelines would otherwise run serially regardless of
+    core count (and `df.count()` hides it — column pruning strips the very
+    expressions that dominate the real query). Explicit count because AQE's
+    bytes-based coalescing under-partitions compute-heavy stages."""
+    return documents.repartition(
+        mult * documents.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: one keeper (min doc_id) per fingerprint."""
     return (
@@ -42,6 +53,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id:long, shingle:string) exploded distinct shingles."""
+    documents = _fan_out(documents)
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(word_shingles(F.col("text"), n)).alias("shingle"),
@@ -78,6 +90,7 @@ def doc_shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
     the words array is materialized behind a projection so the split isn't
     re-evaluated per shingle, and the exploded column is a bigint, not a
     string (nothing row-size-heavy crosses the explode)."""
+    documents = _fan_out(documents)
     words = F.split(normalize_ws(F.lower(F.col("text"))), " ")
     staged = documents.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
     starts = F.sequence(F.lit(1), F.greatest(F.size("ws") - (n - 1), F.lit(1)))
@@ -217,6 +230,7 @@ def simhash_table(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash:int) — 16-bit md5-vote SimHash (oracle-reproducible)."""
     from ..functions.text import simhash16
 
+    documents = _fan_out(documents)
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"), simhash16(F.col("text")).alias("simhash")
     )
@@ -258,21 +272,57 @@ def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFra
 
 def simhash64_table(documents: DataFrame) -> DataFrame:
     """(doc_id, b0..b3) — PRODUCTION-width 64-bit SimHash as four 16-bit
-    bands (functions.text.simhash64_bands). The vote-counter array is
-    materialized behind a projection so the 64 band-bit tests index a
-    computed column, not 64 copies of the fold expression."""
-    from ..functions.text import simhash64_bands_from_counts, simhash64_counts
+    bands. Bit j (0..63) of a token's hash is bit (j mod 4) of hex digit
+    (j div 4) of md5(token) — identical derivation in the DuckDB oracle.
 
-    staged = documents.select(
+    Execution shape: explode tokens → md5 once per token → per hex digit a
+    PACKED 4-lane counter word (bit r of the digit widened into a 16-bit
+    lane at offset 16r) → ONE groupBy(doc_id) with 16 codegen'd integer SUM
+    aggregates (map-side partial agg; lanes cannot carry below 2¹⁶ tokens
+    per document — far above any corpus page; production long-docs would
+    split or widen lanes) + token count; per-bit vote is 2·lane − n.
+    Catalyst higher-order lambdas (aggregate/transform) are INTERPRETED per
+    element — a 64-counter fold ran ~50× slower than this whole-stage-
+    codegen aggregate at corpus scale — and lane packing keeps the plan at
+    16 aggregates instead of 64 (codegen compile time is plan-sized)."""
+    from ..functions.text import tokens
+
+    toks = _fan_out(documents).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        simhash64_counts(F.col("text")).alias("cnt"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
     )
-    banded = staged.select(
-        "doc_id", simhash64_bands_from_counts(F.col("cnt")).alias("bands"))
-    return banded.select(
+    hashed = toks.select("doc_id", F.md5("tok").alias("mh"))
+    # 16 references to mh keep the md5 projection from collapsing into the
+    # digit expressions (Catalyst inlines single-use aliases)
+    digs = hashed.select(
         "doc_id",
-        *[F.col("bands")[b].alias(f"b{b}") for b in range(4)],
+        *[F.conv(F.substring("mh", d + 1, 1), 16, 10).cast("long").alias(f"d{d}")
+          for d in range(16)],
     )
+
+    def spread(d: str):
+        c = F.col(d)
+        v = c.bitwiseAND(F.lit(1))
+        for r in (1, 2, 3):
+            v = v + F.shiftleft(F.shiftright(c, r).bitwiseAND(F.lit(1)), 16 * r)
+        return v
+
+    packed = digs.select(
+        "doc_id", *[spread(f"d{d}").alias(f"p{d}") for d in range(16)])
+    sums = packed.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"p{d}").alias(f"S{d}") for d in range(16)],
+    )
+
+    def band(b: int):
+        v = F.lit(0)
+        for k in range(16):
+            d, r = 4 * b + k // 4, k % 4  # overall bit j=16b+k = bit r of digit d
+            lane = F.shiftright(F.col(f"S{d}"), 16 * r).bitwiseAND(F.lit(0xFFFF))
+            v = v + F.when(2 * lane - F.col("n") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        return v.cast("int").alias(f"b{b}")
+
+    return sums.select("doc_id", *[band(b) for b in range(4)])
 
 
 def simhash64_neardup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -280,28 +330,40 @@ def simhash64_neardup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataF
     Hamming distance <= 3 must agree EXACTLY on at least one of the 4
     16-bit bands (pigeonhole — so unlike the 16-bit toy form, this blocking
     is COMPLETE for the default threshold: recall 1.0 by construction).
-    Four equi-joins (one per band), unioned, distinct, popcount verify —
-    every join is shuffle-on-band-value, the 100 TB shape."""
-    from ..functions.text import hamming16
 
+    One (band_id, band_value)-exploded self-join — the same shape as the
+    MinHash band join. Candidate volume note (measured): simhash band values
+    of topically-similar documents COLLIDE heavily (shared vocabulary drives
+    the votes — top sf0.1 bucket holds ~3% of docs), so candidates ≫ final
+    pairs. The verify is therefore pushed BEFORE the distinct (popcount is a
+    per-row filter; distinct then sees only true pairs), and the four band
+    values travel as ONE packed 64-bit word whose XOR popcount IS the
+    64-bit Hamming distance (lanes are disjoint) — one bit_count per
+    candidate instead of a 64-term popcount expression."""
     sh = simhash64_table(documents)
-    a = sh.select(F.col("doc_id").alias("doc_a"),
-                  *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)])
-    b_ = sh.select(F.col("doc_id").alias("doc_b"),
-                   *[F.col(f"b{b}").alias(f"c{b}") for b in range(4)])
-    pairs = None
-    for b in range(4):
-        p = a.join(
-            b_, (F.col(f"a{b}") == F.col(f"c{b}")) & (F.col("doc_a") < F.col("doc_b"))
+    packed = sum(
+        F.shiftleft(F.col(f"b{b}").cast("long"), 16 * b) for b in range(4)
+    ).alias("pk")
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band_id"), F.col(f"b{b}").alias("bv")) for b in range(4)
+    ])
+    banded = sh.select("doc_id", packed, F.explode(bands).alias("band")).select(
+        "doc_id", "pk", F.col("band.band_id").alias("band_id"), F.col("band.bv").alias("bv")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("pk").alias("pa"),
+                      "band_id", "bv")
+    b_ = banded.select(F.col("doc_id").alias("doc_b"), F.col("pk").alias("pb"),
+                       "band_id", "bv")
+    cand = (
+        a.join(b_, ["band_id", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int").alias("hamming"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    hamming = sum(hamming16(F.col(f"a{b}"), F.col(f"c{b}")) for b in range(4))
-    out = (
-        pairs.distinct()
-        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
     )
-    return out.select("doc_a", "doc_b", "hamming")
+    return cand.distinct()
 
 
 def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
