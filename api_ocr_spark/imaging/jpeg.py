@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import _jpegscan
+
 # ---------------------------------------------------------------- tables
 
 # ITU-T T.81 Annex K.1 luminance quantization table (public spec constants)
@@ -61,6 +63,16 @@ def _dct_matrix() -> np.ndarray:
 
 
 _DCT = _dct_matrix()
+
+
+def _batched_sandwich(m1: np.ndarray, blocks: np.ndarray, m2: np.ndarray) -> np.ndarray:
+    """m1 @ B[a] @ m2 for a stack of 8×8 blocks, as TWO flattened GEMMs
+    ((a·8, 8) × (8, 8)) — einsum evaluated this contraction without BLAS at
+    ~30× the cost (6 ms per 550-block page)."""
+    a = blocks.shape[0]
+    x = (blocks.reshape(-1, 8) @ m2).reshape(a, 8, 8)           # B[a] @ m2
+    y = (x.transpose(0, 2, 1).reshape(-1, 8) @ m1.T).reshape(a, 8, 8)
+    return y.transpose(0, 2, 1)                                  # m1 @ (...)
 
 
 def quant_table(quality: int) -> np.ndarray:
@@ -166,12 +178,14 @@ def _pack_bits(codes: np.ndarray, lens: np.ndarray) -> bytes:
     """Vectorized variable-length bit packing + 1s padding + byte stuffing —
     the _BitWriter loop as four numpy passes (ragged arange over the
     concatenated bit positions). Byte-identical to the sequential writer."""
+    codes = codes.astype(np.int32, copy=False)
+    lens = lens.astype(np.int32, copy=False)
     total = int(lens.sum())
     pad = (-total) % 8
     if pad:
-        codes = np.append(codes, (1 << pad) - 1)
-        lens = np.append(lens, pad)
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        codes = np.append(codes, np.int32((1 << pad) - 1))
+        lens = np.append(lens, np.int32(pad))
+    starts = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)[:-1]))
     within = np.arange(total + pad, dtype=np.int64) - np.repeat(starts, lens)
     bits = (np.repeat(codes, lens) >> (np.repeat(lens, lens) - 1 - within)) & 1
     packed = np.packbits(bits.astype(np.uint8))
@@ -198,7 +212,7 @@ def encode_gray_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
     zzs = np.zeros((n, 64), np.int64)
     if not uni.all():
         xb = blocks8[~uni].reshape(-1, 8, 8).astype(np.float64) - 128.0
-        coef = np.einsum("ij,ajk,lk->ail", _DCT, xb, _DCT)
+        coef = _batched_sandwich(_DCT, xb, _DCT.T)  # DCT @ B @ DCT^T
         # round-half-away (np.rint is banker's; libjpeg divides w/ rounding)
         qz = (np.sign(coef) * np.floor(np.abs(coef) / qt + 0.5)).astype(np.int64)
         zzs[~uni] = qz.reshape(-1, 64)[:, _ZZ]
@@ -313,24 +327,34 @@ def encode_gray_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
 
 # ---------------------------------------------------------------- decode
 
-def _decode_table(bits: bytes, syms: bytes) -> tuple[list, list]:
-    """16-bit prefix LUT from a DHT payload: every 16-bit word whose prefix
-    is a code of length L maps to (symbol, L) — one table lookup decodes a
-    whole symbol (vs walking the canonical tree bit by bit). Returned as
-    plain Python lists (fastest per-element access in the scan loop)."""
-    sym_lut = np.zeros(65536, np.int32)
-    len_lut = np.zeros(65536, np.int32)
+_LUT_BITS = 10  # primary-LUT width: covers every code of <= 10 bits (the
+# overwhelming majority of decoded symbols on optimized tables); longer
+# codes fall back to a dict walk. 2^10 entries keep the per-image
+# table-build + tolist cost negligible (a 2^16 LUT spent ~3 ms/image there).
+
+
+def _decode_table(bits: bytes, syms: bytes) -> tuple[list, dict, bytes, bytes]:
+    """(primary LUT, fallback, raw bits, raw syms) from a DHT payload. LUT
+    entry for a 10-bit window whose prefix is a code of length L <= 10:
+    (L << 8) | symbol — ONE list index + shift decodes a whole symbol.
+    Entry 0 = code longer than 10 bits → fallback dict {(len, code): sym}
+    canonical walk. The raw DHT bytes ride along for the compiled scan fast
+    path (imaging/_jpegscan), which rebuilds its own 16-bit LUT in C."""
+    lut = np.zeros(1 << _LUT_BITS, np.int32)
+    fallback: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            start = code << (16 - ln)
-            sym_lut[start : start + (1 << (16 - ln))] = syms[k]
-            len_lut[start : start + (1 << (16 - ln))] = ln
+            if ln <= _LUT_BITS:
+                start = code << (_LUT_BITS - ln)
+                lut[start : start + (1 << (_LUT_BITS - ln))] = (ln << 8) | syms[k]
+            else:
+                fallback[(ln, code)] = syms[k]
             code += 1
             k += 1
         code <<= 1
-    return sym_lut.tolist(), len_lut.tolist()
+    return lut.tolist(), fallback, bytes(bits), bytes(syms)
 
 
 def decode_gray_jpeg(data: bytes) -> np.ndarray:
@@ -385,77 +409,120 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
                 drop = np.nonzero((arr[:-1] == 0xFF) & (arr[1:] == 0x00))[0] + 1
                 if len(drop):
                     arr = np.delete(arr, drop)
-            c = np.concatenate([arr, np.zeros(4, np.uint8)]).astype(np.uint32)
-            words = ((c[:-3] << 24) | (c[1:-2] << 16) | (c[2:-1] << 8) | c[3:]).tolist()
-            dsym, dlen = htables[(0, dc_tid)]
-            asym, alen = htables[(1, ac_tid)]
+            arr = np.concatenate([arr, np.zeros(8, np.uint8)])
+            dlut, dfall, dbits, dsyms = htables[(0, dc_tid)]
+            alut, afall, abits, asyms = htables[(1, ac_tid)]
             qt = qtables[qt_id]
             bh, bw_ = -(-h // 8), -(-w // 8)
             nblocks = bh * bw_
+            native = _jpegscan.scan_fn()
+            if native is not None:
+                # compiled scan loop (identical algorithm/outputs; asserted
+                # vs the Python path in tests) — ~25x on dense pages
+                dc_arr = np.empty(nblocks, np.int64)
+                cap = (len(arr) * 8) // 2 + 64  # a value symbol needs >=2 bits
+                pv_buf = np.empty(cap, np.int64)
+                nvals = native(
+                    arr.tobytes(), dbits, dsyms, abits, asyms, nblocks,
+                    dc_arr.ctypes.data, pv_buf.ctypes.data)
+                if nvals < 0:
+                    raise ValueError("invalid huffman code")
+                return _reconstruct(dc_arr, pv_buf[:nvals], nblocks, bh, bw_, qt, h, w)
+            c = arr.astype(np.uint32)
+            words = ((c[:-3] << 24) | (c[1:-2] << 16) | (c[2:-1] << 8) | c[3:]).tolist()
             dc_diffs = [0] * nblocks
-            bis: list[int] = []
-            ks: list[int] = []
-            vs: list[int] = []
-            p = 0  # bit position; the scan loop is per-SYMBOL (LUT decode),
-            # all per-block math (dequant/IDCT) is batched after it
+            packed_vals: list[int] = []
+            # per-SYMBOL scan loop (one LUT index decodes a symbol); all
+            # per-block math (dequant/IDCT) is batched after it. Hot-loop
+            # hygiene: locals everywhere, ONE packed append per AC value
+            # ((bi << 17) | (k << 11) | (v + 1024) — baseline AC categories
+            # are <= 10, so v is within ±1023), precomputed sign-extension
+            # tables, dict-walk fallback only for codes > 10 bits.
+            half = [1] + [1 << (c - 1) for c in range(1, 17)]
+            ext = [(1 << c) - 1 for c in range(17)]
+            append = packed_vals.append
+            wds = words
+            shift = 32 - _LUT_BITS
+
+            def slow(p: int, fall: dict) -> int:
+                peek16 = ((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> 16
+                for ln in range(_LUT_BITS + 1, 17):
+                    s = fall.get((ln, peek16 >> (16 - ln)))
+                    if s is not None:
+                        return (ln << 8) | s
+                raise ValueError("invalid huffman code")
+
+            p = 0  # bit position
             for bi in range(nblocks):
-                peek = (words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
-                cat = dsym[peek]
-                p += dlen[peek]
+                e = dlut[((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> shift]
+                if not e:
+                    e = slow(p, dfall)
+                p += e >> 8
+                cat = e & 0xFF
                 if cat:
-                    v = ((words[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - cat)
+                    v = ((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> (32 - cat)
                     p += cat
-                    if v < (1 << (cat - 1)):
-                        v -= (1 << cat) - 1
+                    if v < half[cat]:
+                        v -= ext[cat]
                     dc_diffs[bi] = v
                 k = 1
+                base = bi << 17
                 while k < 64:
-                    peek = (words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
-                    sym = asym[peek]
-                    p += alen[peek]
+                    e = alut[((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> shift]
+                    if not e:
+                        e = slow(p, afall)
+                    p += e >> 8
+                    sym = e & 0xFF
                     if sym == 0x00:  # EOB
                         break
                     k += sym >> 4
                     size = sym & 0x0F
                     if size:
-                        v = ((words[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - size)
+                        v = ((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> (32 - size)
                         p += size
-                        if v < (1 << (size - 1)):
-                            v -= (1 << size) - 1
-                        bis.append(bi)
-                        ks.append(k)
-                        vs.append(v)
+                        if v < half[size]:
+                            v -= ext[size]
+                        append(base | (k << 11) | (v + 1024))
                         k += 1
                     elif sym == 0xF0:
                         k += 1  # ZRL = 16 zeros: run(15) + this slot
                     else:
                         break
-            dcv = np.cumsum(np.asarray(dc_diffs, np.int64))
-            # DC-only blocks (the common case on document pages: background)
-            # reconstruct to a UNIFORM value dc·qt[0,0]/8 — no IDCT, and the
-            # image is written once as uint8 (1 byte/px, not an (N,64)
-            # float64 per-block pipeline)
-            flat_px = np.clip(
-                np.floor(dcv * (qt[0, 0] / 8.0) + 128.5), 0, 255
-            ).astype(np.uint8)
-            out8 = np.repeat(
-                np.repeat(flat_px.reshape(bh, bw_), 8, axis=1).reshape(bh, bw_ * 8),
-                8, axis=0,
-            )
-            if bis:
-                # batched dequant + IDCT over ONLY the blocks that have AC
-                # coefficients; zigzag positions map straight into the 8×8
-                # layout (blk[:, _ZZ[k]] = v), skipping the intermediate
-                ub, inv = np.unique(np.asarray(bis), return_inverse=True)
-                blk = np.zeros((len(ub), 64), np.int64)
-                blk[inv, _ZZ[np.asarray(ks)]] = np.asarray(vs, np.int64)
-                blk[:, 0] = dcv[ub]
-                coef = blk.reshape(-1, 8, 8) * qt
-                pix = np.einsum("ji,ajk,kl->ail", _DCT, coef.astype(np.float64), _DCT)
-                pix8 = np.clip(np.floor(pix + 128.5), 0, 255).astype(np.uint8)
-                by, bx = ub // bw_, ub % bw_
-                view = out8.reshape(bh, 8, bw_, 8)
-                view[by, :, bx, :] = pix8
-            return out8[:h, :w]
+            return _reconstruct(
+                np.asarray(dc_diffs, np.int64),
+                np.asarray(packed_vals, np.int64), nblocks, bh, bw_, qt, h, w)
         pos += seg_len
     raise ValueError("no SOS segment found")
+
+
+def _reconstruct(dc_diffs: np.ndarray, pv: np.ndarray, nblocks: int,
+                 bh: int, bw_: int, qt: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Packed scan output → pixels. DC-only blocks (the common case on
+    document pages: background) reconstruct to a UNIFORM value dc·qt[0,0]/8
+    — no IDCT, and the image is written once as uint8 (1 byte/px); batched
+    dequant + IDCT runs over ONLY the blocks that carry AC coefficients."""
+    if len(pv):
+        bis, ks, vs = pv >> 17, (pv >> 11) & 63, (pv & 2047) - 1024
+    else:
+        bis = ks = vs = np.empty(0, np.int64)
+    dcv = np.cumsum(dc_diffs)
+    flat_px = np.clip(
+        np.floor(dcv * (qt[0, 0] / 8.0) + 128.5), 0, 255
+    ).astype(np.uint8)
+    out8 = np.repeat(
+        np.repeat(flat_px.reshape(bh, bw_), 8, axis=1).reshape(bh, bw_ * 8),
+        8, axis=0,
+    )
+    if len(bis):
+        # zigzag positions map straight into the 8×8 layout (blk[:, _ZZ[k]])
+        ub, inv = np.unique(bis, return_inverse=True)
+        blk = np.zeros((len(ub), 64), np.int64)
+        blk[inv, _ZZ[ks]] = vs
+        blk[:, 0] = dcv[ub]
+        coef = blk.reshape(-1, 8, 8) * qt
+        pix = _batched_sandwich(_DCT.T, coef.astype(np.float64), _DCT)  # DCT^T @ C @ DCT
+        pix8 = np.clip(np.floor(pix + 128.5), 0, 255).astype(np.uint8)
+        by, bx = ub // bw_, ub % bw_
+        view = out8.reshape(bh, 8, bw_, 8)
+        view[by, :, bx, :] = pix8
+    return out8[:h, :w]
