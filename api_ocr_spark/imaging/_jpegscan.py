@@ -109,9 +109,36 @@ int64_t jpeg_scan(const uint8_t *data,
     free(dlut); free(alut);
     return np_out;
 }
+
+/* Variable-length bit packing with T.81 byte stuffing and 1s padding —
+   the encoder's _BitWriter semantics. Returns bytes written. */
+int64_t pack_bits(const int32_t *codes, const int32_t *lens, int64_t n,
+                  uint8_t *out) {
+    uint64_t acc = 0; int nbits = 0; int64_t i, m = 0;
+    for (i = 0; i <= n; i++) {
+        int l; uint32_t c;
+        if (i < n) { l = lens[i]; c = (uint32_t)codes[i]; }
+        else {                      /* pad the tail with 1s to a byte edge */
+            l = (8 - (nbits & 7)) & 7;
+            c = (1u << l) - 1;
+            if (!l) break;
+        }
+        acc = (acc << l) | (c & ((l >= 32) ? 0xFFFFFFFFu : ((1u << l) - 1)));
+        nbits += l;
+        while (nbits >= 8) {
+            uint8_t b = (uint8_t)(acc >> (nbits - 8));
+            out[m++] = b;
+            if (b == 0xFF) out[m++] = 0;
+            nbits -= 8;
+            acc &= (1u << nbits) - 1;
+        }
+    }
+    return m;
+}
 """
 
 _scan_fn = None
+_pack_fn = None
 _tried = False
 
 
@@ -138,19 +165,33 @@ def _build() -> object | None:
     fn.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                    ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
                    ctypes.c_void_p, ctypes.c_void_p]
-    return fn
+    pk = lib.pack_bits
+    pk.restype = ctypes.c_int64
+    pk.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                   ctypes.c_void_p]
+    return fn, pk
+
+
+def _ensure() -> None:
+    global _scan_fn, _pack_fn, _tried
+    if not _tried:
+        _tried = True
+        if os.environ.get("APIOCR_NO_NATIVE"):  # test hook: force fallback
+            _scan_fn = _pack_fn = None
+        else:
+            try:
+                _scan_fn, _pack_fn = _build()
+            except Exception:  # noqa: BLE001 — no toolchain: Python fallback
+                _scan_fn = _pack_fn = None
 
 
 def scan_fn() -> object | None:
     """The compiled scan entry point, or None (→ pure-Python fallback)."""
-    global _scan_fn, _tried
-    if not _tried:
-        _tried = True
-        if os.environ.get("APIOCR_NO_NATIVE"):  # test hook: force fallback
-            _scan_fn = None
-        else:
-            try:
-                _scan_fn = _build()
-            except Exception:  # noqa: BLE001 — no toolchain: Python fallback
-                _scan_fn = None
+    _ensure()
     return _scan_fn
+
+
+def pack_fn() -> object | None:
+    """The compiled bit-packer, or None (→ vectorized numpy fallback)."""
+    _ensure()
+    return _pack_fn
