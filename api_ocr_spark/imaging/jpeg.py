@@ -65,14 +65,13 @@ def _dct_matrix() -> np.ndarray:
 _DCT = _dct_matrix()
 
 
-def _batched_sandwich(m1: np.ndarray, blocks: np.ndarray, m2: np.ndarray) -> np.ndarray:
-    """m1 @ B[a] @ m2 for a stack of 8×8 blocks, as TWO flattened GEMMs
-    ((a·8, 8) × (8, 8)) — einsum evaluated this contraction without BLAS at
-    ~30× the cost (6 ms per 550-block page)."""
-    a = blocks.shape[0]
-    x = (blocks.reshape(-1, 8) @ m2).reshape(a, 8, 8)           # B[a] @ m2
-    y = (x.transpose(0, 2, 1).reshape(-1, 8) @ m1.T).reshape(a, 8, 8)
-    return y.transpose(0, 2, 1)                                  # m1 @ (...)
+# 2-D block transform as ONE flat GEMM: for row-major flattened blocks,
+# vec(M1 @ B @ M1ᵀ) = vec(B) @ kron(M1, M1)ᵀ — so the whole stack transforms
+# as (nblocks, 64) @ (64, 64). einsum ran the same contraction without BLAS
+# at ~30× the cost; the two-GEMM sandwich form still paid two transpose
+# copies per stack.
+_KRON_DCT_T = np.kron(_DCT, _DCT).T      # forward: vec(D B Dᵀ) = vec(B) @ this
+_KRON_IDCT_T = np.kron(_DCT.T, _DCT.T).T  # inverse: vec(Dᵀ C D) = vec(C) @ this
 
 
 def quant_table(quality: int) -> np.ndarray:
@@ -219,11 +218,11 @@ def encode_gray_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
     uni = bmin == blocks8.max(axis=1)
     zzs = np.zeros((n, 64), np.int64)
     if not uni.all():
-        xb = blocks8[~uni].reshape(-1, 8, 8).astype(np.float64) - 128.0
-        coef = _batched_sandwich(_DCT, xb, _DCT.T)  # DCT @ B @ DCT^T
+        xb = blocks8[~uni].astype(np.float64) - 128.0   # stays flat (n, 64)
+        coef = xb @ _KRON_DCT_T                          # DCT @ B @ DCTᵀ
         # round-half-away (np.rint is banker's; libjpeg divides w/ rounding)
-        qz = (np.sign(coef) * np.floor(np.abs(coef) / qt + 0.5)).astype(np.int64)
-        zzs[~uni] = qz.reshape(-1, 64)[:, _ZZ]
+        qz = (np.sign(coef) * np.floor(np.abs(coef) / qt.reshape(-1) + 0.5)).astype(np.int64)
+        zzs[~uni] = qz[:, _ZZ]
     if uni.any():
         c00 = 8.0 * (bmin[uni].astype(np.float64) - 128.0)
         zzs[uni, 0] = (np.sign(c00) * np.floor(np.abs(c00) / qt[0, 0] + 0.5)).astype(np.int64)
@@ -527,10 +526,10 @@ def _reconstruct(dc_diffs: np.ndarray, pv: np.ndarray, nblocks: int,
         blk = np.zeros((len(ub), 64), np.int64)
         blk[inv, _ZZ[ks]] = vs
         blk[:, 0] = dcv[ub]
-        coef = blk.reshape(-1, 8, 8) * qt
-        pix = _batched_sandwich(_DCT.T, coef.astype(np.float64), _DCT)  # DCT^T @ C @ DCT
+        coef = blk * qt.reshape(-1)                       # stays flat (n, 64)
+        pix = coef.astype(np.float64) @ _KRON_IDCT_T      # DCTᵀ @ C @ DCT
         pix8 = np.clip(np.floor(pix + 128.5), 0, 255).astype(np.uint8)
         by, bx = ub // bw_, ub % bw_
         view = out8.reshape(bh, 8, bw_, 8)
-        view[by, :, bx, :] = pix8
+        view[by, :, bx, :] = pix8.reshape(-1, 8, 8)
     return out8[:h, :w]
