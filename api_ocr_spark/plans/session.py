@@ -22,6 +22,15 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # ONE BLAS thread per Python worker: task parallelism comes from Spark
+    # (`cores` workers); letting OpenBLAS/MKL also thread inside each worker
+    # oversubscribes the box cores^2-fold the moment any kernel crosses the
+    # BLAS threading threshold (observed: the JPEG 64x64 block-transform
+    # GEMM on large pages — 8->32 scaling efficiency fell ~0.1 until
+    # pinned). Set BEFORE the JVM spawns so forked workers inherit it at
+    # numpy import time.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -54,6 +63,11 @@ def get_spark(
         b = b.config("spark.local.dir", shm)
     except OSError:
         pass
+    # experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays any conf
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
