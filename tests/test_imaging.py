@@ -97,3 +97,28 @@ def test_wrap_text():
     assert render.wrap_text("a b c", 3) == ["a b", "c"]
     assert render.wrap_text("abcdefgh", 3) == ["abc", "def", "gh"]
     assert render.wrap_text("") == [""]
+
+
+def test_jpeg_native_scan_equals_python_fallback():
+    """The compiled entropy-scan/bit-packer must be RESULT-IDENTICAL to the
+    pure-Python fallback (the deployment contract: an executor without a C
+    toolchain produces the same bytes and pixels)."""
+    from api_ocr_spark.imaging import _jpegscan, jpeg
+
+    if _jpegscan.scan_fn() is None:
+        import pytest
+
+        pytest.skip("no C toolchain in this environment")
+    imgs = [render.render_text_image(f"native check words {i}", s, seed=i)
+            for i, s in enumerate(render.SCENARIOS)]
+    encoded_native = [jpeg.encode_gray_jpeg(im, q) for im in imgs for q in (75, 90)]
+    decoded_native = [jpeg.decode_gray_jpeg(d) for d in encoded_native]
+    saved = (_jpegscan._scan_fn, _jpegscan._pack_fn)
+    try:
+        _jpegscan._scan_fn = _jpegscan._pack_fn = None  # force fallback
+        encoded_py = [jpeg.encode_gray_jpeg(im, q) for im in imgs for q in (75, 90)]
+        decoded_py = [jpeg.decode_gray_jpeg(d) for d in encoded_native]
+    finally:
+        _jpegscan._scan_fn, _jpegscan._pack_fn = saved
+    assert encoded_native == encoded_py  # byte-identical bitstreams
+    assert all(np.array_equal(a, b) for a, b in zip(decoded_native, decoded_py))
