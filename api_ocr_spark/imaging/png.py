@@ -68,6 +68,10 @@ def decode_gray(data: bytes) -> np.ndarray:
     if raw.size != height * stride:
         raise ValueError("PNG payload size mismatch")
     rows = raw.reshape(height, stride)
+    # fast path: every row filter 0 (what encode_gray writes) → the image IS
+    # the payload; one slice copy, no per-row loop / int32 temporaries
+    if not rows[:, 0].any():
+        return np.ascontiguousarray(rows[:, 1:])
     out = np.zeros((height, width), dtype=np.uint8)
     for y in range(height):
         ftype = rows[y, 0]
