@@ -159,13 +159,30 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     verify: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: band the signature (rows = hashes/bands
     per band), meet within (band_id, band_hash) buckets, optionally verify
     with exact Jaccard on candidate pairs only (linear + bucket joins — the
-    scale path; no quadratic shingle join)."""
+    scale path; no quadratic shingle join).
+
+    `materialize` localCheckpoints the hashed-shingle frame: the plan
+    references it from FIVE subtrees (two band-join sides, two verify sides,
+    sizes), and Spark re-executes the shingle scan per branch otherwise
+    (measured ~40% of query wall). The production analogue is checkpointing
+    shingles/signatures to cluster storage before the joins."""
     rows = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes)
+    if materialize:
+        sh0 = doc_shingle_hashes(documents).localCheckpoint(eager=False)
+        perms = minhash_perm_constants(num_hashes)
+        mins = [
+            F.min(F.pmod(F.lit(a) * F.col("shingle") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"h{i}")
+            for i, (a, b) in enumerate(perms)
+        ]
+        sig = sh0.groupBy("doc_id").agg(*mins).select(
+            "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"))
+    else:
+        sig = minhash_signatures(documents, num_hashes)
 
     def band_key(b: int):
         # polynomial fold of the band's r signature values (each < 2^31, so
@@ -204,8 +221,9 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
     # exact-Jaccard verification restricted to candidate pairs (hashed
-    # shingles: identity-equality is all Jaccard needs)
-    sh = doc_shingle_hashes(documents)
+    # shingles: identity-equality is all Jaccard needs); reuses the
+    # materialized shingle frame when available
+    sh = sh0 if materialize else doc_shingle_hashes(documents)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
