@@ -44,30 +44,42 @@ static void build_lut(const uint8_t *bits, const uint8_t *syms, int32_t *lut) {
     }
 }
 
-/* De-stuffed entropy bytes in `data` (with >= 8 zero pad bytes appended).
-   Writes per-block DC diffs and packed AC values ((bi<<17)|(k<<11)|(v+1024)).
-   Returns the number of packed values, or -1 on an invalid Huffman code. */
-int64_t jpeg_scan(const uint8_t *data,
+/* De-stuffed entropy bytes in `data` (data_len bytes, including the >= 8
+   zero pad bytes the caller appends). Writes per-block DC diffs and packed
+   AC values ((bi<<17)|(k<<11)|(v+1024)); `cap` is the capacity of `packed`.
+   Returns the number of packed values, or -1 on an invalid Huffman code OR
+   whenever the bit cursor would read past data_len / the value count would
+   exceed cap (truncated or adversarial streams) — the Python fallback
+   raises IndexError at the same points; neither path reads or writes out
+   of bounds. Every 4-byte word load is guarded: byte = p>>3 touches
+   data[byte..byte+3], so p + 32 <= 8*data_len keeps it in-bounds (a valid
+   stream never advances 32+ bits into the zero pad before finishing). */
+int64_t jpeg_scan(const uint8_t *data, int64_t data_len,
                   const uint8_t *dbits, const uint8_t *dsyms,
                   const uint8_t *abits, const uint8_t *asyms,
-                  int64_t nblocks, int64_t *dc_diffs, int64_t *packed) {
+                  int64_t nblocks, int64_t *dc_diffs, int64_t *packed,
+                  int64_t cap) {
     int32_t *dlut = (int32_t *)malloc(65536 * sizeof(int32_t));
     int32_t *alut = (int32_t *)malloc(65536 * sizeof(int32_t));
     int64_t np_out = 0, bi;
     uint64_t p = 0;
+    uint64_t bit_end = (uint64_t)data_len * 8;
     if (!dlut || !alut) { free(dlut); free(alut); return -2; }
     build_lut(dbits, dsyms, dlut);
     build_lut(abits, asyms, alut);
+#define FAIL { free(dlut); free(alut); return -1; }
     for (bi = 0; bi < nblocks; bi++) {
+        if (p + 32 > bit_end) FAIL
         uint64_t byte = p >> 3; int s = (int)(p & 7);
         uint32_t w = ((uint32_t)data[byte] << 24) | ((uint32_t)data[byte+1] << 16)
                    | ((uint32_t)data[byte+2] << 8) | data[byte+3];
         int32_t e = dlut[(uint32_t)(w << s) >> 16];
         int cat, k; int64_t base;
-        if (!e) { free(dlut); free(alut); return -1; }
+        if (!e) FAIL
         p += e >> 8; cat = e & 0xFF;
         dc_diffs[bi] = 0;
         if (cat) {
+            if (p + 32 > bit_end) FAIL
             byte = p >> 3; s = (int)(p & 7);
             w = ((uint32_t)data[byte] << 24) | ((uint32_t)data[byte+1] << 16)
               | ((uint32_t)data[byte+2] << 8) | data[byte+3];
@@ -78,11 +90,12 @@ int64_t jpeg_scan(const uint8_t *data,
         }
         k = 1; base = bi << 17;
         while (k < 64) {
+            if (p + 32 > bit_end) FAIL
             byte = p >> 3; s = (int)(p & 7);
             w = ((uint32_t)data[byte] << 24) | ((uint32_t)data[byte+1] << 16)
               | ((uint32_t)data[byte+2] << 8) | data[byte+3];
             e = alut[(uint32_t)(w << s) >> 16];
-            if (!e) { free(dlut); free(alut); return -1; }
+            if (!e) FAIL
             p += e >> 8;
             {
                 int sym = e & 0xFF;
@@ -90,6 +103,7 @@ int64_t jpeg_scan(const uint8_t *data,
                 k += sym >> 4;
                 int size = sym & 0x0F;
                 if (size) {
+                    if (p + 32 > bit_end || np_out >= cap) FAIL
                     byte = p >> 3; s = (int)(p & 7);
                     w = ((uint32_t)data[byte] << 24) | ((uint32_t)data[byte+1] << 16)
                       | ((uint32_t)data[byte+2] << 8) | data[byte+3];
@@ -106,6 +120,7 @@ int64_t jpeg_scan(const uint8_t *data,
             }
         }
     }
+#undef FAIL
     free(dlut); free(alut);
     return np_out;
 }
@@ -162,9 +177,10 @@ def _build() -> object | None:
     lib = ctypes.CDLL(so_path)
     fn = lib.jpeg_scan
     fn.restype = ctypes.c_int64
-    fn.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
-                   ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
-                   ctypes.c_void_p, ctypes.c_void_p]
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                   ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                   ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                   ctypes.c_int64]
     pk = lib.pack_bits
     pk.restype = ctypes.c_int64
     pk.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,

@@ -430,9 +430,12 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
                 cap = (len(arr) * 8) // 2 + 64  # a value symbol needs >=2 bits
                 pv_buf = np.empty(cap, np.int64)
                 nvals = native(
-                    arr.tobytes(), dbits, dsyms, abits, asyms, nblocks,
-                    dc_arr.ctypes.data, pv_buf.ctypes.data)
+                    arr.tobytes(), len(arr), dbits, dsyms, abits, asyms,
+                    nblocks, dc_arr.ctypes.data, pv_buf.ctypes.data, cap)
                 if nvals < 0:
+                    # invalid huffman code OR truncated/adversarial stream
+                    # (bit cursor or value count hit the C-side bounds guard
+                    # — the Python path raises IndexError at the same point)
                     raise ValueError("invalid huffman code")
                 return _reconstruct(dc_arr, pv_buf[:nvals], nblocks, bh, bw_, qt, h, w)
             c = arr.astype(np.uint32)

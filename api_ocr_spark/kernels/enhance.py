@@ -24,11 +24,16 @@ BINARY_INK = 255  # binarized images are {0,255} with ink=255 (inverted),
 
 
 def to_gray(img: np.ndarray) -> np.ndarray:
-    """HxW or HxWx3 → HxW uint8 (ITU-R BT.601 luma, like cv2.cvtColor).
-    Integer arithmetic (77·R + 150·G + 29·B + 128) >> 8 — the classic
-    fixed-point BT.601 weights; max intermediate 65 408 fits uint16, so the
-    conversion never touches a float64 temporary (3 bytes/px in, 2 bytes/px
-    working set, vs 24 bytes/px for a float matmul)."""
+    """HxW or HxWx3 → HxW uint8 (ITU-R BT.601 luma).
+    Integer arithmetic (77·R + 150·G + 29·B + 128) >> 8 — classic 8-bit
+    fixed-point BT.601 weights with rounding; max intermediate 65 408 fits
+    uint16, so the conversion never touches a float64 temporary (3 bytes/px
+    in, 2 bytes/px working set, vs 24 bytes/px for a float matmul).
+    Rounding note: this differs by up to ±1/pixel both from a truncating
+    float 0.299/0.587/0.114 dot product and from cv2's 15-bit fixed-point
+    ((4899·R+9617·G+1868·B)>>14) — acceptable here because the fixture
+    corpus is grayscale end-to-end (the RGB branch is only reachable via
+    the public API) and no cv2 parity contract exists in this container."""
     if img.ndim == 2:
         return img.astype(np.uint8, copy=False)
     r = img[..., 0].astype(np.uint16)
@@ -40,16 +45,19 @@ def to_gray(img: np.ndarray) -> np.ndarray:
 def _box_sum(a: np.ndarray, win: int) -> np.ndarray:
     """Sliding win×win sum with edge replication, via 2-D cumsum. O(n).
 
-    Bandwidth-aware dtype: uint8 input cumsums in int32 (EXACT — the total
-    image sum is < 2³¹ for any page below 2.9 gigapixels — at half the bytes
-    of float64; float32 would NOT be exact: cumsum magnitudes pass 2²⁴ on
-    megapixel pages and the window difference loses low bits). Float input
-    (the g·g square-sum path) keeps float64."""
+    Bandwidth-aware dtype: uint8 input cumsums in int32 when exactness is
+    provable (total image sum bounded by 255·npixels < 2³¹, i.e. below ~8.4
+    megapixels — typical document pages) at half the bytes of float64, and
+    falls back to int64 above that (a 3000×3500 scan would silently wrap
+    int32); float32 would NOT be exact either way: cumsum magnitudes pass
+    2²⁴ on megapixel pages and the window difference loses low bits. Float
+    input (the g·g square-sum path) keeps float64."""
     r = win // 2
     pad = np.pad(a, r, mode="edge")
     h, w = a.shape
     if pad.dtype == np.uint8:
-        c = pad.cumsum(axis=0, dtype=np.int32).cumsum(axis=1, dtype=np.int32)
+        acc = np.int32 if pad.size * 255 < 2**31 else np.int64
+        c = pad.cumsum(axis=0, dtype=acc).cumsum(axis=1, dtype=acc)
     else:
         c = np.cumsum(np.cumsum(pad.astype(np.float64), axis=0), axis=1)
     c = np.pad(c, ((1, 0), (1, 0)))

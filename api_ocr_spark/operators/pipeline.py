@@ -282,10 +282,13 @@ def ocr_media_spans(
 # O(crossover), never a full pass over an arbitrary source plan.
 AUTO_PERSIST_MIN_DOCS = 50_000
 
-# Persisted flat-spans stages handed out by extract_documents. Spark only
-# reclaims them when the ContextCleaner GCs the plan, so long-lived sessions
-# that extract many corpora should call release_persisted() between runs
-# (bench.py does). Entries are (weakly) the DataFrames themselves — small.
+# Persisted flat-spans stages handed out by extract_documents. These are
+# STRONG references on purpose: once the Python DataFrame is GC'd the JVM
+# CacheManager entry can no longer be unpersisted from here, so a weakref
+# registry would leak the cached blocks for the session's lifetime. Instead
+# extract_documents drains this list on entry (see below) — a long-lived
+# session is bounded to ONE corpus worth of cache — and release_persisted()
+# stays available for explicit reclamation (bench.py calls it per query).
 _PERSISTED: list = []
 
 
@@ -431,6 +434,13 @@ def extract_documents(
     dominates. `strategy="auto"` (default) picks by corpus size:
     persist at >= AUTO_PERSIST_MIN_DOCS documents, unified below."""
     from pyspark import StorageLevel
+
+    # Drain caches from PREVIOUS extractions so repeated calls in one session
+    # can't accumulate MEMORY_AND_DISK blocks unboundedly. Unpersist is
+    # always correctness-safe (a still-pending earlier plan lazily
+    # recomputes); interleaving extract→extract→collect-first-result is the
+    # only pattern that pays, and it pays recompute, not wrong answers.
+    release_persisted()
 
     from ..sources.interleave import flat_spans
 

@@ -122,3 +122,56 @@ def test_jpeg_native_scan_equals_python_fallback():
         _jpegscan._scan_fn, _jpegscan._pack_fn = saved
     assert encoded_native == encoded_py  # byte-identical bitstreams
     assert all(np.array_equal(a, b) for a, b in zip(decoded_native, decoded_py))
+
+
+def _decode_both_paths(data):
+    """Run decode under the native path (if built) AND the forced-Python
+    fallback; return the list of exceptions raised (None for success)."""
+    from api_ocr_spark.imaging import _jpegscan, jpeg
+
+    outcomes = []
+    for force_py in (False, True):
+        saved = (_jpegscan._scan_fn, _jpegscan._pack_fn)
+        try:
+            if force_py:
+                _jpegscan._scan_fn = _jpegscan._pack_fn = None
+            try:
+                jpeg.decode_gray_jpeg(data)
+                outcomes.append(None)
+            except (ValueError, IndexError) as e:
+                outcomes.append(type(e).__name__)
+        finally:
+            _jpegscan._scan_fn, _jpegscan._pack_fn = saved
+    return outcomes
+
+
+def test_jpeg_truncated_stream_raises_not_crashes():
+    """Malformed input safety (bounds guard in the C scan): a stream whose
+    entropy data is cut short must raise in BOTH the native and Python
+    paths — never read past the buffer. Exercises the bit-cursor guard."""
+    from api_ocr_spark.imaging import jpeg
+
+    img = render.render_text_image("truncation safety check words", "noisy", 7)
+    data = jpeg.encode_gray_jpeg(img, 90)
+    assert data[-2:] == b"\xff\xd9"
+    # chop a big slice of entropy data (keep headers + a little scan)
+    truncated = data[: len(data) - len(data) // 3]
+    for cut in (truncated, data[:-40], data[:-300]):
+        outcomes = _decode_both_paths(cut)
+        assert all(o is not None for o in outcomes), outcomes
+
+
+def test_jpeg_adversarial_sof_dims_raise_not_crash():
+    """Adversarial header: SOF claims 8192x8192 (1M blocks) while the scan
+    stays tiny — the value count / cursor guards must fire long before any
+    out-of-bounds write into the packed-values buffer."""
+    from api_ocr_spark.imaging import jpeg
+
+    img = render.render_text_image("adversarial dims", "plain", 3)
+    data = bytearray(jpeg.encode_gray_jpeg(img, 75))
+    i = data.find(b"\xff\xc0")
+    assert i >= 0
+    # FFC0 len(2) prec(1) h(2) w(2)
+    data[i + 5 : i + 9] = (0x2000).to_bytes(2, "big") + (0x2000).to_bytes(2, "big")
+    outcomes = _decode_both_paths(bytes(data))
+    assert all(o is not None for o in outcomes), outcomes

@@ -60,6 +60,23 @@ def test_box_sum_matches_naive():
     p = np.pad(a, r, mode="edge")
     naive = np.array([[p[y : y + win, x : x + win].sum() for x in range(15)] for y in range(12)])
     assert np.allclose(enhance._box_sum(a, win), naive)
+    # uint8 input takes the integer-cumsum path — must match the float path
+    u8 = rng.integers(0, 256, (12, 15)).astype(np.uint8)
+    assert np.array_equal(
+        np.asarray(enhance._box_sum(u8, win), np.float64),
+        enhance._box_sum(u8.astype(np.float64), win),
+    )
+
+
+def test_box_sum_uint8_above_int32_bound():
+    # 3000x3000 of 255: padded total 255*pad.size > 2^31 — the int32 cumsum
+    # would wrap; the accumulator must widen to int64 and stay exact.
+    big = np.full((3000, 3000), 255, np.uint8)
+    win = 15
+    got = enhance._box_sum(big, win)
+    assert got.dtype == np.int64
+    # constant image with edge replication: every window sums to 255*win*win
+    assert got.min() == got.max() == 255 * win * win
 
 
 def test_skew_estimate_exact_inverse_tall():
