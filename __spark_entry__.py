@@ -1083,22 +1083,184 @@ WHERE round(list_dot_product(a.qv, b.qv) / sqrt(a.norm2 * b.norm2), 6) >= 0.8
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (coarse-quantizer probe — the 100 TB ANN path;
-    approximate by design → rows-only check; recall asserted in tests on
-    clustered fixtures). Wired to the TABLE-codebook variant (broadcast
-    codebook join): the literal-expression form grows the plan O(k·d) and is
-    kept only as the small-k reference twin (equality asserted in tests)."""
+    """IVF approximate top-k (coarse-quantizer probe — the 100 TB ANN path).
+    Wired to the TABLE-codebook variant (broadcast codebook join): the
+    literal-expression form grows the plan O(k·d) and is kept only as the
+    small-k reference twin (equality asserted in tests). FULLY oracle-checked
+    since the Lloyd seeding became md5-derived (similarity._init_rows): the
+    DuckDB oracle unrolls all three Lloyd rounds + the final assignment in
+    SQL (ORACLE_IVF_ANN_TOPK) — every arithmetic step is integer-exact or a
+    correctly-rounded IEEE op, so both engines converge to the same codebook
+    and the same probed top-k. Recall vs exact brute force is asserted in
+    tests and logged by bench.py."""
     return similarity.ivf_topk_table(
         load_table(spark, sf_dir, "embeddings"), k=5, n_queries=8,
         n_centroids=16, n_probe=4)
 
 
+def _ivf_lloyd_round_sql(r: int) -> str:
+    """One unrolled Lloyd round (assign to argmax-cosine centroid → per-dim
+    HALF_EVEN-rounded mean → carry forward empty centroids), CTE-chained.
+    Exactness argument: qv/cvec are int64, so dot products and norms are
+    exact; sums of integers stay exact in double below 2^53, so avg() is
+    identical in both engines; the only rounding is the explicit HALF_EVEN
+    (mirroring Spark's bround) with the tie handled by the floor-parity
+    CASE."""
+    p = f"cents{r - 1}"
+    he = ("CASE WHEN m - floor(m) = 0.5 "
+          "THEN CAST(floor(m) AS BIGINT) + (CASE WHEN CAST(floor(m) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END) "
+          "ELSE CAST(round(m) AS BIGINT) END")
+    return f"""
+, scored{r} AS (
+  SELECT n.vec_id, c.centroid_id,
+         list_dot_product(n.qv, c.cvec) / sqrt(n.norm2 * c.cnorm2) AS ccos
+  FROM n CROSS JOIN {p} c
+), assign{r} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+    FROM scored{r}) WHERE rn = 1
+), means{r} AS (
+  SELECT a.centroid_id, d.i, avg(n.qv[d.i]) AS m
+  FROM assign{r} a JOIN n USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+  GROUP BY a.centroid_id, d.i
+), newc{r} AS (
+  SELECT centroid_id, list({he} ORDER BY i) AS cvec
+  FROM means{r} GROUP BY centroid_id
+), cents{r} AS (
+  SELECT p.centroid_id, coalesce(nw.cvec, p.cvec) AS cvec,
+         CASE WHEN list_dot_product(coalesce(nw.cvec, p.cvec), coalesce(nw.cvec, p.cvec)) = 0
+              THEN 1 ELSE list_dot_product(coalesce(nw.cvec, p.cvec), coalesce(nw.cvec, p.cvec)) END AS cnorm2
+  FROM {p} p LEFT JOIN newc{r} nw USING (centroid_id)
+)"""
+
+
+# full algorithmic twin of similarity.ivf_topk_table (k=5, n_queries=8,
+# n_centroids=16, n_probe=4, iters=3): md5-derived seeding, three unrolled
+# Lloyd rounds, final assignment, probe-4 candidate generation, exact-cosine
+# verify, windowed top-5
+ORACLE_IVF_ANN_TOPK = ("""
+WITH q0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q0
+), init AS (
+  SELECT qv, row_number() OVER (ORDER BY md5('ivf11_' || CAST(vec_id AS VARCHAR))) - 1 AS centroid_id
+  FROM n ORDER BY md5('ivf11_' || CAST(vec_id AS VARCHAR)) LIMIT 16
+), cents0 AS (
+  SELECT centroid_id, qv AS cvec,
+         CASE WHEN list_dot_product(qv, qv) = 0 THEN 1 ELSE list_dot_product(qv, qv) END AS cnorm2
+  FROM init
+)"""
+    + "".join(_ivf_lloyd_round_sql(r) for r in (1, 2, 3))
+    + """
+, scored4 AS (
+  SELECT n.vec_id, c.centroid_id,
+         list_dot_product(n.qv, c.cvec) / sqrt(n.norm2 * c.cnorm2) AS ccos
+  FROM n CROSS JOIN cents3 c
+), assign4 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+    FROM scored4) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+    FROM scored4 WHERE vec_id < 8) WHERE rn <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign4 a
+    ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(nq.qv, nn.qv) / sqrt(nq.norm2 * nn.norm2), 6) AS cos,
+         CAST(row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY round(list_dot_product(nq.qv, nn.qv) / sqrt(nq.norm2 * nn.norm2), 6) DESC,
+                      c.neighbor_id) AS INTEGER) AS rank
+  FROM cand c
+  JOIN n nq ON nq.vec_id = c.query_id
+  JOIN n nn ON nn.vec_id = c.neighbor_id
+) WHERE rank <= 5
+""")
+
+
 def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata extraction over the binary media column (decode
-    real; render-geometry-dependent → rows-only check)."""
+    """Multimodal metadata extraction over the binary media column. The
+    decode is real (engine PNG/JPEG codecs); the checked projection is the
+    geometry-deterministic part — width/height as DECODED from the bytes
+    vs the oracle's pure render-geometry arithmetic (wrap → cell grid →
+    scenario transform), plus the sniffed format. Content features
+    (ink_ratio, mean_intensity, n_bytes) stay in the operator
+    (multimodal.image_metadata) under pytest — they are functions of pixel/
+    codec internals no SQL engine can replay."""
     from api_ocr_spark.operators.multimodal import image_metadata
 
-    return image_metadata(build_media(_docs(spark, sf_dir)))
+    meta = image_metadata(build_media(_docs(spark, sf_dir)))
+    return meta.select("media_ref", "width", "height", "format")
+
+
+# Render-geometry twin of imaging/render.py (MARGIN=8, LINE_H=30, CELL_W=14,
+# MAX_LINE_CHARS=32, RULE_THICKNESS=3, MIN_RULES=12, LARGE_W=1960, boxed pad
+# 3+16): greedy word wrap packed into one BIGINT reduce
+# (nlines*10000 + maxlen*100 + curlen — fixture words are <= 8 chars, so no
+# hard-split branch is reachable and every lane stays < 100), then the
+# per-scenario dimension transform. Skew pad = round(|tan(deg)|*h/2) with the
+# md5-derived degree (render.skew_degree) and the tan values inlined as
+# shortest-roundtrip literals; floor(v+0.5) == np.round here (no .5 ties for
+# any h <= 4000 — asserted in tests/test_imaging.py).
+ORACLE_IMAGE_METADATA = _SPANS_CTE + """
+, m AS (
+  SELECT doc_id, off,
+         'm-' || CAST(doc_id AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
+         CASE WHEN (doc_id * 7 + off) % 4 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+         (['plain','skewed','noisy','shadow','ruled','boxed','skewed_noisy','large'])[CAST((doc_id*31 + off) % 8 AS BIGINT) + 1] AS scenario,
+         doc_id * 100003 + off AS seed,
+         list_transform(ws[CAST(off*8+1 AS BIGINT):CAST(off*8+8 AS BIGINT)],
+                        x -> CAST(length(x) AS BIGINT)) AS lens
+  FROM c WHERE (doc_id + off) % 3 = 0
+), g AS (
+  SELECT *,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), lens), (acc, L) -> CASE
+       WHEN acc % 100 = 0 THEN acc + L
+       WHEN (acc % 100) + 1 + L <= 32 THEN acc + 1 + L
+       ELSE ((acc // 10000) + 1) * 10000 + greatest((acc // 100) % 100, acc % 100) * 100 + L
+    END) AS packed
+  FROM m
+), base AS (
+  SELECT *,
+    16 + ((packed // 10000) + 1) * 30 AS h0,
+    16 + greatest(1, greatest((packed // 100) % 100, packed % 100)) * 14 AS w0
+  FROM g
+), geo AS (
+  SELECT *,
+    CASE abs(([-7,-5,-3,-2,2,3,5,7])[CAST(('0x' || substr(md5('skew' || CAST(seed AS VARCHAR)), 1, 1)) AS BIGINT) % 8 + 1])
+      WHEN 2 THEN 0.03492076949174773
+      WHEN 3 THEN 0.0524077792830412
+      WHEN 5 THEN 0.08748866352592401
+      ELSE 0.1227845609029046 END AS tan_abs,
+    greatest(0, 12 - greatest(0, CAST(ceil((h0 - 3 - 34) / 30.0) AS BIGINT))) AS rules_extra
+  FROM base
+)
+SELECT media_ref,
+  CAST(CASE scenario
+    WHEN 'boxed' THEN w0 + 38
+    WHEN 'large' THEN 1960
+    WHEN 'skewed' THEN w0 + 2 * CAST(floor(tan_abs * h0 / 2 + 0.5) AS BIGINT)
+    WHEN 'skewed_noisy' THEN w0 + 2 * CAST(floor(tan_abs * h0 / 2 + 0.5) AS BIGINT)
+    ELSE w0 END AS INTEGER) AS width,
+  CAST(CASE scenario
+    WHEN 'boxed' THEN h0 + 38
+    WHEN 'large' THEN 2 * h0
+    WHEN 'ruled' THEN h0 + CASE WHEN rules_extra > 0 THEN rules_extra * 8 + 8 ELSE 0 END
+    ELSE h0 END AS INTEGER) AS height,
+  format
+FROM geo
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1179,7 +1341,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
         "lsh_embedding_neardup": ORACLE_LSH_EMBEDDING_NEARDUP,
-        # remaining rows-only entries: ivf_ann_topk (iterative Lloyd — the
-        # recursive refinement isn't single-query SQL; recall + literal/table
-        # equivalence in tests), image_metadata (render-geometry semantics)
+        "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
+        "image_metadata": ORACLE_IMAGE_METADATA,
+        # no rows-only entries remain: the Lloyd iteration unrolls into SQL
+        # once its seeding is md5-derived, and image_metadata's checked
+        # projection is pure render-geometry arithmetic
     }

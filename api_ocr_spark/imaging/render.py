@@ -41,6 +41,22 @@ LARGE_W = 1960
 # Skew uses the same discrete shear model in render and deskew search so the
 # inverse is exact: shift(y) = round(tan(deg) * (y - h/2)).
 SKEW_DEGREES = (-7, -5, -3, -2, 2, 3, 5, 7)
+
+
+def skew_degree(seed: int) -> int:
+    """Skew degree for a seed, md5-DERIVED (first hex digit of
+    md5('skew{seed}') mod 8 indexes SKEW_DEGREES) rather than drawn from the
+    numpy Generator: md5 is the hash all engines share, so the DuckDB oracle
+    can recompute the degree — and with it the skew pad, i.e. the rendered
+    image WIDTH — in SQL (the image_metadata oracle). A PCG64 draw would
+    make skewed-image geometry engine-private (rows-only checkable). The
+    deskew inverse is per-degree exact for every member of SKEW_DEGREES
+    (tests/test_kernels.py), so the distribution change is behavior-neutral
+    for extraction."""
+    import hashlib
+
+    d = int(hashlib.md5(f"skew{seed}".encode()).hexdigest()[0], 16)
+    return SKEW_DEGREES[d % len(SKEW_DEGREES)]
 NOISE_AMPLITUDE = 60  # |ink-bg| = 200 → global threshold keeps >40px margin
 # Shadow depth bounds the background spread so Otsu's between-class variance
 # for the ink/bg split dominates any split inside the illumination ramp even
@@ -168,8 +184,7 @@ def render_text_image(text: str, scenario: str = "plain", seed: int = 0) -> np.n
     if scenario == "plain":
         return img
     if scenario == "skewed":
-        deg = SKEW_DEGREES[int(rng.integers(0, len(SKEW_DEGREES)))]
-        return _apply_skew(img, deg)
+        return _apply_skew(img, skew_degree(seed))
     if scenario == "noisy":
         return _apply_noise(img, rng)
     if scenario == "shadow":
@@ -181,8 +196,7 @@ def render_text_image(text: str, scenario: str = "plain", seed: int = 0) -> np.n
     if scenario == "skewed_noisy":
         # composite distortion: shear then sub-threshold noise — exercises
         # the skew-candidate retry ladder under a degraded profile
-        deg = SKEW_DEGREES[int(rng.integers(0, len(SKEW_DEGREES)))]
-        return _apply_noise(_apply_skew(img, deg), rng)
+        return _apply_noise(_apply_skew(img, skew_degree(seed)), rng)
     if scenario == "large":
         # oversized page: 2x pixel-doubled render padded to LARGE_W — makes
         # the mode dimension caps fire; one [::2, ::2] decimation recovers

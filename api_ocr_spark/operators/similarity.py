@@ -139,6 +139,20 @@ def lsh_bucket(qvec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def _init_rows(q: DataFrame, n_centroids: int, seed: int) -> list:
+    """Deterministic Lloyd seeding: the n_centroids rows with smallest
+    md5('ivf{seed}_{vec_id}'), centroid_id = rank in that order. md5 (not
+    xxhash64) so the DuckDB oracle can re-derive the same seeding in SQL —
+    the init is the only non-SQL step Lloyd had; with it md5-derived the
+    WHOLE iteration unrolls into the oracle (ORACLE_IVF_ANN_TOPK)."""
+    return (
+        q.withColumn(
+            "h", F.md5(F.concat(F.lit(f"ivf{seed}_"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("h").limit(n_centroids).select("qvec").collect()
+    )
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 16, iters: int = 3, seed: int = 11) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: distributed Lloyd iterations over the quantized
     vectors. Centroids are seeded from deterministic corpus rows (vec_id
@@ -146,12 +160,7 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, iters: int = 3, seed: int 
     broadcast (centroid literals) + one groupBy. Returns (assignments df
     (vec_id, qvec, norm2, centroid_id), centroids)."""
     q = quantized(emb).cache()
-    # deterministic init: the n_centroids rows with smallest xxhash64(vec_id)
-    seed_rows = (
-        q.withColumn("h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
-        .orderBy("h").limit(n_centroids).select("qvec").collect()
-    )
-    centroids = [[int(v) for v in r.qvec] for r in seed_rows]
+    centroids = [[int(v) for v in r.qvec] for r in _init_rows(q, n_centroids, seed)]
 
     def assign(cents: list[list[int]]) -> DataFrame:
         # nearest centroid by maximum cosine against literal centroid arrays
@@ -255,10 +264,7 @@ def ivf_assign_table(emb: DataFrame, n_centroids: int = 16, iters: int = 3,
     (assignments(vec_id, qvec, norm2, centroid_id), codebook df)."""
     spark = emb.sparkSession
     q = quantized(emb).cache()
-    seed_rows = (
-        q.withColumn("h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
-        .orderBy("h").limit(n_centroids).select("qvec").collect()
-    )
+    seed_rows = _init_rows(q, n_centroids, seed)
     cents = centroid_table(spark, [[int(v) for v in r.qvec] for r in seed_rows])
 
     def assign(cents_df: DataFrame) -> DataFrame:

@@ -145,6 +145,81 @@ def _decode_both_paths(data):
     return outcomes
 
 
+def _expected_dims(text, scenario, seed):
+    """Python replica of ORACLE_IMAGE_METADATA's geometry arithmetic (wrap →
+    cell grid → per-scenario transform). Kept independent of render.py's
+    code path on purpose: it re-derives dims the way the SQL does."""
+    import math
+
+    import numpy as np
+
+    # greedy wrap over word lengths (no word in the fixture corpus exceeds
+    # MAX_LINE_CHARS, so the hard-split branch is unreachable — same
+    # assumption the SQL reduce makes)
+    nlines, maxlen, cur = 0, 0, 0
+    for L in (len(w) for w in text.lower().split()):
+        assert L <= 32
+        if cur == 0:
+            cur = L
+        elif cur + 1 + L <= 32:
+            cur += 1 + L
+        else:
+            nlines, maxlen, cur = nlines + 1, max(maxlen, cur), L
+    nlines, ncols = nlines + 1, max(maxlen, cur)
+    h0 = 16 + nlines * 30
+    w0 = 16 + max(1, ncols) * 14
+    if scenario in ("plain", "noisy", "shadow"):
+        return h0, w0
+    if scenario in ("skewed", "skewed_noisy"):
+        t = abs(np.tan(np.deg2rad(render.skew_degree(seed))))
+        pad = math.floor(t * h0 / 2 + 0.5)
+        return h0, w0 + 2 * pad
+    if scenario == "ruled":
+        count = max(0, math.ceil((h0 - 3 - 34) / 30.0))
+        extra = max(0, 12 - count)
+        return (h0 + extra * 8 + 8 if extra else h0), w0
+    if scenario == "boxed":
+        return h0 + 38, w0 + 38
+    if scenario == "large":
+        return 2 * h0, 1960
+    raise AssertionError(scenario)
+
+
+def test_render_dims_match_geometry_arithmetic():
+    """The image_metadata oracle recomputes decoded image dims from pure
+    geometry arithmetic; this pins that arithmetic to the actual renderer
+    for every scenario over a spread of chunk shapes and seeds."""
+    chunks = [
+        "a",
+        "one two",
+        "supplier ordering shipments forecast",
+        "alpha beta gamma delta epsilon zeta eta theta",  # 8 words, wraps
+        "aaaaaaaa bbbbbbbb cccccccc dddddddd eeeeeeee ffffffff gggggggg hhhhhhhh",
+    ]
+    for text in chunks:
+        for scenario in render.SCENARIOS:
+            for seed in (0, 1, 7, 100003 * 13 + 2, 100003 * 40 + 5):
+                img = render.render_text_image(text, scenario, seed=seed)
+                assert img.shape == _expected_dims(text, scenario, seed), (
+                    text, scenario, seed, img.shape)
+
+
+def test_skew_pad_round_formula_has_no_ties():
+    """ORACLE_IMAGE_METADATA computes the skew pad as floor(|tan|*h/2 + 0.5);
+    the renderer uses np.round (HALF_EVEN). They agree iff no product lands
+    on an exact .5 tie — assert that for every degree and every height up to
+    4000 px (far above any reachable render height)."""
+    import math
+
+    import numpy as np
+
+    for deg in render.SKEW_DEGREES:
+        t = abs(np.tan(np.deg2rad(deg)))
+        for h in range(10, 4001):
+            v = t * h / 2
+            assert int(np.round(v)) == math.floor(v + 0.5), (deg, h)
+
+
 def test_jpeg_truncated_stream_raises_not_crashes():
     """Malformed input safety (bounds guard in the C scan): a stream whose
     entropy data is cut short must raise in BOTH the native and Python
