@@ -293,50 +293,76 @@ def simhash64_table(documents: DataFrame) -> DataFrame:
     bands. Bit j (0..63) of a token's hash is bit (j mod 4) of hex digit
     (j div 4) of md5(token) — identical derivation in the DuckDB oracle.
 
-    Execution shape: explode tokens → md5 once per token → per hex digit a
-    PACKED 4-lane counter word (bit r of the digit widened into a 16-bit
-    lane at offset 16r) → ONE groupBy(doc_id) with 16 codegen'd integer SUM
-    aggregates (map-side partial agg; lanes cannot carry below 2¹⁶ tokens
-    per document — far above any corpus page; production long-docs would
-    split or widen lanes) + token count; per-bit vote is 2·lane − n.
+    Execution shape — ONE exchange, count-weighted hashing:
+      1. hash-repartition the DOCUMENT rows by doc_id (compact — whole
+         documents cross the wire once; every later aggregate clusters on
+         doc_id and is exchange-free under that partitioning);
+      2. explode tokens → groupBy(doc_id, tok) counts — md5 then runs once
+         per DISTINCT token, lane sums weighted by the count (identical
+         votes: Σ cnt·bit == Σ_occurrences bit — the signature is
+         hash-identical to occurrence hashing, so the oracle is unchanged),
+         cutting md5+conv work by the corpus' repetition factor;
+      3. per hex digit TWO packed 2-lane counter words (bit r of the digit,
+         times cnt, in a 32-bit lane) → 32 codegen'd SUMs + Σcnt in ONE
+         groupBy(doc_id); per-bit vote is 2·lane − n.
     Catalyst higher-order lambdas (aggregate/transform) are INTERPRETED per
     element — a 64-counter fold ran ~50× slower than this whole-stage-
-    codegen aggregate at corpus scale — and lane packing keeps the plan at
-    16 aggregates instead of 64 (codegen compile time is plan-sized)."""
+    codegen aggregate at corpus scale; lane packing keeps the plan at 32
+    aggregates instead of 64 (codegen compile time is plan-sized).
+
+    Lane width is 32 BITS BY CONSTRUCTION (not 16): a lane accumulates
+    Σcnt ≤ n tokens, so carry would need a 2^32-token document — and a
+    single Spark string value caps at 2 GB, two orders of magnitude below
+    that, so overflow is structurally unreachable rather than guarded.
+    (The earlier 16-bit-lane layout carried at 2^16 ≈ one 300-page
+    document — a real 100 TB-corpus hazard; a routed narrow/wide split was
+    tried first and its doc-length join re-executed the token pipeline per
+    branch, costing more than the 16 extra SUM columns do.) Correctness at
+    70k tokens is pinned in tests/test_dedup_similarity.py."""
     from ..functions.text import tokens
 
-    toks = _fan_out(documents).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(tokens(F.col("text"))).alias("tok"),
-    )
-    hashed = toks.select("doc_id", F.md5("tok").alias("mh"))
+    spark = documents.sparkSession
+    parts = 2 * spark.sparkContext.defaultParallelism
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).repartition(parts, "doc_id")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counted = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    hashed = counted.select("doc_id", "cnt", F.md5("tok").alias("mh"))
     # 16 references to mh keep the md5 projection from collapsing into the
     # digit expressions (Catalyst inlines single-use aliases)
     digs = hashed.select(
-        "doc_id",
+        "doc_id", "cnt",
         *[F.conv(F.substring("mh", d + 1, 1), 16, 10).cast("long").alias(f"d{d}")
           for d in range(16)],
     )
 
-    def spread(d: str):
+    def spread(d: str, word: int):
+        """Packed counter word for digit `d`: bits 2·word and 2·word+1 of
+        the digit, times cnt, in 32-bit lanes at offsets 0 and 32."""
         c = F.col(d)
-        v = c.bitwiseAND(F.lit(1))
-        for r in (1, 2, 3):
-            v = v + F.shiftleft(F.shiftright(c, r).bitwiseAND(F.lit(1)), 16 * r)
+        v = F.lit(0).cast("long")
+        for i in (0, 1):
+            bit = F.shiftright(c, 2 * word + i).bitwiseAND(F.lit(1))
+            v = v + F.shiftleft(bit * F.col("cnt"), 32 * i)
         return v
 
     packed = digs.select(
-        "doc_id", *[spread(f"d{d}").alias(f"p{d}") for d in range(16)])
+        "doc_id", "cnt",
+        *[spread(f"d{d}", w).alias(f"p{d}_{w}") for d in range(16) for w in (0, 1)],
+    )
     sums = packed.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[F.sum(f"p{d}").alias(f"S{d}") for d in range(16)],
+        F.sum("cnt").alias("n"),
+        *[F.sum(f"p{d}_{w}").alias(f"S{d}_{w}") for d in range(16) for w in (0, 1)],
     )
 
     def band(b: int):
         v = F.lit(0)
         for k in range(16):
-            d, r = 4 * b + k // 4, k % 4  # overall bit j=16b+k = bit r of digit d
-            lane = F.shiftright(F.col(f"S{d}"), 16 * r).bitwiseAND(F.lit(0xFFFF))
+            # overall bit j = 16b + k = bit r of digit d
+            d, r = 4 * b + k // 4, k % 4
+            word, i = divmod(r, 2)
+            lane = F.shiftright(F.col(f"S{d}_{word}"), 32 * i).bitwiseAND(F.lit(0xFFFFFFFF))
             v = v + F.when(2 * lane - F.col("n") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         return v.cast("int").alias(f"b{b}")
 

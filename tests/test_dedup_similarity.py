@@ -172,6 +172,56 @@ def test_simhash64_band_completeness_on_planted_dups(spark):
     assert hamming(sh[0], sh[2]) <= 10
 
 
+def _simhash64_py(text):
+    """Pure-Python simhash64 reference (count-weighted votes — identical to
+    occurrence-weighted by linearity): bit j of a token's hash is bit (j%4)
+    of hex digit (j//4) of md5(token)."""
+    import collections
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+    n = len(toks)
+    votes = [0] * 64
+    for tok, cnt in collections.Counter(toks).items():
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for j in range(64):
+            votes[j] += cnt * ((int(h[j // 4], 16) >> (j % 4)) & 1)
+    bands = []
+    for b in range(4):
+        v = 0
+        for k in range(16):
+            if 2 * votes[16 * b + k] - n > 0:
+                v |= 1 << k
+        bands.append(v)
+    return tuple(bands)
+
+
+def test_simhash64_matches_python_reference(spark):
+    docs = spark.createDataFrame(
+        [(0, BASE), (1, BASE + " zz"), (2, "one two two three three three")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+           for r in dedup.simhash64_table(docs).collect()}
+    for i, (_, text) in enumerate([(0, BASE), (1, BASE + " zz"),
+                                   (2, "one two two three three three")]):
+        assert got[i] == _simhash64_py(text), i
+
+
+def test_simhash64_no_lane_carry_on_long_doc(spark):
+    """A 70k-token document exceeds the OLD 16-bit lane-carry bound (2^16,
+    which silently corrupted all four bands); the 32-bit-lane layout must
+    produce CORRECT bands for it — pinned against the pure-Python
+    reference."""
+    long_text = " ".join(f"w{i % 37}" for i in range(70_000))
+    docs = spark.createDataFrame(
+        [(0, long_text), (1, BASE)], "doc_id long, text string")
+    got = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+           for r in dedup.simhash64_table(docs).collect()}
+    assert got[0] == _simhash64_py(long_text)
+    assert got[1] == _simhash64_py(BASE)
+
+
 def test_lsh_hyperplanes_match_duckdb_derivation():
     """The md5-derived planes must be re-derivable in DuckDB SQL — the
     property the full lsh_embedding_neardup oracle rests on."""
