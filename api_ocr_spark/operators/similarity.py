@@ -265,7 +265,10 @@ def ivf_assign_table(emb: DataFrame, n_centroids: int = 16, iters: int = 3,
     spark = emb.sparkSession
     q = quantized(emb).cache()
     seed_rows = _init_rows(q, n_centroids, seed)
-    cents = centroid_table(spark, [[int(v) for v in r.qvec] for r in seed_rows])
+    # the codebook list stays driver-side across rounds (k rows — tiny), so
+    # empty-centroid carry-forward needs no collect of the cents frame
+    book = [[int(v) for v in r.qvec] for r in seed_rows]
+    cents = centroid_table(spark, book)
 
     def assign(cents_df: DataFrame) -> DataFrame:
         cos = dot(F.col("qvec"), F.col("cvec")) / F.sqrt(
@@ -293,9 +296,8 @@ def ivf_assign_table(emb: DataFrame, n_centroids: int = 16, iters: int = 3,
             .collect()
         )
         new = {r.centroid_id: list(r.cvec) for r in means}
-        old = {r.centroid_id: list(r.cvec) for r in cents.collect()}
-        cents = centroid_table(
-            spark, [new.get(i, old[i]) for i in range(n_centroids)])
+        book = [new.get(i, book[i]) for i in range(n_centroids)]
+        cents = centroid_table(spark, book)
         _ = dim
     return assign(cents), cents
 

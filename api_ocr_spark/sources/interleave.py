@@ -108,7 +108,16 @@ def media_fmt(doc_num: int, offset: int) -> str:
     (d·JPEG_FMT_MULT + i) % JPEG_FMT_MOD == 0 (mirrored verbatim in
     ORACLE_MEDIA_MANIFEST). JPEG rows exercise the lossy path end-to-end:
     the roundtrip queries decode REAL JPEG bytes and must still be
-    span-exact (ink-mask survival at q≥85, tests/test_imaging)."""
+    span-exact (ink-mask survival at q≥85, tests/test_imaging).
+
+    APIOCR_PNG_ONLY=1 (bench-only toggle, read on the executor) forces an
+    all-PNG store so bench.py can isolate the JPEG-decode tax from host
+    noise. NEVER set it for correctness runs: the media_manifest /
+    image_metadata oracles mirror the mixed-store rule."""
+    import os
+
+    if os.environ.get("APIOCR_PNG_ONLY"):
+        return "png"
     from ..config import JPEG_FMT_MOD, JPEG_FMT_MULT
 
     return "jpeg" if (doc_num * JPEG_FMT_MULT + offset) % JPEG_FMT_MOD == 0 else "png"

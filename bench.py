@@ -4,8 +4,19 @@ Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Measurements are ADMISSION-GATED (tools/gate.py): every timed attempt is
+bracketed by a whole-box BLAS probe; an attempt whose pre- OR post-probe
+exceeds the gate is discarded as contaminated, and each query reports the
+min of its clean runs plus n_clean — so a round-over-round delta in
+BENCH_r{N}.json is a code comparison, not a weather report. The output also
+carries the commit hash, the per-query probe history, a PNG-only flagship
+run (isolates the JPEG-decode tax from window noise), and measured IVF
+recall@5 against the exact brute-force top-k.
+
 `--cores N --flagship-only` runs just the flagship extraction (used by
-tools/scaling.py to measure N-vs-4N throughput scaling in separate JVMs).
+tools/scaling_run_one.py to measure N-vs-4N throughput scaling in separate
+JVMs; that harness does its own gating around the whole child process, so
+gating is skipped inside it).
 """
 
 from __future__ import annotations
@@ -13,10 +24,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tools.gate import GATE_MS_DEFAULT, commit_hash, probe_ms  # noqa: E402
 
 HEADLINE = [
     "ocr_documento_completo",
@@ -37,6 +51,7 @@ HEADLINE = [
     "text_stats",
     "ann_cosine_topk",
     "lsh_embedding_neardup",
+    "ivf_ann_topk",
 ]
 
 
@@ -46,12 +61,44 @@ def materialize(df) -> int:
     return df.count()
 
 
+def timed_clean(run_fn, gate_ms: float, target_clean: int = 2,
+                max_attempts: int = 4):
+    """Run `run_fn` until `target_clean` admission-clean attempts (pre- and
+    post-probe both under the gate) or `max_attempts`. Returns
+    (best_clean_sec, n_clean, probe_history, last_result); if no attempt was
+    clean, best falls back to the fastest contaminated attempt (contention
+    only ever ADDS time, so min is the least-wrong summary)."""
+    clean: list[float] = []
+    allt: list[float] = []
+    probes: list[list[float]] = []
+    result = None
+    for _ in range(max_attempts):
+        pre = probe_ms()
+        t0 = time.perf_counter()
+        result = run_fn()
+        el = time.perf_counter() - t0
+        post = probe_ms()
+        probes.append([round(pre, 1), round(post, 1)])
+        allt.append(el)
+        if pre <= gate_ms and post <= gate_ms:
+            clean.append(el)
+            if len(clean) >= target_clean:
+                break
+    best = min(clean) if clean else min(allt)
+    return best, len(clean), probes, result
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--gate-ms", type=float, default=GATE_MS_DEFAULT)
+    ap.add_argument("--clean-runs", type=int, default=2,
+                    help="clean attempts per query (min wins)")
+    ap.add_argument("--no-png-toggle", action="store_true",
+                    help="skip the PNG-only flagship child run")
     ap.add_argument(
         "--multiply", type=int, default=1,
         help="replicate the documents table k times (distinct doc_ids) so the "
@@ -70,7 +117,7 @@ def main() -> None:
     # numpy/engine imports) once per task slot — excluded from timings
     from pyspark.sql import functions as F
 
-    from api_ocr_spark.operators.pipeline import extract_documents
+    from api_ocr_spark.operators.pipeline import extract_documents, release_persisted
 
     warm_docs = (
         spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
@@ -81,8 +128,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    n_clean: dict[str, int] = {}
+    probes: dict[str, list] = {}
     if args.multiply > 1:
-        # flagship over a k-replicated corpus (doc_ids remapped to stay unique)
+        # flagship over a k-replicated corpus (doc_ids remapped to stay
+        # unique). Single ungated run by design: tools/scaling_run_one.py
+        # gates around this whole process.
         docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
         base = docs.count()
         multiplied = docs.crossJoin(
@@ -97,20 +148,19 @@ def main() -> None:
     else:
         n_docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).count()
     for name in names:
-        # flagship gets best-of-2 (first run can absorb stray JIT/GC noise)
-        reps = 2 if name == "ocr_documento_completo" else 1
-        best = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            counts[name] = materialize(qs[name](spark, args.sf_dir))
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
-        # reclaim any persisted flat-spans stage between queries (long-lived
-        # sessions would otherwise accumulate caches)
-        from api_ocr_spark.operators.pipeline import release_persisted
 
-        release_persisted()
+        def run(name=name):
+            n = materialize(qs[name](spark, args.sf_dir))
+            # reclaim any persisted flat-spans stage between attempts
+            # (long-lived sessions would otherwise accumulate caches)
+            release_persisted()
+            return n
+
+        best, nc, ph, cnt = timed_clean(run, args.gate_ms, args.clean_runs)
+        timings[name] = round(best, 3)
+        counts[name] = cnt
+        n_clean[name] = nc
+        probes[name] = ph
     flagship = timings.get("ocr_documento_completo")
     docs_per_sec = round(n_docs / flagship, 2) if flagship else None
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -120,12 +170,50 @@ def main() -> None:
         "unit": "docs/sec" if docs_per_sec is not None else "sec",
         "queries": timings,
         "counts": counts,
+        "n_clean": n_clean,
+        "probes_ms": probes,
+        "gate_ms": args.gate_ms,
+        "commit": commit_hash(),
         "total_sec": round(sum(timings.values()), 3),
         "docs": n_docs,
         "cores": args.cores,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    if not args.flagship_only and args.multiply == 1 and not args.queries:
+        # measured IVF recall@5 vs exact brute force at this SF (the tests
+        # assert recall only on clustered fixtures; this is the corpus number)
+        truth = {(r.query_id, r.neighbor_id)
+                 for r in qs["ann_cosine_topk"](spark, args.sf_dir).collect()}
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in qs["ivf_ann_topk"](spark, args.sf_dir).collect()}
+        out["ivf_recall_at5"] = round(len(truth & approx) / max(1, len(truth)), 4)
+
     spark.stop()
+
+    if not args.flagship_only and args.multiply == 1 and not args.no_png_toggle:
+        # PNG-only flagship in a CHILD process (the fmt override is read by
+        # executor-side workers, which inherit env only at JVM start): the
+        # normal-vs-png delta isolates the JPEG-decode tax from host noise —
+        # both runs sit in the same probe-gated window.
+        env = dict(os.environ, APIOCR_PNG_ONLY="1")
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores", str(args.cores),
+             "--sf-dir", args.sf_dir, "--flagship-only",
+             "--gate-ms", str(args.gate_ms), "--clean-runs", str(args.clean_runs)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        try:
+            line = [ln for ln in child.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            png = json.loads(line)
+            out["png_only_flagship_sec"] = png["queries"]["ocr_documento_completo"]
+            out["png_only_n_clean"] = png["n_clean"]["ocr_documento_completo"]
+            if out["png_only_flagship_sec"]:
+                out["jpeg_tax_ratio"] = round(
+                    flagship / out["png_only_flagship_sec"], 3)
+        except Exception:  # noqa: BLE001 — toggle run is advisory, never fatal
+            out["png_only_flagship_sec"] = None
+
     print(json.dumps(out))
 
 

@@ -23,20 +23,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-
-def probe_ms() -> float:
-    import numpy as np
-
-    a = np.random.default_rng(0).random((1200, 1200))
-    for _ in range(2):
-        a @ a
-    best = 1e9
-    for _ in range(5):
-        t0 = time.perf_counter()
-        a @ a
-        best = min(best, time.perf_counter() - t0)
-    return best * 1000
+from tools.gate import commit_hash, probe_ms  # noqa: E402
 
 
 def main() -> None:
@@ -50,7 +39,8 @@ def main() -> None:
 
     pre = probe_ms()
     rec: dict = {"cores": args.cores, "multiply": args.multiply,
-                 "probe_pre_ms": round(pre, 1), "ts": round(time.time(), 1)}
+                 "probe_pre_ms": round(pre, 1), "ts": round(time.time(), 1),
+                 "commit": commit_hash()}
     if pre > args.gate_ms:
         rec["status"] = "skipped_contended"
         print(json.dumps(rec))
