@@ -222,6 +222,40 @@ def test_simhash64_no_lane_carry_on_long_doc(spark):
     assert got[1] == _simhash64_py(BASE)
 
 
+def _clusters(df):
+    return sorted((r.doc_id, r.cluster_id) for r in df.collect())
+
+
+def test_star_cc_equals_label_propagation(spark):
+    """Property: neardup_clusters_star (large-star/small-star) produces the
+    SAME (doc_id, cluster_id=component min) labeling as min-label
+    propagation — on seeded random graphs, on a long path (the diameter
+    case star contraction exists for), and on real near-dup pairs."""
+    import numpy as np
+
+    cases = []
+    rng = np.random.default_rng(11)
+    for _ in range(3):  # sparse random graphs: several non-trivial components
+        n_nodes, n_edges = 40, 30
+        es = {(int(a), int(b)) for a, b in rng.integers(0, n_nodes, (n_edges, 2)) if a != b}
+        cases.append(sorted(es))
+    cases.append([(i, i + 1) for i in range(60)])       # 61-node path, diameter 60
+    cases.append([(0, 1), (1, 0), (2, 3), (3, 2)])      # duplicate/reversed edges
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        # label propagation needs ~diameter rounds (80 covers the path case
+        # — the very cost profile the star variant exists to avoid)
+        lp = _clusters(dedup.neardup_clusters(pairs, max_iter=80))
+        star = _clusters(dedup.neardup_clusters_star(pairs))
+        assert lp == star, edges[:8]
+
+
+def test_star_cc_on_corpus_pairs(corpus):
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.3)
+    assert _clusters(dedup.neardup_clusters(pairs)) == \
+        _clusters(dedup.neardup_clusters_star(pairs))
+
+
 def test_lsh_hyperplanes_match_duckdb_derivation():
     """The md5-derived planes must be re-derivable in DuckDB SQL — the
     property the full lsh_embedding_neardup oracle rests on."""
