@@ -43,6 +43,20 @@ CHECKS = {
         ("window rank", r"Window"),
         ("window-group limit pushdown", r"WindowGroupLimit|Window"),
     ],
+    "simhash64_neardup": [
+        ("banded equi-join, not cartesian", ("absent", r"CartesianProduct")),
+        ("codegen'd SUM aggregate (no interpreted HOF fold)", r"HashAggregate"),
+        ("no per-row python", ("absent", r"BatchEvalPython")),
+    ],
+    "minhash_lsh_neardup": [
+        ("bucket equi-join, not cartesian", ("absent", r"CartesianProduct")),
+        ("hashed-shingle frame materialized once (localCheckpoint)",
+         r"Scan ExistingRDD|LogicalRDD"),
+    ],
+    "ivf_ann_topk": [
+        ("broadcast codebook / probe join", r"BroadcastExchange"),
+        ("window top-k", r"Window"),
+    ],
 }
 
 
@@ -63,7 +77,9 @@ def main():
         txt = plan_text(qs[name](spark, sf_dir))
         results = []
         for label, pat in checks:
-            if isinstance(pat, tuple) and pat[0] == "single_scan":
+            if isinstance(pat, tuple) and pat[0] == "absent":
+                ok = re.search(pat[1], txt) is None
+            elif isinstance(pat, tuple) and pat[0] == "single_scan":
                 # exactly ONE distinct parquet-scan node id in the whole plan
                 # text (formatted explain prints each node twice — tree +
                 # detail — under the same id; the persisted flat-spans
