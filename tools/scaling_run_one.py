@@ -41,6 +41,23 @@ def main() -> None:
     rec: dict = {"cores": args.cores, "multiply": args.multiply,
                  "probe_pre_ms": round(pre, 1), "ts": round(time.time(), 1),
                  "commit": commit_hash()}
+    # host CPU-delivery at this level's concurrency (tools/cpudelivery.py
+    # rationale): the single-proc probe admits windows where the hypervisor
+    # under-delivers vCPUs at high concurrency — record the K-proc delivery
+    # ratio so every row carries the ceiling it was measured under
+    # (efficiency at N->4N cannot exceed delivery(N)/delivery(4N)).
+    try:
+        import multiprocessing as mp
+
+        from tools.cpudelivery import _matmul
+
+        with mp.Pool(1) as p:
+            solo = p.map(_matmul, range(1))[0]
+        with mp.Pool(args.cores) as p:
+            times = p.map(_matmul, range(args.cores))
+        rec["delivery_ratio_pre"] = round(sum(times) / len(times) / solo, 3)
+    except Exception:  # noqa: BLE001 — probe is evidence, never a blocker
+        rec["delivery_ratio_pre"] = None
     if pre > args.gate_ms:
         rec["status"] = "skipped_contended"
         print(json.dumps(rec))
