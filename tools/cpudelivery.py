@@ -40,15 +40,26 @@ def _matmul(_):
 
 
 def main() -> None:
+    # MUST run before any numpy import in this process (a forked pool child
+    # inherits the parent's already-initialized multithreaded OpenBLAS and
+    # the solo baseline collapses to a multi-core matmul — a 20x-wrong
+    # ratio; this is why scaling_run_one invokes this file as a SUBPROCESS)
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     os.environ.setdefault("OMP_NUM_THREADS", "1")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, nargs="*", default=[8, 32],
+                    help="concurrency levels (1 is always measured)")
+    args = ap.parse_args()
     out = {}
-    for nproc in (1, 8, 32):
+    for nproc in [1] + list(args.procs):
         with mp.Pool(nproc) as p:
             times = p.map(_matmul, range(nproc))
         out[f"procs_{nproc}_ms"] = round(sum(times) / len(times), 2)
-    out["delivery_ratio_8"] = round(out["procs_8_ms"] / out["procs_1_ms"], 3)
-    out["delivery_ratio_32"] = round(out["procs_32_ms"] / out["procs_1_ms"], 3)
+    for nproc in args.procs:
+        out[f"delivery_ratio_{nproc}"] = round(
+            out[f"procs_{nproc}_ms"] / out["procs_1_ms"], 3)
     out["ts"] = round(time.time(), 1)
     print(json.dumps(out))
 

@@ -46,16 +46,15 @@ def main() -> None:
     # under-delivers vCPUs at high concurrency — record the K-proc delivery
     # ratio so every row carries the ceiling it was measured under
     # (efficiency at N->4N cannot exceed delivery(N)/delivery(4N)).
+    # Subprocess, not an in-process pool: forked children inherit this
+    # process's multithreaded OpenBLAS and corrupt the solo baseline.
     try:
-        import multiprocessing as mp
-
-        from tools.cpudelivery import _matmul
-
-        with mp.Pool(1) as p:
-            solo = p.map(_matmul, range(1))[0]
-        with mp.Pool(args.cores) as p:
-            times = p.map(_matmul, range(args.cores))
-        rec["delivery_ratio_pre"] = round(sum(times) / len(times) / solo, 3)
+        dj = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "cpudelivery.py"),
+             "--procs", str(args.cores)],
+            capture_output=True, text=True, check=True, timeout=300)
+        rec["delivery_ratio_pre"] = json.loads(
+            dj.stdout.strip().splitlines()[-1])[f"delivery_ratio_{args.cores}"]
     except Exception:  # noqa: BLE001 — probe is evidence, never a blocker
         rec["delivery_ratio_pre"] = None
     if pre > args.gate_ms:
