@@ -473,16 +473,112 @@ def resize_nearest(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
-def cap_max_dimension(img: np.ndarray, max_dim: int) -> np.ndarray:
+def _box_resample_axis(a: np.ndarray, new_n: int, axis: int) -> np.ndarray:
+    """1-D fractional box-mean along `axis` (float64 out). Output cell j
+    averages the source interval [j·r, (j+1)·r), r = n/new_n — the exact
+    integral of the piecewise-constant signal, via a cumulative sum plus
+    fractional end corrections. Area resampling over axis-aligned boxes is
+    separable, so 2-D INTER_AREA = this pass applied to each axis."""
+    a0 = np.moveaxis(np.asarray(a, np.float64), axis, 0)
+    n = a0.shape[0]
+    r = n / new_n
+    csum = np.concatenate(
+        [np.zeros((1,) + a0.shape[1:]), np.cumsum(a0, axis=0)], axis=0)
+    lo = np.arange(new_n) * r
+    hi = lo + r
+    lo_i = np.floor(lo).astype(np.int64)
+    hi_i = np.minimum(np.floor(hi).astype(np.int64), n)  # hi may hit n exactly
+    shape = (new_n,) + (1,) * (a0.ndim - 1)
+    frac_lo = (lo - lo_i).reshape(shape)
+    frac_hi = (hi - hi_i).reshape(shape)
+    integral = (
+        csum[hi_i] - csum[lo_i]
+        - frac_lo * a0[lo_i]
+        + frac_hi * a0[np.minimum(hi_i, n - 1)]
+    )
+    return np.moveaxis(integral / r, 0, axis)
+
+
+def resize_area(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """cv2.INTER_AREA-equivalent downscale at ANY ratio (the reference's
+    shrink path, /root/reference/utils/file_handling.py:46-59 and
+    preprocessing/enhance.py:66-72): each output pixel is the exact mean of
+    its (fractional) source box. Pure numpy, separable two-pass."""
+    out = _box_resample_axis(_box_resample_axis(img, new_h, 0), new_w, 1)
+    if np.issubdtype(np.asarray(img).dtype, np.integer):
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out
+
+
+_CUBIC_A = -0.75  # cv2's Catmull-Rom-family coefficient for INTER_CUBIC
+
+
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """Keys cubic-convolution kernel with a = -0.75 (cv2's choice), evaluated
+    at the 4 taps for fractional offsets t in [0,1): returns (len(t), 4)."""
+    a = _CUBIC_A
+    d = np.stack([t + 1.0, t, 1.0 - t, 2.0 - t], axis=1)  # |x| of the taps
+    w = np.where(
+        d <= 1.0,
+        (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0,
+        a * d**3 - 5.0 * a * d**2 + 8.0 * a * d - 4.0 * a,
+    )
+    return w
+
+
+def _cubic_resample_axis(a: np.ndarray, new_n: int, axis: int) -> np.ndarray:
+    a0 = np.moveaxis(np.asarray(a, np.float64), axis, 0)
+    n = a0.shape[0]
+    scale = n / new_n
+    # cv2 pixel-center convention: src x of output j is (j+0.5)*scale - 0.5
+    x = (np.arange(new_n) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    w = _cubic_weights(x - x0)  # (new_n, 4)
+    taps = np.clip(x0[:, None] + np.arange(-1, 3)[None, :], 0, n - 1)
+    gathered = a0[taps]  # (new_n, 4, ...)
+    out = np.einsum("jk,jk...->j...", w, gathered)
+    return np.moveaxis(out, 0, axis)
+
+
+def resize_cubic(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """cv2.INTER_CUBIC-equivalent resample (the reference's upscale path):
+    separable Keys cubic convolution, a = -0.75, replicated borders."""
+    out = _cubic_resample_axis(_cubic_resample_axis(img, new_h, 0), new_w, 1)
+    if np.issubdtype(np.asarray(img).dtype, np.integer):
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out
+
+
+def resize_reference(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """The reference's resize rule (preprocessing/enhance.py:66-72): shrink
+    with INTER_AREA, grow with INTER_CUBIC (per total pixel count)."""
+    h, w = img.shape[:2]
+    if new_h * new_w <= h * w:
+        return resize_area(img, new_h, new_w)
+    return resize_cubic(img, new_h, new_w)
+
+
+def cap_max_dimension(img: np.ndarray, max_dim: int, mode: str = "ladder") -> np.ndarray:
     """Dimension cap — reference semantics: result max dim <= max_dim
-    (/root/reference/utils/file_handling.py:46-53). Pinned deviation
-    (documented): a factor-of-2 decimation ladder ([::2, ::2] until small
-    enough) instead of the reference's arbitrary-ratio cv2 resample. Exact
-    grid decimation has the property the engine's exactness contract needs:
-    decimating a 2k-scaled glyph grid (even offsets) yields the k-scaled
-    glyph BIT-EXACTLY, so oversized pages OCR exactly after capping; an
-    arbitrary-ratio nearest resample drifts the sampling grid and distorts
-    glyph bitmaps."""
+    (/root/reference/utils/file_handling.py:46-53).
+
+    mode='ladder' (default, fixture-exact): a factor-of-2 decimation ladder
+    ([::2, ::2] until small enough). Exact grid decimation has the property
+    the engine's exactness contract needs: decimating a 2k-scaled glyph
+    grid (even offsets) yields the k-scaled glyph BIT-EXACTLY, so oversized
+    pages OCR exactly after capping; any fractional resample drifts the
+    sampling grid and distorts glyph bitmaps.
+
+    mode='area' (reference-parity path for real scans): one arbitrary-ratio
+    INTER_AREA-equivalent resample straight to the cap, preserving aspect —
+    exactly what the reference's cv2.resize call does. Use for non-fixture
+    inputs where anti-aliased quality beats bit-exactness."""
+    h, w = img.shape[:2]
+    if max(h, w) <= max_dim:
+        return img
+    if mode == "area":
+        s = max_dim / max(h, w)
+        return resize_area(img, max(1, int(h * s)), max(1, int(w * s)))
     out = img
     while max(out.shape[:2]) > max_dim:
         out = out[::2, ::2]

@@ -4,7 +4,11 @@ operator inventory is complete, unit-tested, and available to users:
 
   resize_for_ocr            /root/reference/preprocessing/enhance.py:66-72
   apply_clahe               enhance.py:131-139
-  detect_document_contour   enhance.py:165-214
+  detect_document_contour   enhance.py:165-214 (order_quad /
+                            perspective_matrix / warp_perspective /
+                            four_point_transform are the real 4-point
+                            rectification, numpy equivalents of
+                            cv2.getPerspectiveTransform + warpPerspective)
   try_multiple_preprocessings enhance.py:217-236
   detect_text_fields        /root/reference/preprocessing/detection.py:95-138
   extract_table_cells       detection.py:49-58 (stub in the reference too)
@@ -19,13 +23,13 @@ from . import detection, enhance
 
 
 def resize_for_ocr(gray: np.ndarray, target_width: int = 2000) -> np.ndarray:
-    """Upscale width to target if smaller (reference uses INTER_CUBIC;
-    nearest keeps the binary glyph structure exact)."""
+    """Upscale width to target if smaller — reference parity: INTER_CUBIC
+    (enhance.resize_cubic, Keys a=-0.75 like cv2), not nearest."""
     h, w = gray.shape
     if w >= target_width:
         return gray
     scale = target_width / w
-    return enhance.resize_nearest(gray, int(h * scale), target_width)
+    return enhance.resize_cubic(gray, int(h * scale), target_width)
 
 
 def apply_clahe(gray: np.ndarray, clip: float = 3.0, tiles: int = 8) -> np.ndarray:
@@ -50,11 +54,94 @@ def apply_clahe(gray: np.ndarray, clip: float = 3.0, tiles: int = 8) -> np.ndarr
     return out
 
 
+def order_quad(pts: np.ndarray) -> np.ndarray:
+    """Order 4 (x, y) points as [tl, tr, br, bl] — the reference's
+    order_points rule (/root/reference/preprocessing/enhance.py:176-188):
+    tl = min coordinate sum, br = max sum, tr = min (y−x), bl = max (y−x)."""
+    pts = np.asarray(pts, np.float64)
+    s = pts.sum(axis=1)
+    d = pts[:, 1] - pts[:, 0]
+    return np.array([pts[np.argmin(s)], pts[np.argmin(d)],
+                     pts[np.argmax(s)], pts[np.argmax(d)]])
+
+
+def perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """3×3 homography mapping src[i] → dst[i] for 4 point pairs —
+    cv2.getPerspectiveTransform equivalent: solve the 8-unknown linear
+    system (h22 pinned to 1)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    rows, rhs = [], []
+    for (x, y), (u, v) in zip(src, dst):
+        rows.append([x, y, 1, 0, 0, 0, -u * x, -u * y])
+        rhs.append(u)
+        rows.append([0, 0, 0, x, y, 1, -v * x, -v * y])
+        rhs.append(v)
+    h = np.linalg.solve(np.array(rows), np.array(rhs))
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+def warp_perspective(img: np.ndarray, m: np.ndarray, out_h: int, out_w: int,
+                     border: float = 0.0) -> np.ndarray:
+    """cv2.warpPerspective equivalent: inverse-map each destination pixel
+    through m⁻¹ and bilinear-sample, constant border. Fully vectorized (one
+    3×N matmul + four gathers); bilinear at integer source coordinates is
+    exact, so an axis-aligned translation warp reproduces a crop
+    bit-for-bit (asserted in tests)."""
+    m_inv = np.linalg.inv(np.asarray(m, np.float64))
+    ys, xs = np.mgrid[0:out_h, 0:out_w]
+    pts = np.stack([xs.ravel(), ys.ravel(), np.ones(out_h * out_w)])
+    s = m_inv @ pts
+    sx, sy = s[0] / s[2], s[1] / s[2]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx, fy = sx - x0, sy - y0
+    h, w = img.shape[:2]
+    imgf = np.asarray(img, np.float64)
+
+    def sample(yy, xx):
+        valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        return np.where(
+            valid, imgf[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)], border)
+
+    v = (sample(y0, x0) * (1 - fx) * (1 - fy)
+         + sample(y0, x0 + 1) * fx * (1 - fy)
+         + sample(y0 + 1, x0) * (1 - fx) * fy
+         + sample(y0 + 1, x0 + 1) * fx * fy)
+    out = v.reshape(out_h, out_w)
+    if np.issubdtype(np.asarray(img).dtype, np.integer):
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out
+
+
+def four_point_transform(img: np.ndarray, quad) -> np.ndarray:
+    """The reference's 4-point document rectification
+    (/root/reference/preprocessing/enhance.py:190-214): order the corners,
+    size the output from the longer opposing edge pair, and warp the quad
+    onto that rectangle. One deviation, documented: output dims are
+    round(edge)+1 (inclusive-corner convention) where the classic formula
+    truncates — this keeps an axis-aligned quad's warp IDENTICAL to the
+    plain crop instead of dropping the last row/column."""
+    rect = order_quad(quad)
+    (tl, tr, br, bl) = rect
+    width = max(np.hypot(*(br - bl)), np.hypot(*(tr - tl)))
+    height = max(np.hypot(*(tr - br)), np.hypot(*(tl - bl)))
+    out_w = int(round(width)) + 1
+    out_h = int(round(height)) + 1
+    dst = np.array([[0, 0], [out_w - 1, 0], [out_w - 1, out_h - 1], [0, out_h - 1]],
+                   np.float64)
+    m = perspective_matrix(rect, dst)
+    return warp_perspective(img, m, out_h, out_w)
+
+
 def detect_document_contour(gray: np.ndarray) -> tuple[np.ndarray, bool]:
-    """Find the dominant bright quadrilateral (a scanned page on a dark
-    background) and crop to it; returns (image, found). The reference warps
-    via a 4-point perspective transform; on axis-aligned fixtures the
-    bounding-box crop is the same operation."""
+    """Find the dominant bright region (a scanned page on a dark background)
+    and rectify it with the reference's 4-point perspective transform
+    (enhance.py:165-214); returns (image, found). The quad is the region's
+    bbox corners (the connected-component labeling doesn't expose corner
+    geometry); for an axis-aligned page the warp is exactly the crop, and
+    four_point_transform handles tilted quads when the caller supplies
+    them."""
     bright = gray > enhance.otsu_threshold(gray)
     stats = detection.connected_components_stats(bright)
     if not stats:
@@ -63,7 +150,8 @@ def detect_document_contour(gray: np.ndarray) -> tuple[np.ndarray, bool]:
     x, y, w, h = big["bbox"]
     if w * h < 0.25 * gray.size:  # no dominant page region
         return gray, False
-    return gray[y:y + h, x:x + w], True
+    quad = [(x, y), (x + w - 1, y), (x + w - 1, y + h - 1), (x, y + h - 1)]
+    return four_point_transform(gray, quad), True
 
 
 def try_multiple_preprocessings(gray: np.ndarray) -> dict:

@@ -120,6 +120,55 @@ def test_detect_document_contour_crops_page():
     assert engine.ocr_image(cropped).replace("\n", " ") == "some page text"
 
 
+def test_four_point_transform_axis_aligned_equals_crop():
+    page = render.render_text_image("warp crop parity", "noisy", 5)
+    canvas = np.zeros((page.shape[0] + 30, page.shape[1] + 50), np.uint8)
+    canvas[12:12 + page.shape[0], 21:21 + page.shape[1]] = page
+    quad = [(21, 12), (21 + page.shape[1] - 1, 12),
+            (21 + page.shape[1] - 1, 12 + page.shape[0] - 1),
+            (21, 12 + page.shape[0] - 1)]
+    warped = extras.four_point_transform(canvas, quad)
+    assert np.array_equal(warped, page)  # bilinear at integer coords: exact
+
+
+def test_order_quad():
+    got = extras.order_quad([(9, 0), (0, 0), (0, 7), (9, 7)])
+    assert np.array_equal(got, [[0, 0], [9, 0], [9, 7], [0, 7]])
+
+
+def test_warp_perspective_matches_analytic_gradient():
+    """Bilinear sampling of a LINEAR image is exact, so warping a gradient
+    through a known homography must reproduce the gradient evaluated at the
+    inverse-mapped coordinates (interior, away from the border fill)."""
+    h, w = 40, 50
+    ys, xs = np.mgrid[0:h, 0:w]
+    grad = (2.0 * xs + 3.0 * ys).astype(np.float64)
+    src = [(5, 4), (44, 6), (42, 35), (3, 33)]  # tilted quad inside the image
+    dst = [(0, 0), (29, 0), (29, 19), (0, 19)]
+    m = extras.perspective_matrix(src, dst)
+    out = extras.warp_perspective(grad, m, 20, 30)
+    m_inv = np.linalg.inv(m)
+    for (u, v) in [(5, 5), (15, 10), (25, 17), (2, 3)]:
+        p = m_inv @ np.array([u, v, 1.0])
+        sx, sy = p[0] / p[2], p[1] / p[2]
+        assert abs(out[v, u] - (2.0 * sx + 3.0 * sy)) < 1e-6
+
+
+def test_resize_for_ocr_is_cubic():
+    # a linear ramp upscaled with cubic convolution stays a linear ramp
+    # (cubic kernels reproduce polynomials up to degree 1 exactly)
+    ramp = np.tile(np.arange(0, 200, 2, dtype=np.uint8), (20, 1))
+    out = extras.resize_for_ocr(ramp, target_width=200)
+    assert out.shape == (40, 200)
+    inner = out[10, 20:180].astype(float)
+    diffs = np.diff(inner)
+    # ×2 upscale samples at t={0.25,0.75} where the a=-0.75 kernel wiggles;
+    # with uint8 rounding the steps alternate 2,0 — mean slope is exact,
+    # local steps stay small and non-negative (monotone ramp preserved)
+    assert abs(diffs.mean() - 1.0) < 0.05
+    assert diffs.min() >= 0 and diffs.max() <= 3
+
+
 def test_try_multiple_preprocessings_argmax():
     img = render.render_text_image("four words right here", "plain", 0)
     out = extras.try_multiple_preprocessings(img)

@@ -79,6 +79,96 @@ def test_box_sum_uint8_above_int32_bound():
     assert got.min() == got.max() == 255 * win * win
 
 
+def _area_resample_naive(a, new_h, new_w):
+    """Brute-force fractional box mean — the definition resize_area must
+    match: output (i, j) = mean of a over [i*rh,(i+1)*rh) x [j*rw,(j+1)*rw)."""
+    h, w = a.shape
+    rh, rw = h / new_h, w / new_w
+    out = np.empty((new_h, new_w))
+    for i in range(new_h):
+        for j in range(new_w):
+            y0, y1 = i * rh, (i + 1) * rh
+            x0, x1 = j * rw, (j + 1) * rw
+            acc = 0.0
+            for y in range(int(np.floor(y0)), int(np.ceil(y1))):
+                wy = min(y + 1, y1) - max(y, y0)
+                for x in range(int(np.floor(x0)), int(np.ceil(x1))):
+                    wx = min(x + 1, x1) - max(x, x0)
+                    acc += a[y, x] * wy * wx
+            out[i, j] = acc / (rh * rw)
+    return out
+
+
+def test_resize_area_matches_fractional_box_mean():
+    rng = np.random.default_rng(3)
+    a = rng.random((13, 17)) * 255
+    got = enhance.resize_area(a, 5, 7)
+    assert np.allclose(got, _area_resample_naive(a, 5, 7), atol=1e-9)
+    # integer factor: exact 2x2 block means
+    b = rng.random((12, 14)) * 255
+    got2 = enhance.resize_area(b, 6, 7)
+    want2 = b.reshape(6, 2, 7, 2).mean(axis=(1, 3))
+    assert np.allclose(got2, want2, atol=1e-9)
+    # uint8 in, uint8 out; constant image stays constant
+    const = np.full((30, 40), 173, np.uint8)
+    out = enhance.resize_area(const, 11, 13)
+    assert out.dtype == np.uint8 and (out == 173).all()
+
+
+def _cubic_1d_naive(row, new_n):
+    """Direct per-pixel evaluation of the same Keys a=-0.75 kernel (cv2's
+    INTER_CUBIC parameter — which does NOT have exact linear precision;
+    only a=-0.5 does, so the reference here is the kernel definition, not
+    an analytic polynomial)."""
+    n = len(row)
+    a = -0.75
+
+    def k(x):
+        x = abs(x)
+        if x <= 1:
+            return (a + 2) * x**3 - (a + 3) * x**2 + 1
+        if x < 2:
+            return a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a
+        return 0.0
+
+    out = np.empty(new_n)
+    scale = n / new_n
+    for j in range(new_n):
+        x = (j + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        acc = 0.0
+        for tap in range(x0 - 1, x0 + 3):
+            acc += k(x - tap) * row[min(max(tap, 0), n - 1)]
+        out[j] = acc
+    return out
+
+
+def test_resize_cubic_matches_kernel_definition():
+    rng = np.random.default_rng(5)
+    row = rng.random(23) * 255
+    got = enhance.resize_cubic(row.reshape(1, -1), 1, 37).ravel()
+    assert np.allclose(got, _cubic_1d_naive(row, 37), atol=1e-9)
+    got_dn = enhance.resize_cubic(row.reshape(1, -1), 1, 11).ravel()
+    assert np.allclose(got_dn, _cubic_1d_naive(row, 11), atol=1e-9)
+    # partition of unity: constant image is reproduced exactly at any ratio
+    const = np.full((16, 16), 99, np.uint8)
+    assert (enhance.resize_cubic(const, 23, 9) == 99).all()
+
+
+def test_resize_reference_dispatch_and_cap_area_mode():
+    img = np.random.default_rng(0).integers(0, 256, (100, 200)).astype(np.uint8)
+    small = enhance.resize_reference(img, 50, 100)   # shrink -> area
+    assert np.array_equal(small, enhance.resize_area(img, 50, 100))
+    big = enhance.resize_reference(img, 200, 400)    # grow -> cubic
+    assert np.array_equal(big, enhance.resize_cubic(img, 200, 400))
+    capped = enhance.cap_max_dimension(img, 120, mode="area")
+    assert max(capped.shape) <= 120
+    # aspect preserved within rounding
+    assert abs(capped.shape[1] / capped.shape[0] - 2.0) < 0.1
+    # default ladder unchanged: powers of two until under the cap
+    assert enhance.cap_max_dimension(img, 120).shape == (50, 100)
+
+
 def test_skew_estimate_exact_inverse_tall():
     # multi-line image: enough rows for the column profile to pin the angle
     text = "spark filter merge join sort window hash scan part order value row"
