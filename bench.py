@@ -189,13 +189,14 @@ def main() -> None:
                   for r in qs["ivf_ann_topk"](spark, args.sf_dir).collect()}
         out["ivf_recall_at5"] = round(len(truth & approx) / max(1, len(truth)), 4)
 
-    spark.stop()
-
     if not args.flagship_only and args.multiply == 1 and not args.no_png_toggle:
         # PNG-only flagship in a CHILD process (the fmt override is read by
         # executor-side workers, which inherit env only at JVM start): the
         # normal-vs-png delta isolates the JPEG-decode tax from host noise —
-        # both runs sit in the same probe-gated window.
+        # both runs sit in the same probe-gated window. The parent session
+        # stays UP (idle) during the child: stopping it first triggers
+        # page-reclaim churn that contaminates every child probe (observed:
+        # n_clean=0 on each try), while an idle JVM is quiet.
         env = dict(os.environ, APIOCR_PNG_ONLY="1")
         child = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cores", str(args.cores),
@@ -214,6 +215,7 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — toggle run is advisory, never fatal
             out["png_only_flagship_sec"] = None
 
+    spark.stop()
     print(json.dumps(out))
 
 
