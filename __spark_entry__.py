@@ -885,6 +885,36 @@ SELECT doc_a, doc_b, hamming FROM (
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.contamination_flags): every corpus
+    document sharing an 8-gram with the deterministic 'eval set'
+    (doc_id % 97 == 0) is flagged with its distinct-hit count. The eval-set
+    docs flag themselves (they are in the corpus), near-copies flag via
+    shared grams — discriminating at both ends."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_flags(docs, benchmark, n=8)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(ws) - 7, 1) + 1),
+             i -> array_to_string(ws[i:i+7], ' ')))) AS gram
+  FROM w
+),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT g.doc_id, COUNT(*) AS n_hits FROM g JOIN b USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     c = F.col("text")
@@ -1297,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "simhash64_neardup": q_simhash64_neardup,
+        "decontaminate": q_decontaminate,
         "text_stats": q_text_stats,
         "corpus_sample": q_corpus_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1338,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
         "simhash64_neardup": ORACLE_SIMHASH64_NEARDUP,
+        "decontaminate": ORACLE_DECONTAMINATE,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
         "lsh_embedding_neardup": ORACLE_LSH_EMBEDDING_NEARDUP,

@@ -548,3 +548,37 @@ def neardup_clusters_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             return labels.unionByName(roots)
         sig = nsig
     raise RuntimeError(f"neardup_clusters_star did not converge in {max_iter} rounds")
+
+
+def contamination_flags(documents: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-data op that catches eval-set
+    leakage before pretraining: flag every corpus document sharing at least
+    one word n-gram with a benchmark/eval corpus (the published n-gram
+    overlap rule; n is typically 8-13).
+
+    100 TB shape: the benchmark side is SMALL (eval suites are 10^3-10^5
+    documents) → its distinct n-gram set is BROADCAST, and the corpus side
+    explodes grams and meets the broadcast hash relation map-side — the
+    corpus never shuffles; the per-doc hit count is one map-side-partial
+    aggregate keyed by doc_id. Grams travel as strings here so the DuckDB
+    oracle can replay the op exactly; at petabyte scale hash each gram to
+    64 bits first (xxhash64 — the same one-line swap the MinHash base hash
+    documents).
+
+    Returns (doc_id, n_hits = number of DISTINCT contaminated grams,
+    contaminated: bool) for every corpus document."""
+    b = benchmark.select(
+        F.explode(word_shingles(F.col("text"), n)).alias("gram")).distinct()
+    d = _fan_out(documents).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(word_shingles(F.col("text"), n)).alias("gram"))
+    hits = (
+        d.join(F.broadcast(b), "gram")
+        .groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+    )
+    base = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -46,6 +46,7 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "simhash",
     "simhash64_neardup",
+    "decontaminate",
     "neardup_clusters",
     "corpus_sample",
     "text_stats",

@@ -222,6 +222,27 @@ def test_simhash64_no_lane_carry_on_long_doc(spark):
     assert got[1] == _simhash64_py(BASE)
 
 
+def test_contamination_flags(spark):
+    """Decontamination: a doc copying an 8-gram from the benchmark flags
+    (with the right distinct-hit count); clean docs don't; benchmark docs in
+    the corpus flag themselves."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, bench_text),                                   # the benchmark doc
+        (1, "prefix words then alpha beta gamma delta epsilon zeta eta theta tail"),
+        (2, "totally different content with no overlapping gram sequences here"),
+        (3, bench_text + " and an extra suffix of words"),  # superset: many hits
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    benchmark = docs.filter(F.col("doc_id") == 0)
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in dedup.contamination_flags(docs, benchmark, n=8).collect()}
+    assert got[0] == (3, True)      # 10 words -> 3 distinct 8-grams, all self-hit
+    assert got[1] == (1, True)      # exactly one copied 8-gram window
+    assert got[2] == (0, False)
+    assert got[3][1] and got[3][0] >= 3  # contains every benchmark 8-gram
+
+
 def _clusters(df):
     return sorted((r.doc_id, r.cluster_id) for r in df.collect())
 

@@ -57,6 +57,11 @@ CHECKS = {
         ("broadcast codebook / probe join", r"BroadcastExchange"),
         ("window top-k", r"Window"),
     ],
+    "decontaminate": [
+        ("benchmark gram set broadcast (corpus never shuffles to meet it)",
+         r"BroadcastExchange"),
+        ("no cartesian", ("absent", r"CartesianProduct")),
+    ],
 }
 
 
