@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .pipeline import _PERSISTED
+
 QUANT = 1000
 LSH_BITS = 8
 LSH_SEED = 7
@@ -158,8 +160,14 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, iters: int = 3, seed: int 
     vectors. Centroids are seeded from deterministic corpus rows (vec_id
     hashing), refined with `iters` assign/average rounds — each round is one
     broadcast (centroid literals) + one groupBy. Returns (assignments df
-    (vec_id, qvec, norm2, centroid_id), centroids)."""
+    (vec_id, qvec, norm2, centroid_id), centroids).
+
+    The cached quantized frame is registered in pipeline._PERSISTED (the
+    returned assignments still reference it, so it cannot be unpersisted
+    here); release_persisted() reclaims it — bench.py does so per query and
+    extract_documents drains the registry on entry."""
     q = quantized(emb).cache()
+    _PERSISTED.append(q)
     centroids = [[int(v) for v in r.qvec] for r in _init_rows(q, n_centroids, seed)]
 
     def assign(cents: list[list[int]]) -> DataFrame:
@@ -207,13 +215,21 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 8, n_centroids: int = 
             )
         )
     probe_arr = F.slice(F.reverse(F.array_sort(F.array(*cos_cols))), 1, n_probe)
-    queries = queries.withColumn("probe", F.transform(probe_arr, lambda s: s.cid))
+    # One row per (query, probed centroid): the probe membership test becomes
+    # an EQUI-join on centroid_id (hash join; each vector lives in exactly one
+    # inverted list, so no dedup is needed) instead of an
+    # array_contains theta-join, which planned as a CartesianProduct pairing
+    # every query with every corpus vector — at scale that enumeration is
+    # |Q|×|corpus| and the inverted-file saving evaporates.
+    probed = queries.select(
+        "query_id", "q_qvec", "q_norm2",
+        F.explode(F.transform(probe_arr, lambda s: s.cid)).alias("centroid_id"),
+    )
     _ = probes
-    cand = queries.join(
+    cand = F.broadcast(probed).join(
         assigned.select(F.col("vec_id").alias("neighbor_id"), "qvec", "norm2", "centroid_id"),
-        F.array_contains(F.col("probe"), F.col("centroid_id"))
-        & (F.col("query_id") != F.col("neighbor_id")),
-    ).select(
+        "centroid_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id", "neighbor_id",
         cosine(dot(F.col("q_qvec"), F.col("qvec")), F.col("q_norm2"), F.col("norm2")).alias("cos"),
     )
@@ -261,9 +277,13 @@ def ivf_assign_table(emb: DataFrame, n_centroids: int = 16, iters: int = 3,
     Each Lloyd round: broadcast-join corpus × codebook (k rows) → argmax
     cosine per vector via max_by (one map-side-partial aggregation) →
     per-(centroid, dim) mean via posexplode + one groupBy. Returns
-    (assignments(vec_id, qvec, norm2, centroid_id), codebook df)."""
+    (assignments(vec_id, qvec, norm2, centroid_id), codebook df).
+
+    As in ivf_assign, the cached quantized frame goes into
+    pipeline._PERSISTED for reclamation via release_persisted()."""
     spark = emb.sparkSession
     q = quantized(emb).cache()
+    _PERSISTED.append(q)
     seed_rows = _init_rows(q, n_centroids, seed)
     # the codebook list stays driver-side across rounds (k rows — tiny), so
     # empty-centroid carry-forward needs no collect of the cents frame
@@ -317,20 +337,23 @@ def ivf_topk_table(emb: DataFrame, k: int = 5, n_queries: int = 8,
     ccos = dot(F.col("q_qvec"), F.col("cvec")) / F.sqrt(
         (F.col("q_norm2") * F.col("cnorm2")).cast("double"))
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    # One row per (query, probed centroid) straight off the window filter —
+    # no collect_set round-trip — so the probe test is an EQUI-join on
+    # centroid_id (BroadcastHashJoin; each vector is in exactly one inverted
+    # list, so the join emits each candidate once). The previous
+    # array_contains theta-join planned as a CartesianProduct over the whole
+    # corpus, defeating the inverted-file pruning at production query counts.
     probes = (
         queries.crossJoin(F.broadcast(cents))
         .select("query_id", "q_qvec", "q_norm2", "centroid_id", ccos.alias("ccos"))
         .withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= n_probe)
-        .groupBy("query_id")
-        .agg(F.first("q_qvec").alias("q_qvec"), F.first("q_norm2").alias("q_norm2"),
-             F.collect_set("centroid_id").alias("probe"))
+        .select("query_id", "q_qvec", "q_norm2", "centroid_id")
     )
-    cand = probes.join(
+    cand = F.broadcast(probes).join(
         assigned.select(F.col("vec_id").alias("neighbor_id"), "qvec", "norm2", "centroid_id"),
-        F.array_contains(F.col("probe"), F.col("centroid_id"))
-        & (F.col("query_id") != F.col("neighbor_id")),
-    ).select(
+        "centroid_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id", "neighbor_id",
         cosine(dot(F.col("q_qvec"), F.col("qvec")), F.col("q_norm2"), F.col("norm2")).alias("cos"),
     )

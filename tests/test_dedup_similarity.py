@@ -336,6 +336,22 @@ def test_ivf_topk_table_matches_literal(vectors):
     assert lit == tab
 
 
+def test_ivf_caches_reclaimed(spark, vectors):
+    """ivf_assign/ivf_assign_table register their quantized cache in
+    pipeline._PERSISTED so release_persisted() reclaims it — no cached
+    frames accumulate across a long-lived session (round-4 verdict #5)."""
+    from api_ocr_spark.operators.pipeline import release_persisted
+
+    vectors.count()  # materialize the module fixture's own cache first
+    release_persisted()  # drain leftovers from earlier ivf tests
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = jmap.size()
+    similarity.ivf_topk_table(vectors, k=3, n_queries=2, n_centroids=4).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    assert release_persisted() >= 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_md5_bucket_and_rolling_fingerprint(spark):
     from api_ocr_spark.functions import text as T
     df = spark.createDataFrame(
