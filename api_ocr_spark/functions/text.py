@@ -226,6 +226,13 @@ def simhash16(col: Column) -> Column:
     100 TB the hash dominates — the previous 16-fold form recomputed it per
     bit), then one aggregate folds a 16-counter vote array; a final indexed
     transform turns counter signs into bits. Everything stays JVM-side.
+
+    DELIBERATELY NOT the scale path: Catalyst higher-order lambdas
+    (aggregate/transform) are interpreted per element, so the
+    per-token×per-counter fold here is oracle-tier only (0.3 s at sf0.1,
+    bounded corpora). The production form is
+    operators.dedup.simhash64_table — explode + codegen'd SUM aggregates
+    over 32-bit packed lanes, one exchange.
     """
     t = tokens(col)
     hashes = F.transform(t, lambda x: F.md5(x))

@@ -463,41 +463,48 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("invalid huffman code")
 
             p = 0  # bit position
-            for bi in range(nblocks):
-                e = dlut[((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> shift]
-                if not e:
-                    e = slow(p, dfall)
-                p += e >> 8
-                cat = e & 0xFF
-                if cat:
-                    v = ((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> (32 - cat)
-                    p += cat
-                    if v < half[cat]:
-                        v -= ext[cat]
-                    dc_diffs[bi] = v
-                k = 1
-                base = bi << 17
-                while k < 64:
-                    e = alut[((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> shift]
+            try:
+                for bi in range(nblocks):
+                    e = dlut[((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> shift]
                     if not e:
-                        e = slow(p, afall)
+                        e = slow(p, dfall)
                     p += e >> 8
-                    sym = e & 0xFF
-                    if sym == 0x00:  # EOB
-                        break
-                    k += sym >> 4
-                    size = sym & 0x0F
-                    if size:
-                        v = ((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> (32 - size)
-                        p += size
-                        if v < half[size]:
-                            v -= ext[size]
-                        append(base | (k << 11) | (v + 1024))
-                        k += 1
-                    elif sym == 0xF0:
-                        k += 1  # ZRL = 16 zeros: run(15) + this slot
-                    else:
-                        break
+                    cat = e & 0xFF
+                    if cat:
+                        v = ((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> (32 - cat)
+                        p += cat
+                        if v < half[cat]:
+                            v -= ext[cat]
+                        dc_diffs[bi] = v
+                    k = 1
+                    base = bi << 17
+                    while k < 64:
+                        e = alut[((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> shift]
+                        if not e:
+                            e = slow(p, afall)
+                        p += e >> 8
+                        sym = e & 0xFF
+                        if sym == 0x00:  # EOB
+                            break
+                        k += sym >> 4
+                        size = sym & 0x0F
+                        if size:
+                            v = ((wds[p >> 3] << (p & 7)) & 0xFFFFFFFF) >> (32 - size)
+                            p += size
+                            if v < half[size]:
+                                v -= ext[size]
+                            append(base | (k << 11) | (v + 1024))
+                            k += 1
+                        elif sym == 0xF0:
+                            k += 1  # ZRL = 16 zeros: run(15) + this slot
+                        else:
+                            break
+            except IndexError:
+                # Truncated/adversarial stream ran the bit cursor off the
+                # de-stuffed array. The C fast path reports the same condition
+                # through its bounds guard as ValueError — raise identically
+                # so callers see one exception type on both paths.
+                raise ValueError("invalid huffman code") from None
             return _reconstruct(
                 np.asarray(dc_diffs, np.int64),
                 np.asarray(packed_vals, np.int64), nblocks, bh, bw_, qt, h, w)

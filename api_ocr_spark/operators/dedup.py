@@ -487,14 +487,16 @@ def neardup_clusters_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     (checked by count + two independent xxhash64 checksums — collision-safe
     in practice and bounded by max_iter regardless). At convergence the
     edges form stars: every node points directly at its component min."""
-    e = (
-        pairs.select(F.col("doc_a").cast("long").alias("u"),
-                     F.col("doc_b").cast("long").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-    )
+    raw = pairs.select(F.col("doc_a").cast("long").alias("u"),
+                       F.col("doc_b").cast("long").alias("v"))
+    e = raw.filter(F.col("u") != F.col("v"))
+    # Node set from the RAW pairs (before the u != v filter): a doc appearing
+    # only in self-pairs must still come out self-labeled, exactly as
+    # neardup_clusters emits it — deriving nodes from the filtered edges
+    # silently dropped such docs (a contract divergence on degenerate input).
     nodes = (
-        e.select(F.col("u").alias("doc_id"))
-        .unionByName(e.select(F.col("v").alias("doc_id")))
+        raw.select(F.col("u").alias("doc_id"))
+        .unionByName(raw.select(F.col("v").alias("doc_id")))
         .distinct()
     )
 

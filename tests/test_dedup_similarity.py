@@ -262,6 +262,9 @@ def test_star_cc_equals_label_propagation(spark):
         cases.append(sorted(es))
     cases.append([(i, i + 1) for i in range(60)])       # 61-node path, diameter 60
     cases.append([(0, 1), (1, 0), (2, 3), (3, 2)])      # duplicate/reversed edges
+    cases.append([(0, 1), (7, 7)])                      # self-pair-only doc: must
+    # still be emitted self-labeled (round-4 advisory: star dropped it when
+    # nodes came from the u != v-filtered edge set)
     for edges in cases:
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
         # label propagation needs ~diameter rounds (80 covers the path case

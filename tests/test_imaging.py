@@ -233,7 +233,9 @@ def test_jpeg_truncated_stream_raises_not_crashes():
     truncated = data[: len(data) - len(data) // 3]
     for cut in (truncated, data[:-40], data[:-300]):
         outcomes = _decode_both_paths(cut)
-        assert all(o is not None for o in outcomes), outcomes
+        # both paths raise, and raise the SAME type: the fallback re-raises
+        # its IndexError as ValueError so callers see path-independent errors
+        assert all(o == "ValueError" for o in outcomes), outcomes
 
 
 def test_jpeg_adversarial_sof_dims_raise_not_crash():
@@ -249,4 +251,4 @@ def test_jpeg_adversarial_sof_dims_raise_not_crash():
     # FFC0 len(2) prec(1) h(2) w(2)
     data[i + 5 : i + 9] = (0x2000).to_bytes(2, "big") + (0x2000).to_bytes(2, "big")
     outcomes = _decode_both_paths(bytes(data))
-    assert all(o is not None for o in outcomes), outcomes
+    assert all(o == "ValueError" for o in outcomes), outcomes

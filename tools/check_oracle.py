@@ -33,6 +33,12 @@ def canon(df):
 
 
 def main():
+    # Fail fast if the bench-only PNG override leaked into the environment:
+    # with it set, the media_manifest/image_metadata/ocr_* oracles would
+    # mismatch the mixed PNG/JPEG store rule with no hint at the cause.
+    if os.environ.get("APIOCR_PNG_ONLY"):
+        sys.exit("APIOCR_PNG_ONLY is set — bench-only toggle; unset it "
+                 "before running the correctness gate")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=16)
