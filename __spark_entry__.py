@@ -958,6 +958,83 @@ FROM d
 """
 
 
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction over HTML (boilerplate strip + block scoring,
+    functions/html.py): each document is wrapped in deterministic
+    discriminating markup (nav/related blocks borrowing doc words, script/
+    style/comment noise, entity-bearing footer), then the extractor must
+    recover the article block by text-length-minus-anchor-length argmax.
+    The oracle replays the TEXTUALLY identical regex pipeline in DuckDB
+    (patterns kept to the Java∩RE2 subset)."""
+    from api_ocr_spark.functions import html as H
+
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        H.synthesize_html(F.col("text"), F.col("doc_id")).alias("html"),
+    )
+    return H.html_main_content(wrapped)
+
+
+ORACLE_HTML_MAIN_CONTENT = r"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+    '</title><script>var t=1;</script><style>.m{x:1}</style></head>' ||
+    '<body><nav><a href="/">home</a> <a href="/t">' ||
+    regexp_extract(text, '^([^ ]+)', 1) ||
+    ' archive</a> <a href="/c">contact</a></nav>' ||
+    '<!-- build 17 --><div class="content"><p>' || text ||
+    '</p></div><div class="related"><a href="/r1">' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' related reading one</a> <a href="/r2">' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' more suggested links two</a></div>' ||
+    '<footer>terms &amp; legal</footer></body></html>' AS html
+  FROM documents
+),
+noise AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<!--.*?-->', ' ', 'g'),
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS hh
+  FROM h
+),
+frags AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS frag
+  FROM (SELECT doc_id,
+          string_split_regex(hh,
+            '(?i)</?(?:html|head|body|div|p|nav|header|footer|article|section|aside|main|table|tr|td|th|ul|ol|li|h[1-6]|blockquote|pre|form)[^>]*>') AS parts
+        FROM noise),
+       unnest(range(1, len(parts) + 1)) AS t(i)
+),
+scored AS (
+  SELECT doc_id, pos,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(frag, '(?s)<[^>]*>', ' ', 'g'),
+        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '\s+', ' ', 'g')) AS txt,
+    coalesce(list_aggregate(list_transform(
+      regexp_extract_all(frag, '(?is)<a[^>]*>(.*?)</a>', 1),
+      a -> length(trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(a, '(?s)<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '\s+', ' ', 'g')))), 'sum'), 0) AS alen
+  FROM frags
+),
+sel AS (
+  SELECT doc_id, txt, length(txt) - alen AS score, pos,
+    row_number() OVER (PARTITION BY doc_id ORDER BY length(txt) - alen DESC, pos ASC) AS r,
+    count(*) OVER (PARTITION BY doc_id) AS nb
+  FROM scored WHERE length(txt) > 0
+)
+SELECT doc_id, txt AS main_text, CAST(score AS BIGINT) AS main_score,
+       CAST(nb AS BIGINT) AS n_blocks
+FROM sel WHERE r = 1
+"""
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling — the reproducible
     down-sampling op a training-data pipeline runs per source/language:
@@ -1329,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_neardup": q_simhash64_neardup,
         "decontaminate": q_decontaminate,
         "text_stats": q_text_stats,
+        "html_main_content": q_html_main_content,
         "corpus_sample": q_corpus_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1365,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
         "simhash": ORACLE_SIMHASH,
         "text_stats": ORACLE_TEXT_STATS,
+        "html_main_content": ORACLE_HTML_MAIN_CONTENT,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

@@ -1,0 +1,143 @@
+"""HTML boilerplate stripping + main-content extraction (DOM heuristics),
+JVM-side.
+
+The north-rule tier for this engine is main-content extraction over
+interleaved documents; alongside the OCR path this module covers the HTML
+side: strip non-content machinery (scripts/styles/comments), split the
+markup into block-level fragments, score each block by visible-text length
+minus anchor-text length (the classic boilerplate discriminator — link-dense
+nav/footer blocks score near zero even when wordy; cf. Kohlschütter et al.,
+"Boilerplate Detection Using Shallow Text Features", WSDM 2010), and keep
+the argmax block per document.
+
+Everything compiles to Catalyst expressions (regexp_replace / split /
+posexplode / one per-doc window) — no Python in the loop, so the path
+whole-stage-codegens and scales like any other string pipeline. Patterns
+stay inside the Java-regex ∩ RE2 ∩ DuckDB subset ((?is) inline flags, no
+lookaround, no backrefs) so the DuckDB oracle in __spark_entry__ runs the
+TEXTUALLY identical pipeline.
+
+At 100 TB: one posexplode (blocks per doc is small and bounded by document
+structure), one shuffle on doc_id for the per-doc argmax window. No joins,
+no skew surface beyond pathological single-doc block counts (a 1 GB HTML
+doc explodes to its own partition's rows only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# dotall+case-insensitive removal of invisible machinery. Lazy .*? keeps the
+# match inside ONE element pair (RE2 and Java agree on lazy semantics).
+NOISE_PATTERNS = (
+    r"(?is)<!--.*?-->",
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+)
+
+# block-level boundary tags: splitting on these yields the candidate
+# fragments; inline markup (<a>, <b>, <span>, …) stays inside fragments and
+# is handled by the anchor/tag passes below
+BLOCK_SPLIT = (
+    r"(?i)</?(?:html|head|body|div|p|nav|header|footer|article|section|aside|"
+    r"main|table|tr|td|th|ul|ol|li|h[1-6]|blockquote|pre|form)[^>]*>"
+)
+
+ANCHOR_PATTERN = r"(?is)<a[^>]*>(.*?)</a>"
+TAG_PATTERN = r"(?s)<[^>]*>"
+
+# minimal entity set (the common ones that survive into extracted text);
+# applied AFTER tag stripping so &lt;b&gt; cannot re-introduce markup
+ENTITIES = (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "'"))
+
+
+def strip_noise(col: Column) -> Column:
+    """Remove comments and <script>/<style> elements (content included)."""
+    for pat in NOISE_PATTERNS:
+        col = F.regexp_replace(col, pat, " ")
+    return col
+
+
+def visible_text(col: Column) -> Column:
+    """Fragment → visible text: strip tags, unescape entities, collapse
+    whitespace."""
+    col = F.regexp_replace(col, TAG_PATTERN, " ")
+    for ent, rep in ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def anchor_text_len(col: Column) -> Column:
+    """Total character count of text inside <a>…</a> within a fragment
+    (tags nested inside the anchor text stripped before counting)."""
+    anchors = F.regexp_extract_all(col, F.lit(ANCHOR_PATTERN), 1)
+    return F.aggregate(
+        anchors,
+        F.lit(0),
+        lambda acc, a: acc + F.length(visible_text(a)),
+    )
+
+
+def html_main_content(df: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per document: (doc_id, main_text, main_score, n_blocks).
+
+    score(block) = len(visible_text) − anchor_text_len: body copy keeps its
+    full length, link-dense boilerplate cancels out. Ties (duplicated
+    blocks) break to the EARLIEST block, via the non-empty fragment's rank
+    in document order — both engines preserve fragment order through the
+    split, so the rank is well-defined in SQL too.
+    """
+    from pyspark.sql.window import Window
+
+    frags = (
+        df.select(id_col, strip_noise(F.col(html_col)).alias("h"))
+        .select(id_col, F.posexplode(F.split(F.col("h"), BLOCK_SPLIT))
+                .alias("pos", "frag"))
+        .select(
+            id_col, "pos",
+            visible_text(F.col("frag")).alias("txt"),
+            anchor_text_len(F.col("frag")).alias("alen"),
+        )
+        .filter(F.length("txt") > 0)
+        .withColumn("score", F.length("txt") - F.col("alen"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("pos"))
+    return (
+        frags.withColumn("r", F.row_number().over(w))
+        .withColumn("n_blocks", F.count("*").over(Window.partitionBy(id_col)))
+        .filter(F.col("r") == 1)
+        .select(
+            id_col,
+            F.col("txt").alias("main_text"),
+            F.col("score").cast("long").alias("main_score"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+        )
+    )
+
+
+def synthesize_html(text_col: Column, doc_id_col: Column) -> Column:
+    """Deterministic HTML wrapper used by the `html_main_content` oracle
+    query: the article text inside <div class=content>, surrounded by
+    discriminating boilerplate — a nav whose link texts BORROW the doc's
+    first word (so boilerplate isn't a constant the extractor could
+    special-case), a link-dense related-items block (wordy but ~all anchor
+    text: positive length, near-zero score), a script, a comment, and a
+    footer with entities. Mirrored textually in the DuckDB oracle SQL."""
+    first_word = F.regexp_extract(text_col, r"^([^ ]+)", 1)
+    return F.concat(
+        F.lit("<html><head><title>doc "), doc_id_col.cast("string"),
+        F.lit("</title><script>var t=1;</script><style>.m{x:1}</style></head>"
+              "<body><nav><a href=\"/\">home</a> <a href=\"/t\">"),
+        first_word,
+        F.lit(" archive</a> <a href=\"/c\">contact</a></nav>"
+              "<!-- build 17 --><div class=\"content\"><p>"),
+        text_col,
+        F.lit("</p></div><div class=\"related\"><a href=\"/r1\">"),
+        first_word, F.lit(" related reading one</a> <a href=\"/r2\">"),
+        first_word, F.lit(" more suggested links two</a></div>"
+              "<footer>terms &amp; legal</footer>"
+              "</body></html>"),
+    )

@@ -95,6 +95,64 @@ def test_pdf_from_words_valid_and_searchable():
     assert b"/F1 " in pdf
 
 
+def test_pdf_parse_roundtrips_sink_output():
+    """Layout parse (sources/pdf_source) inverts the sink exactly: every
+    word comes back with its text, reading order, and the sink's own mapped
+    page coordinates/font size (2-dp, the stream's printed precision)."""
+    from api_ocr_spark.sources import pdf_source
+
+    img = render.render_text_image("uno dos tres cuatro", "plain", 3)
+    words = engine.get_text_data(img)
+    pdf = pdf_sink.pdf_from_words(words, img.shape[1], img.shape[0])
+    got = pdf_source.parse_pdf_words(pdf)
+    assert [w["text"] for w in got] == [w["text"] for w in words]
+    assert [w["word_idx"] for w in got] == list(range(len(words)))
+    # recompute the sink's coordinate map and compare at printed precision
+    pw, ph = pdf_sink.A4
+    margin = 36.0
+    scale = min((pw - 2 * margin) / img.shape[1], (ph - 2 * margin) / img.shape[0])
+    ox = (pw - img.shape[1] * scale) / 2
+    oy = (ph - img.shape[0] * scale) / 2
+    for src, parsed in zip(words, got):
+        x, y, _, h = src["bbox"]
+        assert abs(parsed["x_pt"] - (ox + x * scale)) < 0.006
+        assert abs(parsed["y_pt"] - (ph - (oy + (y + h) * scale))) < 0.006
+        assert abs(parsed["font_size"] - max(6.0, min(24.0, h * scale * 0.8))) < 0.006
+
+
+def test_pdf_parse_escapes_and_rejects():
+    from api_ocr_spark.sources import pdf_source
+
+    pdf = pdf_sink.pdf_from_words(
+        [{"text": "par(en)s and \\ slash", "bbox": (5, 5, 80, 12)}], 200, 100)
+    got = pdf_source.parse_pdf_words(pdf)
+    assert got[0]["text"] == "par(en)s and \\ slash"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pdf_source.parse_pdf_words(b"not a pdf at all")
+    with _pytest.raises(ValueError):
+        pdf_source.parse_pdf_words(
+            b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode >>\nendobj")
+
+
+def test_pdf_words_table_stage(spark):
+    """The Spark stage emits one row per word with the parser's output;
+    unparseable rows drop to zero rows instead of failing the stage."""
+    from api_ocr_spark.sources import pdf_source
+
+    img = render.render_text_image("spark table words", "plain", 5)
+    words = engine.get_text_data(img)
+    pdf = pdf_sink.pdf_from_words(words, img.shape[1], img.shape[0])
+    df = spark.createDataFrame(
+        [("d1", "m1", bytearray(pdf)), ("d2", "m2", bytearray(b"junk"))],
+        "doc_id string, media_ref string, pdf binary")
+    rows = pdf_source.pdf_words_table(df).collect()
+    assert {r.doc_id for r in rows} == {"d1"}
+    assert [r.text for r in sorted(rows, key=lambda r: r.word_idx)] == \
+        [w["text"] for w in words]
+
+
 def test_resize_for_ocr_upscales_only():
     small = np.zeros((50, 100), np.uint8)
     out = extras.resize_for_ocr(small, target_width=400)

@@ -1,0 +1,85 @@
+"""HTML boilerplate strip + main-content extraction (functions/html.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_ocr_spark.functions import html as H
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        # 0: classic page — article must beat nav/footer/link-list
+        (0, "<html><body>"
+            "<nav><a href='/'>home</a> <a href='/a'>archive</a></nav>"
+            "<div><p>the actual article body with plenty of words to win</p></div>"
+            "<div><a href='/1'>wordy link one</a> <a href='/2'>wordy link two</a>"
+            " <a href='/3'>wordy link three</a></div>"
+            "<footer>contact</footer></body></html>"),
+        # 1: script/style/comment content must not leak into any block
+        (1, "<html><head><script>var hidden = 'should never appear';</script>"
+            "<style>.x { color: red }</style></head><body>"
+            "<!-- hidden comment words --><p>visible body text here</p>"
+            "</body></html>"),
+        # 2: entities + nested inline tags inside the winning block
+        (2, "<div><p>fish &amp; chips <b>cost</b> &lt;5&gt; &quot;euros&quot;"
+            " &#39;cheap&#39;&nbsp;today</p></div>"),
+        # 3: tie between two identical blocks -> earliest wins
+        (3, "<div><p>same words here</p><p>same words here</p></div>"),
+        # 4: anchor text with nested tags counts fully toward link density
+        (4, "<div><a href='/x'><b>bold link words</b></a> tail</div>"
+            "<div>plain body words that should win easily</div>"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, html string")
+
+
+@pytest.fixture(scope="module")
+def extracted(pages):
+    return {r.doc_id: r for r in H.html_main_content(pages).collect()}
+
+
+def test_article_beats_boilerplate(extracted):
+    r = extracted[0]
+    assert r.main_text == "the actual article body with plenty of words to win"
+    # nav + link-list + footer blocks all exist but lose
+    assert r.n_blocks >= 4
+
+
+def test_script_style_comment_removed(extracted):
+    r = extracted[1]
+    assert r.main_text == "visible body text here"
+    assert "hidden" not in r.main_text
+
+
+def test_entities_and_inline_tags(extracted):
+    assert extracted[2].main_text == "fish & chips cost <5> \"euros\" 'cheap' today"
+
+
+def test_tie_breaks_to_earliest_block(extracted):
+    r = extracted[3]
+    assert r.main_text == "same words here"
+    assert r.n_blocks == 2
+
+
+def test_link_density_penalty(extracted):
+    r = extracted[4]
+    assert r.main_text == "plain body words that should win easily"
+
+
+def test_anchor_text_len_counts_nested(spark):
+    df = spark.createDataFrame(
+        [("<a href='/x'><b>ab</b> cd</a> and <a>efg</a>",)], "frag string")
+    got = df.select(H.anchor_text_len(F.col("frag")).alias("n")).first().n
+    assert got == len("ab cd") + len("efg")
+
+
+def test_synthesized_wrapper_recovers_text(spark):
+    """End-to-end over the oracle fixture: the extractor recovers the
+    article text from the synthesized wrapper for corpus-length docs."""
+    rows = [(7, "alpha beta gamma " * 4), (8, "uno dos tres cuatro " * 5)]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    wrapped = docs.select(
+        "doc_id", H.synthesize_html(F.col("text"), F.col("doc_id")).alias("html"))
+    out = {r.doc_id: r.main_text for r in H.html_main_content(wrapped).collect()}
+    assert out == {i: t.strip() for i, t in rows}

@@ -224,6 +224,47 @@ def test_streaming_matches_batch(spark, docs, tmp_path):
     assert got.exceptAll(batch).count() == 0
 
 
+def test_streaming_checkboxes_matches_batch(spark, tmp_path):
+    """Mode-independence of the shared kernel: the streaming path with
+    mode='checkboxes' reproduces the batch stage exactly on the same
+    rendered checkbox forms — the second mode proven through streaming
+    (test_streaming_matches_batch covers 'basico'); both paths run the
+    identical _make_ocr_udf, so a divergence would mean the mode dispatch
+    leaks execution-context state."""
+    from api_ocr_spark.imaging import png as png_codec
+    from api_ocr_spark.imaging.render import render_form
+    from api_ocr_spark.streaming import stream as st
+
+    media_rows = []
+    for i in range(4):
+        img, _ = render_form([
+            {"label": "opcion uno", "marked": i % 2 == 0, "kind": "square", "y": 0},
+            {"label": "opcion dos", "marked": i % 2 == 1, "kind": "circle", "y": 70},
+        ])
+        media_rows.append((f"cbx{i}", bytes(png_codec.encode_gray(img))))
+    media = spark.createDataFrame(media_rows, "media_ref string, bytes binary")
+    spans = spark.createDataFrame(
+        [(str(9000 + i), 0, f"cbx{i}") for i in range(4)],
+        "doc_id string, offset int, media_ref string")
+
+    cmp_cols = ["doc_id", "offset", "ocr_text", "route", "n_words", "mean_conf"]
+    batch = pipeline.ocr_media_spans(spans, media, mode="checkboxes").select(*cmp_cols)
+
+    joined = (
+        spans.join(media, "media_ref")
+        .withColumn("event_time", F.current_timestamp())
+        .select("doc_id", "offset", "media_ref", "bytes", "event_time")
+    )
+    in_dir = os.path.join(str(tmp_path), "cbx_stream_in")
+    joined.write.parquet(in_dir)
+    st.run_stream_to_memory(spark, in_dir, table_name="t_cbx_stream", mode="checkboxes")
+    got = spark.table("t_cbx_stream").select(*cmp_cols)
+    assert got.count() == 4
+    assert {r.route for r in got.collect()} == {"checkboxes"}
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
 def test_skewed_doc_distribution(spark):
     """A media-heavy doc's spans spread across partitions under salting
     (SURVEY.md §4.3.1): no partition holds more than ~2x the mean."""

@@ -64,6 +64,12 @@ CHECKS = {
          r"(Broadcast|Shuffled)HashJoin\nLeft keys \[1\]: \[centroid_id"),
         ("window top-k", r"Window"),
     ],
+    "html_main_content": [
+        ("all-Catalyst string pipeline (no python in the loop)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("column pruning on documents scan", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+        ("per-doc argmax window", r"Window"),
+    ],
     "decontaminate": [
         ("benchmark gram set broadcast (corpus never shuffles to meet it)",
          r"BroadcastExchange"),
