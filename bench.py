@@ -62,6 +62,23 @@ HEADLINE = [
 ]
 
 
+def child_env(**extra: str) -> dict:
+    """Environment for a child bench process. get_spark pins
+    OPENBLAS/OMP/MKL threads to 1 in os.environ (for the executor workers it
+    forks); a child inheriting that env loads numpy PINNED and its admission
+    probe runs single-threaded — ~230 ms vs the multithreaded ~15 ms the
+    25 ms gate is calibrated for, so every child attempt read as
+    contaminated (the round-4 'png_only_n_clean = 0 in every run' mystery).
+    Children must start with the pinning vars ABSENT — their own get_spark
+    re-pins before any executor worker is forked, and their driver-side
+    numpy (imported before get_spark runs) stays multithreaded like ours."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                        "MKL_NUM_THREADS")}
+    env.update(extra)
+    return env
+
+
 def materialize(df) -> int:
     """Force full execution; count() keeps the whole plan (noop write would
     too, but count also returns cardinality for docs/sec)."""
@@ -198,7 +215,7 @@ def main() -> None:
                  "--queries", name, "--gate-ms", str(args.gate_ms),
                  "--clean-runs", str(args.clean_runs), "--max-attempts", "6",
                  "--no-png-toggle", "--no-isolate"],
-                capture_output=True, text=True,
+                capture_output=True, text=True, env=child_env(),
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             try:
                 line = [ln for ln in child.stdout.strip().splitlines()
@@ -255,7 +272,7 @@ def main() -> None:
         # Retried until a probe-clean child attempt lands (round-4:
         # png_only_n_clean was 0 in every run, leaving the tax ungated and
         # driver/judge figures 20% apart).
-        env = dict(os.environ, APIOCR_PNG_ONLY="1")
+        env = child_env(APIOCR_PNG_ONLY="1")
         out["png_only_flagship_sec"] = None
         out["png_only_n_clean"] = 0
         for _ in range(3):
