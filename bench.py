@@ -56,6 +56,7 @@ HEADLINE = [
     "neardup_clusters",
     "corpus_sample",
     "text_stats",
+    "html_main_content",
     "ann_cosine_topk",
     "lsh_embedding_neardup",
     "ivf_ann_topk",
