@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # ContextCleaner reclaims shuffle files / broadcast blocks only when
+        # driver GC collects their dead references; with a large mostly-idle
+        # heap that can be NEVER, and accumulated state degrades later
+        # heavy-shuffle queries in long sessions (measured: simhash64_neardup
+        # drifts 4.2 s → 10.6 s by the ~6th same-session run, flat at ~4 s
+        # with GC forced — delivery-probe correlation −0.02, so it is state,
+        # not host weather). Spark's own guard is this periodic GC; the
+        # 30 min default is far too coarse for that drift horizon.
+        .config("spark.cleaner.periodicGC.interval", "90s")
     )
     # Shuffle spill dir on tmpfs when available: local mode funnels all
     # shuffle I/O through one disk, which mis-models a cluster (where shuffle
