@@ -1035,6 +1035,103 @@ FROM sel WHERE r = 1
 """
 
 
+def q_html_main_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-priority main-content extraction: even doc_ids get their content
+    div wrapped in <article> (strategy='dom' restricts the argmax to it);
+    odd doc_ids have no semantic container and fall back to the whole-page
+    density argmax (strategy='density') — one corpus exercises both
+    branches, and the oracle replays branch choice + both scopes in SQL."""
+    from api_ocr_spark.functions import html as H
+
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        H.synthesize_html(F.col("text"), F.col("doc_id"),
+                          article_when=(F.col("doc_id") % 2 == 0)).alias("html"),
+    )
+    return H.html_main_content_dom(wrapped)
+
+
+# visible-text chain (tag strip → entity unescape → ws collapse) as a SQL
+# fragment — the DOM oracle needs it at three call sites, so it is composed
+# here instead of hand-copied (the density oracle above keeps its literal)
+def _vis_sql(expr: str) -> str:
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g'),"
+        "'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),"
+        " '&quot;', '\"'), '&#39;', ''''),"
+        " '\\s+', ' ', 'g'))"
+    )
+
+
+_HTML_ARTICLE_RE = "'(?is)<(?:article|main)[^>]*>(.*?)</(?:article|main)>'"
+
+ORACLE_HTML_MAIN_DOM = f"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+    '</title><script>var t=1;</script><style>.m{{x:1}}</style></head>' ||
+    '<body><nav><a href="/">home</a> <a href="/t">' ||
+    regexp_extract(text, '^([^ ]+)', 1) ||
+    ' archive</a> <a href="/c">contact</a></nav>' ||
+    '<!-- build 17 -->' ||
+    CASE WHEN doc_id % 2 = 0 THEN '<article>' ELSE '' END ||
+    '<div class="content"><p>' || text || '</p></div>' ||
+    CASE WHEN doc_id % 2 = 0 THEN '</article>' ELSE '' END ||
+    '<div class="related"><a href="/r1">' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' related reading one</a> <a href="/r2">' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' more suggested links two</a></div>' ||
+    '<footer>terms &amp; legal</footer></body></html>' AS html
+  FROM documents
+),
+noise AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<!--.*?-->', ' ', 'g'),
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS hh
+  FROM h
+),
+art AS (
+  SELECT doc_id, hh, regexp_extract(hh, {_HTML_ARTICLE_RE}, 1) AS article
+  FROM noise
+),
+scoped AS (
+  SELECT doc_id,
+    CASE WHEN length({_vis_sql('article')}) > 0 THEN 'dom' ELSE 'density' END AS strategy,
+    CASE WHEN length({_vis_sql('article')}) > 0 THEN article ELSE hh END AS scope
+  FROM art
+),
+frags AS (
+  SELECT doc_id, strategy, i - 1 AS pos, parts[i] AS frag
+  FROM (SELECT doc_id, strategy,
+          string_split_regex(scope,
+            '(?i)</?(?:html|head|body|div|p|nav|header|footer|article|section|aside|main|table|tr|td|th|ul|ol|li|h[1-6]|blockquote|pre|form)[^>]*>') AS parts
+        FROM scoped),
+       unnest(range(1, len(parts) + 1)) AS t(i)
+),
+scored AS (
+  SELECT doc_id, strategy, pos,
+    {_vis_sql('frag')} AS txt,
+    coalesce(list_aggregate(list_transform(
+      regexp_extract_all(frag, '(?is)<a[^>]*>(.*?)</a>', 1),
+      a -> length({_vis_sql('a')})), 'sum'), 0) AS alen
+  FROM frags
+),
+sel AS (
+  SELECT doc_id, strategy, txt, length(txt) - alen AS score, pos,
+    row_number() OVER (PARTITION BY doc_id ORDER BY length(txt) - alen DESC, pos ASC) AS r,
+    count(*) OVER (PARTITION BY doc_id) AS nb
+  FROM scored WHERE length(txt) > 0
+)
+SELECT doc_id, strategy, txt AS main_text, CAST(score AS BIGINT) AS main_score,
+       CAST(nb AS BIGINT) AS n_blocks
+FROM sel WHERE r = 1
+"""
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling — the reproducible
     down-sampling op a training-data pipeline runs per source/language:
@@ -1407,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "text_stats": q_text_stats,
         "html_main_content": q_html_main_content,
+        "html_main_dom": q_html_main_dom,
         "corpus_sample": q_corpus_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1444,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": ORACLE_SIMHASH,
         "text_stats": ORACLE_TEXT_STATS,
         "html_main_content": ORACLE_HTML_MAIN_CONTENT,
+        "html_main_dom": ORACLE_HTML_MAIN_DOM,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

@@ -80,24 +80,26 @@ def anchor_text_len(col: Column) -> Column:
     )
 
 
-def html_main_content(df: DataFrame, html_col: str = "html",
-                      id_col: str = "doc_id") -> DataFrame:
-    """Per document: (doc_id, main_text, main_score, n_blocks).
+ARTICLE_PATTERN = r"(?is)<(?:article|main)[^>]*>(.*?)</(?:article|main)>"
+
+
+def _argmax_block(scoped: DataFrame, id_col: str,
+                  extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [extra…], scope:html-string) → winning block per id.
 
     score(block) = len(visible_text) − anchor_text_len: body copy keeps its
     full length, link-dense boilerplate cancels out. Ties (duplicated
     blocks) break to the EARLIEST block, via the non-empty fragment's rank
     in document order — both engines preserve fragment order through the
-    split, so the rank is well-defined in SQL too.
-    """
+    split, so the rank is well-defined in SQL too."""
     from pyspark.sql.window import Window
 
     frags = (
-        df.select(id_col, strip_noise(F.col(html_col)).alias("h"))
-        .select(id_col, F.posexplode(F.split(F.col("h"), BLOCK_SPLIT))
-                .alias("pos", "frag"))
+        scoped.select(id_col, *extra_cols,
+                      F.posexplode(F.split(F.col("scope"), BLOCK_SPLIT))
+                      .alias("pos", "frag"))
         .select(
-            id_col, "pos",
+            id_col, *extra_cols, "pos",
             visible_text(F.col("frag")).alias("txt"),
             anchor_text_len(F.col("frag")).alias("alen"),
         )
@@ -110,7 +112,7 @@ def html_main_content(df: DataFrame, html_col: str = "html",
         .withColumn("n_blocks", F.count("*").over(Window.partitionBy(id_col)))
         .filter(F.col("r") == 1)
         .select(
-            id_col,
+            id_col, *extra_cols,
             F.col("txt").alias("main_text"),
             F.col("score").cast("long").alias("main_score"),
             F.col("n_blocks").cast("long").alias("n_blocks"),
@@ -118,24 +120,73 @@ def html_main_content(df: DataFrame, html_col: str = "html",
     )
 
 
-def synthesize_html(text_col: Column, doc_id_col: Column) -> Column:
+def html_main_content(df: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per document: (doc_id, main_text, main_score, n_blocks) by pure
+    text-density argmax over the whole page (see _argmax_block)."""
+    return _argmax_block(
+        df.select(id_col, strip_noise(F.col(html_col)).alias("scope")), id_col)
+
+
+def html_main_content_dom(df: DataFrame, html_col: str = "html",
+                          id_col: str = "doc_id") -> DataFrame:
+    """DOM-priority variant: when the page declares a semantic content
+    container (<article> or <main>) with visible text, the block argmax is
+    RESTRICTED to that container (strategy='dom'); pages without one fall
+    back to the whole-page density argmax (strategy='density'). The classic
+    two-tier extraction heuristic: trust explicit document structure first,
+    density only when structure is absent.
+
+    Same Catalyst-only shape as html_main_content plus one regexp_extract;
+    n_blocks counts blocks within the CHOSEN scope."""
+    scoped = (
+        df.select(id_col, strip_noise(F.col(html_col)).alias("h"))
+        .withColumn("article",
+                    F.regexp_extract(F.col("h"), ARTICLE_PATTERN, 1))
+        .withColumn("use_dom", F.length(visible_text(F.col("article"))) > 0)
+        .select(
+            id_col,
+            F.when(F.col("use_dom"), F.lit("dom"))
+            .otherwise(F.lit("density")).alias("strategy"),
+            F.when(F.col("use_dom"), F.col("article"))
+            .otherwise(F.col("h")).alias("scope"),
+        )
+    )
+    return _argmax_block(scoped, id_col, ("strategy",))
+
+
+def synthesize_html(text_col: Column, doc_id_col: Column,
+                    article_when: Column | None = None) -> Column:
     """Deterministic HTML wrapper used by the `html_main_content` oracle
     query: the article text inside <div class=content>, surrounded by
     discriminating boilerplate — a nav whose link texts BORROW the doc's
     first word (so boilerplate isn't a constant the extractor could
     special-case), a link-dense related-items block (wordy but ~all anchor
     text: positive length, near-zero score), a script, a comment, and a
-    footer with entities. Mirrored textually in the DuckDB oracle SQL."""
+    footer with entities. Mirrored textually in the DuckDB oracle SQL.
+
+    `article_when` (optional bool Column): rows where it is true get the
+    content div wrapped in <article>…</article> — the fixture for the
+    DOM-priority strategy (html_main_content_dom), exercising both its
+    branches over one corpus."""
     first_word = F.regexp_extract(text_col, r"^([^ ]+)", 1)
+    a_open = (F.when(article_when, F.lit("<article>")).otherwise(F.lit(""))
+              if article_when is not None else F.lit(""))
+    a_close = (F.when(article_when, F.lit("</article>")).otherwise(F.lit(""))
+               if article_when is not None else F.lit(""))
     return F.concat(
         F.lit("<html><head><title>doc "), doc_id_col.cast("string"),
         F.lit("</title><script>var t=1;</script><style>.m{x:1}</style></head>"
               "<body><nav><a href=\"/\">home</a> <a href=\"/t\">"),
         first_word,
         F.lit(" archive</a> <a href=\"/c\">contact</a></nav>"
-              "<!-- build 17 --><div class=\"content\"><p>"),
+              "<!-- build 17 -->"),
+        a_open,
+        F.lit("<div class=\"content\"><p>"),
         text_col,
-        F.lit("</p></div><div class=\"related\"><a href=\"/r1\">"),
+        F.lit("</p></div>"),
+        a_close,
+        F.lit("<div class=\"related\"><a href=\"/r1\">"),
         first_word, F.lit(" related reading one</a> <a href=\"/r2\">"),
         first_word, F.lit(" more suggested links two</a></div>"
               "<footer>terms &amp; legal</footer>"

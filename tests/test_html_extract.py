@@ -73,6 +73,49 @@ def test_anchor_text_len_counts_nested(spark):
     assert got == len("ab cd") + len("efg")
 
 
+def test_dom_strategy_prefers_article(spark):
+    """<article> restricts the argmax even when a bigger block exists
+    outside it; pages without a container fall back to density; an
+    article holding only links (no visible text after the anchor pass
+    still counts as visible here — links ARE text) stays dom-scoped,
+    but an EMPTY article falls back."""
+    rows = [
+        (0, "<article><p>short article text</p></article>"
+            "<div>a much longer distractor block outside the article that "
+            "would win on raw density</div>"),
+        (1, "<div>no container here so density picks this block</div>"),
+        (2, "<main><p>main works like article</p></main><div>longer other "
+            "text block that density alone would choose</div>"),
+        (3, "<article>   </article><div>fallback wins on empty article</div>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r for r in H.html_main_content_dom(df).collect()}
+    assert got[0].strategy == "dom"
+    assert got[0].main_text == "short article text"
+    assert got[1].strategy == "density"
+    assert got[1].main_text == "no container here so density picks this block"
+    assert got[2].strategy == "dom"
+    assert got[2].main_text == "main works like article"
+    assert got[3].strategy == "density"
+    assert got[3].main_text == "fallback wins on empty article"
+
+
+def test_dom_strategy_on_synthesized_corpus(spark):
+    """Over the oracle fixture: even ids extract via 'dom', odd via
+    'density', and BOTH recover the article text."""
+    rows = [(i, f"palabra{i} " + "cuerpo del documento " * 4) for i in range(4)]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    wrapped = docs.select(
+        "doc_id",
+        H.synthesize_html(F.col("text"), F.col("doc_id"),
+                          article_when=(F.col("doc_id") % 2 == 0)).alias("html"))
+    got = {r.doc_id: r for r in H.html_main_content_dom(wrapped).collect()}
+    for i, t in rows:
+        assert got[i].main_text == t.strip()
+        assert got[i].strategy == ("dom" if i % 2 == 0 else "density")
+
+
 def test_synthesized_wrapper_recovers_text(spark):
     """End-to-end over the oracle fixture: the extractor recovers the
     article text from the synthesized wrapper for corpus-length docs."""
