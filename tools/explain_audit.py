@@ -70,6 +70,11 @@ CHECKS = {
         ("column pruning on documents scan", r"ReadSchema: struct<doc_id:bigint,text:string>"),
         ("per-doc argmax window", r"Window"),
     ],
+    "html_main_dom": [
+        ("all-Catalyst string pipeline (no python in the loop)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("per-doc argmax window", r"Window"),
+    ],
     "decontaminate": [
         ("benchmark gram set broadcast (corpus never shuffles to meet it)",
          r"BroadcastExchange"),
