@@ -3,13 +3,17 @@
 Media are opaque `binary` columns + typed metadata structs; all per-item work
 runs in Arrow-batched mapInPandas stages (never per-row Python UDFs).
 
-What is REAL here: PNG decode/metadata/resize/feature-extract (the engine's
-own codec + kernels). What is STUBBED (this container has no audio/video/JPEG
-libraries): `decode_audio_stub` and `sample_video_frames_stub` raise
-NotImplementedError inside a real, schema-correct mapInPandas stage unless
-`fake=True`, in which case they emit deterministic fake payloads so the
-Spark-side plumbing (schema, partitioning, batch shape) is testable — the
-swap-in point for torchaudio/pyav is one function body.
+What is REAL here: PNG/JPEG decode/metadata/resize/feature-extract (the
+engine's own codecs + kernels), PCM-WAV audio decode + features
+(imaging/wav.py — RIFF parsed from scratch), and MJPEG-AVI video frame
+sampling (imaging/avi.py — RIFF/AVI parsed from scratch, frames decoded by
+the engine's own baseline-JPEG codec). What is STUBBED (no codec libraries
+in this container): COMPRESSED audio (MP3/AAC) and inter-frame video
+(H.264/VP9) — `decode_audio_stub` / `sample_video_frames_stub` raise
+NotImplementedError inside real, schema-correct mapInPandas stages unless
+`fake=True`, marking the torchaudio/pyav swap-in point; the real operators
+below route unparseable payloads to quarantine rows the same way
+image_metadata does.
 """
 
 from __future__ import annotations
@@ -86,6 +90,45 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio path: (media_ref, bytes) → PCM-WAV features. The RIFF/WAVE
+    parse (8/16-bit PCM, any channel count, mono-averaged) is
+    imaging/wav.py — built on stdlib struct + numpy, so it is honest in this
+    environment. Non-WAV / compressed payloads become quarantine rows
+    (sample_rate = -1), the image_metadata convention; swap
+    decode_audio_stub's body in production for those formats."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..imaging import wav as wav_codec
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "sample_rate", "n_samples",
+                                   "duration_s", "rms", "zero_crossings")}
+            for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
+                out["media_ref"].append(ref)
+                try:
+                    wave, rate = wav_codec.decode_wav(bytes(data))
+                    out["sample_rate"].append(int(rate))
+                    out["n_samples"].append(int(wave.size))
+                    out["duration_s"].append(round(wave.size / rate, 6))
+                    out["rms"].append(round(float(np.sqrt((wave ** 2).mean())), 6)
+                                      if wave.size else 0.0)
+                    out["zero_crossings"].append(
+                        int((np.diff(np.sign(wave)) != 0).sum()))
+                except ValueError:
+                    out["sample_rate"].append(-1)
+                    out["n_samples"].append(0)
+                    out["duration_s"].append(0.0)
+                    out["rms"].append(0.0)
+                    out["zero_crossings"].append(0)
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "bytes").mapInPandas(
+        gen, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def decode_audio_stub(media: DataFrame, fake: bool = False) -> DataFrame:
     """STUB: audio decode + feature extraction. No audio codec exists in this
     container; the mapInPandas stage, schema, and batch shape are real.
@@ -120,6 +163,45 @@ def decode_audio_stub(media: DataFrame, fake: bool = False) -> DataFrame:
 
 
 VIDEO_FRAMES_SCHEMA = "media_ref string, frame_idx int, ts_s double, frame_png binary"
+
+
+def sample_video_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
+    """REAL video path: (media_ref, bytes) → sampled frames from MJPEG-AVI
+    (one row per kept frame, flatMap-shaped). The container parse is
+    imaging/avi.py and each frame decodes through the engine's own
+    baseline-JPEG codec, then re-encodes as PNG for the frame column. The
+    requested output `fps` downsamples the native rate (every
+    round(native/fps)-th frame, always including frame 0). Unparseable or
+    inter-frame-codec payloads yield zero rows (quarantine-by-absence, as
+    pdf_words_table does); sample_video_frames_stub marks the pyav swap-in
+    for those."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..imaging import avi as avi_codec
+        from ..imaging import jpeg as jpeg_codec
+        from ..imaging import png as png_codec
+
+        for pdf in batches:
+            out = {"media_ref": [], "frame_idx": [], "ts_s": [], "frame_png": []}
+            for ref, data in zip(pdf["media_ref"], pdf["bytes"]):
+                try:
+                    frames, native_fps = avi_codec.decode_mjpeg_avi(bytes(data))
+                except ValueError:
+                    continue
+                step = max(1, round((native_fps or fps) / fps))
+                for i in range(0, len(frames), step):
+                    try:
+                        gray = jpeg_codec.decode_gray_jpeg(frames[i])
+                    except ValueError:
+                        continue
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(i)
+                    out["ts_s"].append(round(i / (native_fps or fps), 3))
+                    out["frame_png"].append(png_codec.encode_gray(gray))
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "bytes").mapInPandas(
+        gen, schema=VIDEO_FRAMES_SCHEMA)
 
 
 def sample_video_frames_stub(media: DataFrame, fps: float = 1.0, fake: bool = False) -> DataFrame:

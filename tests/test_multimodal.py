@@ -41,6 +41,68 @@ def test_image_resize_caps_dimension(media):
     assert img.shape == (out[0].height, out[0].width)
 
 
+def test_decode_audio_real_wav(spark):
+    """REAL audio path: hand-built PCM WAVs (16-bit mono, 8-bit, stereo)
+    decode to exact feature values; junk quarantines to sample_rate=-1."""
+    import numpy as np
+
+    from api_ocr_spark.imaging import wav
+
+    t = np.arange(3200)
+    sine = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    stereo = np.stack([sine, -sine], axis=1).reshape(-1)  # L/R cancel to 0
+    import struct
+    pcm = stereo.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    stereo_wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame(
+        [("mono", bytearray(wav.encode_wav(sine, 16000))),
+         ("stereo", bytearray(stereo_wav)),
+         ("junk", bytearray(b"not audio at all"))],
+        "media_ref string, bytes binary")
+    got = {r.media_ref: r for r in multimodal.decode_audio(df).collect()}
+    m = got["mono"]
+    assert m.sample_rate == 16000 and m.n_samples == 3200
+    assert abs(m.duration_s - 0.2) < 1e-9
+    expect_rms = float(np.sqrt(((sine.astype(np.float32) / 32768.0) ** 2).mean()))
+    assert abs(m.rms - expect_rms) < 1e-4
+    assert m.zero_crossings > 100  # 440 Hz over 0.2 s ≈ 176 crossings
+    s = got["stereo"]
+    assert s.sample_rate == 16000 and s.n_samples == 3200
+    assert s.rms == 0.0  # L/R average cancels exactly
+    j = got["junk"]
+    assert j.sample_rate == -1 and j.n_samples == 0
+
+
+def test_sample_video_frames_real_mjpeg(spark):
+    """REAL video path: an MJPEG-AVI built from engine-JPEG frames samples
+    back at the requested fps through the engine's own JPEG decode."""
+    import numpy as np
+
+    from api_ocr_spark.imaging import avi, jpeg, png
+    from api_ocr_spark.imaging.render import render_text_image
+
+    imgs = [render_text_image(f"video frame {i}", "plain", seed=i)
+            for i in range(6)]
+    frames = [jpeg.encode_gray_jpeg(im, 90) for im in imgs]
+    data = avi.encode_mjpeg_avi(frames, fps=10,
+                                width=imgs[0].shape[1], height=imgs[0].shape[0])
+    df = spark.createDataFrame(
+        [("vid", bytearray(data)), ("junk", bytearray(b"not a video"))],
+        "media_ref string, bytes binary")
+    rows = multimodal.sample_video_frames(df, fps=5.0).collect()
+    assert {r.media_ref for r in rows} == {"vid"}  # junk yields zero rows
+    idxs = sorted(r.frame_idx for r in rows)
+    assert idxs == [0, 2, 4]  # native 10 fps sampled at 5 fps => every 2nd
+    for r in rows:
+        assert abs(r.ts_s - r.frame_idx / 10.0) < 1e-9
+        dec = png.decode_gray(bytes(r.frame_png))
+        assert np.array_equal(dec, jpeg.decode_gray_jpeg(frames[r.frame_idx]))
+
+
 def test_audio_stub_raises_without_fake(media):
     from py4j.protocol import Py4JJavaError
 
