@@ -1,0 +1,63 @@
+"""Hunt a delivery-honest window and bank ONE paired 8/32 scaling block.
+
+Polls the 32-proc CPU-delivery ratio (~1 s per poll) every --poll-s; when a
+window reads ≤ --honest it immediately runs scaling_run_one at 32 cores and
+then 8 cores (32 first — honest 32-windows are the scarce resource and the
+8-level is honest in almost every window). Exits after one block or after
+--max-min minutes. NOTHING else may run on the box while this is active
+(CLAUDE.md scaling protocol).
+
+Usage: python tools/hunt_window.py [--honest 1.06] [--poll-s 45] [--max-min 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def delivery32() -> float | None:
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "cpudelivery.py"),
+             "--procs", "32"],
+            capture_output=True, text=True, timeout=120)
+        return json.loads(r.stdout.strip().splitlines()[-1])["delivery_ratio_32"]
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--honest", type=float, default=1.06)
+    ap.add_argument("--poll-s", type=float, default=45.0)
+    ap.add_argument("--max-min", type=float, default=50.0)
+    args = ap.parse_args()
+    deadline = time.time() + args.max_min * 60
+    polls = 0
+    while time.time() < deadline:
+        d = delivery32()
+        polls += 1
+        print(f"poll {polls}: delivery_32 = {d}", flush=True)
+        if d is not None and d <= args.honest:
+            for cores in (32, 8):
+                r = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "tools", "scaling_run_one.py"),
+                     "--cores", str(cores)],
+                    capture_output=True, text=True, cwd=REPO)
+                line = [ln for ln in r.stdout.strip().splitlines()
+                        if ln.startswith("{")]
+                print(line[-1] if line else r.stderr[-400:], flush=True)
+            return
+        time.sleep(args.poll_s)
+    print("no honest window within budget", flush=True)
+
+
+if __name__ == "__main__":
+    main()
