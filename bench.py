@@ -206,6 +206,24 @@ def main() -> None:
         counts[name] = cnt
         n_clean[name] = nc
         probes[name] = ph
+    def snapshot(rec: dict, phase: str) -> None:
+        # progressive loss-proofing: the suite result lands on disk BEFORE
+        # the (several-minute) isolation/png child phases, so an external
+        # timeout mid-phase cannot erase the whole run's evidence
+        if args.flagship_only or args.queries:
+            return
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        try:
+            os.makedirs(bench_dir, exist_ok=True)
+            with open(os.path.join(bench_dir, "bench_latest.json"), "w") as f:
+                f.write(json.dumps(dict(rec, phase=phase)) + "\n")
+        except OSError:
+            pass
+
+    snapshot({"queries": timings, "counts": counts, "n_clean": n_clean,
+              "probes_ms": probes, "gate_ms": args.gate_ms,
+              "commit": commit_hash(), "docs": n_docs, "cores": args.cores},
+             "suite")
     in_suite = dict(timings)
     isolated: dict[str, dict] = {}
     if not args.flagship_only and args.multiply == 1 and not args.queries \
@@ -263,6 +281,7 @@ def main() -> None:
     if isolated:
         out["in_suite"] = {n: in_suite[n] for n in isolated}
         out["isolated"] = isolated
+    snapshot(out, "isolated")
 
     if not args.flagship_only and args.multiply == 1 and not args.queries:
         # measured IVF recall@5 vs exact brute force at this SF (the tests
