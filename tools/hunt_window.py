@@ -45,7 +45,10 @@ def main() -> None:
         d = delivery32()
         polls += 1
         print(f"poll {polls}: delivery_32 = {d}", flush=True)
-        if d is not None and d <= args.honest:
+        # sub-0.9 readings mean the SOLO baseline was itself contended — the
+        # ratio is unreliable in either direction, not honest (one false
+        # trigger at 0.767 landed a block in a 1.44-delivery window)
+        if d is not None and 0.9 <= d <= args.honest:
             for cores in (32, 8):
                 r = subprocess.run(
                     [sys.executable, os.path.join(REPO, "tools", "scaling_run_one.py"),
