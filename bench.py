@@ -57,6 +57,7 @@ HEADLINE = [
     "corpus_sample",
     "text_stats",
     "html_main_content",
+    "html_main_dom",
     "ann_cosine_topk",
     "lsh_embedding_neardup",
     "ivf_ann_topk",
