@@ -1132,6 +1132,156 @@ FROM sel WHERE r = 1
 """
 
 
+def q_boilerpipe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe-style block classification (functions/html.py
+    classify_blocks → html_boilerpipe): the published Kohlschütter
+    NumWordsRulesClassifier decision tree over (prev, curr, next) shallow
+    text features, lag/lead windows in pure Catalyst, per-doc ordered
+    concat of kept blocks. The fixture adds a 6-word lede whose keep/drop
+    flips on the NEXT block's length, so the varying corpus exercises both
+    outcomes of the prev_ld>0.555556 branch plus both content arms of the
+    prev_ld<=0.555556 branch. Oracle replays features, windows, and tree
+    verbatim in DuckDB."""
+    from api_ocr_spark.functions import html as H
+
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        H.synthesize_html(F.col("text"), F.col("doc_id"),
+                          lede=True).alias("html"),
+    )
+    return H.html_boilerpipe(wrapped)
+
+
+# word count of an already-collapsed text expr; the length guard mirrors
+# functions/html.word_count ('' must count 0, but string_split('') is [''])
+def _wc_sql(expr: str) -> str:
+    return (f"CASE WHEN length({expr}) = 0 THEN 0 "
+            f"ELSE len(string_split({expr}, ' ')) END")
+
+
+ORACLE_BOILERPIPE = f"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+    '</title><script>var t=1;</script><style>.m{{x:1}}</style></head>' ||
+    '<body><nav><a href="/">home</a> <a href="/t">' ||
+    regexp_extract(text, '^([^ ]+)', 1) ||
+    ' archive</a> <a href="/c">contact</a></nav>' ||
+    '<!-- build 17 -->' ||
+    '<p>Editorial summary follows below here today.</p>' ||
+    '<div class="content"><p>' || text ||
+    '</p></div><div class="related"><a href="/r1">' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' related reading one</a> <a href="/r2">' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' more suggested links two</a></div>' ||
+    '<footer>terms &amp; legal</footer></body></html>' AS html
+  FROM documents
+),
+noise AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<!--.*?-->', ' ', 'g'),
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS hh
+  FROM h
+),
+frags AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS frag
+  FROM (SELECT doc_id,
+          string_split_regex(hh,
+            '(?i)</?(?:html|head|body|div|p|nav|header|footer|article|section|aside|main|table|tr|td|th|ul|ol|li|h[1-6]|blockquote|pre|form)[^>]*>') AS parts
+        FROM noise),
+       unnest(range(1, len(parts) + 1)) AS t(i)
+),
+blocks AS (
+  SELECT doc_id, pos, txt,
+    {_wc_sql('txt')} AS words,
+    CAST(coalesce(list_aggregate(list_transform(
+      regexp_extract_all(frag, '(?is)<a[^>]*>(.*?)</a>', 1),
+      a -> {_wc_sql(_vis_sql('a'))}), 'sum'), 0) AS DOUBLE)
+      / {_wc_sql('txt')} AS ld
+  FROM (SELECT doc_id, pos, frag, {_vis_sql('frag')} AS txt FROM frags)
+  WHERE length(txt) > 0
+),
+feats AS (
+  SELECT doc_id, pos, txt, words, ld,
+    lag(words, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_words,
+    lead(words, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos) AS next_words,
+    lag(ld, 1, 0.0) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_ld
+  FROM blocks
+),
+labeled AS (
+  SELECT *,
+    (ld <= 0.333333) AND (CASE WHEN prev_ld <= 0.555556
+       THEN (words > 16 OR next_words > 15 OR prev_words > 4)
+       ELSE (words > 40 OR next_words > 17) END) AS is_content
+  FROM feats
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN is_content THEN txt END, ' ' ORDER BY pos),
+           '') AS content_text,
+  CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+  CAST(sum(CASE WHEN is_content THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+  CAST(sum(CASE WHEN is_content THEN words ELSE 0 END) AS BIGINT) AS content_words
+FROM labeled
+GROUP BY doc_id
+"""
+
+
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (functions/html.extract_links): one row per
+    anchor with position, href, visible anchor text, internal flag. Pure
+    codegen'd map + posexplode — no shuffle; both capture groups come from
+    one pattern so the zipped arrays always align. Oracle runs the same
+    pattern twice in DuckDB and unnests by index."""
+    from api_ocr_spark.functions import html as H
+
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        H.synthesize_html(F.col("text"), F.col("doc_id")).alias("html"),
+    )
+    return H.extract_links(wrapped)
+
+
+_LINK_RE = "'(?is)<a[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>'"
+
+ORACLE_HTML_LINKS = f"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+    '</title><script>var t=1;</script><style>.m{{x:1}}</style></head>' ||
+    '<body><nav><a href="/">home</a> <a href="/t">' ||
+    regexp_extract(text, '^([^ ]+)', 1) ||
+    ' archive</a> <a href="/c">contact</a></nav>' ||
+    '<!-- build 17 --><div class="content"><p>' || text ||
+    '</p></div><div class="related"><a href="/r1">' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' related reading one</a> <a href="/r2">' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' more suggested links two</a></div>' ||
+    '<footer>terms &amp; legal</footer></body></html>' AS html
+  FROM documents
+),
+noise AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<!--.*?-->', ' ', 'g'),
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS hh
+  FROM h
+),
+l AS (
+  SELECT doc_id,
+    regexp_extract_all(hh, {_LINK_RE}, 1) AS hrefs,
+    regexp_extract_all(hh, {_LINK_RE}, 2) AS texts
+  FROM noise
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS link_pos, hrefs[i] AS href,
+  {_vis_sql('texts[i]')} AS anchor_text,
+  CAST(CASE WHEN hrefs[i] LIKE '/%' THEN 1 ELSE 0 END AS BIGINT) AS is_internal
+FROM l, unnest(range(1, len(hrefs) + 1)) AS t(i)
+"""
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling — the reproducible
     down-sampling op a training-data pipeline runs per source/language:
@@ -1505,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "html_main_content": q_html_main_content,
         "html_main_dom": q_html_main_dom,
+        "boilerpipe_extract": q_boilerpipe_extract,
+        "html_links": q_html_links,
         "corpus_sample": q_corpus_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1543,6 +1695,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": ORACLE_TEXT_STATS,
         "html_main_content": ORACLE_HTML_MAIN_CONTENT,
         "html_main_dom": ORACLE_HTML_MAIN_DOM,
+        "boilerpipe_extract": ORACLE_BOILERPIPE,
+        "html_links": ORACLE_HTML_LINKS,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

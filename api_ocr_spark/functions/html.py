@@ -155,8 +155,158 @@ def html_main_content_dom(df: DataFrame, html_col: str = "html",
     return _argmax_block(scoped, id_col, ("strategy",))
 
 
+# ---------------------------------------------------------------------------
+# Kohlschütter shallow-text-feature boilerplate classification
+# ---------------------------------------------------------------------------
+
+# The published NumWordsRulesClassifier decision tree (Kohlschütter et al.,
+# WSDM 2010, and the reference boilerpipe implementation): a block is CONTENT
+# iff its link density is low AND a small tree over (prev, curr, next) word
+# counts + prev link density fires. Constants are the paper's.
+_LD_CURR = 0.333333
+_LD_PREV = 0.555556
+
+LINK_PATTERN = r'(?is)<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def word_count(txt: Column) -> Column:
+    """Token count of an already-collapsed/trimmed text column (0 for '')."""
+    return (F.when(F.length(txt) == 0, F.lit(0))
+            .otherwise(F.size(F.split(txt, " "))))
+
+
+def anchor_word_count(col: Column) -> Column:
+    """Total token count of visible text inside <a>…</a> within a fragment.
+
+    Same interpreted-HOF shape as anchor_text_len — bounded per-element work
+    (a handful of short anchors per block), not per-token×per-counter (cf.
+    CLAUDE.md note on fold costs)."""
+    anchors = F.regexp_extract_all(col, F.lit(ANCHOR_PATTERN), 1)
+    return F.aggregate(
+        anchors,
+        F.lit(0),
+        lambda acc, a: acc + word_count(visible_text(a)),
+    )
+
+
+def classify_blocks(df: DataFrame, html_col: str = "html",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, html) → one row per non-empty block with shallow text features
+    and the boilerpipe NumWordsRulesClassifier label.
+
+    Features per block: numWords (tokens of visible text), link density
+    (anchor tokens / tokens, word-based as in boilerpipe), plus lag/lead
+    context over blocks in document order. The decision tree, restated as
+    booleans (content-iff form of the published tree):
+
+      ld > 0.333333                      → boilerplate
+      elif prev_ld <= 0.555556           → content iff words > 16
+                                            or next_words > 15
+                                            or prev_words > 4
+      else                               → content iff words > 40
+                                            or next_words > 17
+
+    Pure Catalyst: regexp splits + two lag/lead windows on (id, pos). At
+    100 TB this is ONE shuffle on doc_id; the downstream per-doc aggregate
+    in html_boilerpipe reuses the same hash partitioning (no second
+    exchange). Both engines compute ld as an IEEE-754 double division, so
+    threshold comparisons agree bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    frags = (
+        df.select(id_col, strip_noise(F.col(html_col)).alias("scope"))
+        .select(id_col,
+                F.posexplode(F.split(F.col("scope"), BLOCK_SPLIT))
+                .alias("pos", "frag"))
+        .select(
+            id_col, "pos",
+            visible_text(F.col("frag")).alias("txt"),
+            anchor_word_count(F.col("frag")).alias("a_words"),
+        )
+        .filter(F.length("txt") > 0)
+        .withColumn("words", word_count(F.col("txt")))
+        .withColumn("ld", F.col("a_words").cast("double") / F.col("words"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    feats = (
+        frags
+        .withColumn("prev_words", F.lag("words", 1, 0).over(w))
+        .withColumn("next_words", F.lead("words", 1, 0).over(w))
+        .withColumn("prev_ld", F.lag("ld", 1, 0.0).over(w))
+    )
+    is_content = (
+        (F.col("ld") <= _LD_CURR)
+        & F.when(
+            F.col("prev_ld") <= _LD_PREV,
+            (F.col("words") > 16) | (F.col("next_words") > 15)
+            | (F.col("prev_words") > 4),
+        ).otherwise(
+            (F.col("words") > 40) | (F.col("next_words") > 17)
+        )
+    )
+    return feats.withColumn("is_content", is_content)
+
+
+def html_boilerpipe(df: DataFrame, html_col: str = "html",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per document: boilerpipe-style extracted content — the concatenation
+    (document order) of blocks the NumWordsRulesClassifier keeps — plus
+    block counts. Returns (id, content_text, n_content, n_boiler,
+    content_words); content_text is '' when the classifier keeps nothing
+    (boilerpipe's documented behavior on very short pages).
+
+    The groupBy lands on the window's doc_id hash partitioning —
+    exchange-free after the single classify shuffle."""
+    blocks = classify_blocks(df, html_col, id_col)
+    kept = F.when(F.col("is_content"), F.struct("pos", "txt"))
+    return (
+        blocks.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)),
+                            lambda s: s["txt"]),
+                " ").alias("content_text"),
+            F.sum(F.col("is_content").cast("long")).alias("n_content"),
+            F.sum((~F.col("is_content")).cast("long")).alias("n_boiler"),
+            F.sum(F.when(F.col("is_content"), F.col("words"))
+                  .otherwise(F.lit(0)).cast("long")).alias("content_words"),
+        )
+    )
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Outlink extraction — the link-graph primitive of a web-scale
+    pipeline: one row per <a href="…">…</a> with its position, href, visible
+    anchor text, and an internal-link flag (path-relative href).
+
+    Shape at 100 TB: pure codegen'd map + posexplode, NO shuffle at all —
+    link rows stay on the partition that held the page. Both capture groups
+    come from the SAME pattern so the zipped arrays always align."""
+    h = df.select(id_col, strip_noise(F.col(html_col)).alias("h"))
+    return (
+        h.withColumn("hrefs",
+                     F.regexp_extract_all(F.col("h"), F.lit(LINK_PATTERN), 1))
+        .withColumn("texts",
+                    F.regexp_extract_all(F.col("h"), F.lit(LINK_PATTERN), 2))
+        .select(id_col,
+                F.posexplode(F.arrays_zip("hrefs", "texts"))
+                .alias("link_pos", "z"))
+        .select(
+            id_col,
+            F.col("link_pos").cast("long").alias("link_pos"),
+            F.col("z.hrefs").alias("href"),
+            visible_text(F.col("z.texts")).alias("anchor_text"),
+            F.when(F.col("z.hrefs").startswith("/"), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("is_internal"),
+        )
+    )
+
+
 def synthesize_html(text_col: Column, doc_id_col: Column,
-                    article_when: Column | None = None) -> Column:
+                    article_when: Column | None = None,
+                    lede: bool = False) -> Column:
     """Deterministic HTML wrapper used by the `html_main_content` oracle
     query: the article text inside <div class=content>, surrounded by
     discriminating boilerplate — a nav whose link texts BORROW the doc's
@@ -168,7 +318,14 @@ def synthesize_html(text_col: Column, doc_id_col: Column,
     `article_when` (optional bool Column): rows where it is true get the
     content div wrapped in <article>…</article> — the fixture for the
     DOM-priority strategy (html_main_content_dom), exercising both its
-    branches over one corpus."""
+    branches over one corpus.
+
+    `lede=True` inserts a fixed 6-word teaser paragraph between the nav and
+    the content div — the fixture for the boilerpipe classifier: the lede's
+    keep/drop decision depends on the NEXT block's word count (tree branch
+    prev_ld>0.555556 → next_words>17), so one corpus with varying document
+    lengths exercises both outcomes, while the content block itself is kept
+    through either of the two content arms depending on its own length."""
     first_word = F.regexp_extract(text_col, r"^([^ ]+)", 1)
     a_open = (F.when(article_when, F.lit("<article>")).otherwise(F.lit(""))
               if article_when is not None else F.lit(""))
@@ -181,6 +338,8 @@ def synthesize_html(text_col: Column, doc_id_col: Column,
         first_word,
         F.lit(" archive</a> <a href=\"/c\">contact</a></nav>"
               "<!-- build 17 -->"),
+        F.lit("<p>Editorial summary follows below here today.</p>"
+              if lede else ""),
         a_open,
         F.lit("<div class=\"content\"><p>"),
         text_col,

@@ -116,6 +116,83 @@ def test_dom_strategy_on_synthesized_corpus(spark):
         assert got[i].strategy == ("dom" if i % 2 == 0 else "density")
 
 
+def test_boilerpipe_tree_branches(spark):
+    """Pin the NumWordsRulesClassifier over the synthesized lede fixture:
+    block order is title(2w) → nav(4w, ld=1) → lede(6w) → content →
+    related(9w, ld=1) → footer(3w). Expected labels trace every branch:
+    nav/related die on ld>1/3; title dies in the prev_ld<=0.5556 arm with
+    all three counts small; footer dies in the prev_ld>0.5556 arm; the
+    lede keeps iff the NEXT block (content) has >17 words; content keeps
+    via words>16 when long, else via prev_words(lede)=6>4."""
+    long_text = "w" + " w" * 29          # 30 words > 17: lede kept
+    short_text = "one two three four"    # 4 words <= 17: lede dropped
+    docs = spark.createDataFrame(
+        [(0, long_text), (1, short_text)], "doc_id long, text string")
+    wrapped = docs.select(
+        "doc_id",
+        H.synthesize_html(F.col("text"), F.col("doc_id"),
+                          lede=True).alias("html"))
+    lede = "Editorial summary follows below here today."
+
+    blocks = H.classify_blocks(wrapped).collect()
+    labels = {(r.doc_id, r.txt): r.is_content for r in blocks}
+    assert labels[(0, lede)] is True          # next_words=30 > 17
+    assert labels[(1, lede)] is False         # next_words=4 <= 17
+    assert labels[(0, long_text)] is True     # words>16 arm
+    assert labels[(1, short_text)] is True    # prev_words=6>4 arm
+    for did in (0, 1):
+        assert labels[(did, f"doc {did}")] is False        # title
+        assert labels[(did, "terms & legal")] is False     # footer
+
+    got = {r.doc_id: r for r in H.html_boilerpipe(wrapped).collect()}
+    assert got[0].content_text == f"{lede} {long_text}"
+    assert got[0].n_content == 2 and got[0].n_boiler == 4
+    assert got[0].content_words == 6 + 30
+    assert got[1].content_text == short_text
+    assert got[1].n_content == 1 and got[1].n_boiler == 5
+
+
+def test_boilerpipe_empty_result_is_empty_string(spark):
+    """A page whose only block is short and link-dense keeps nothing —
+    content_text must be '' (not NULL), matching the oracle's coalesce."""
+    df = spark.createDataFrame(
+        [(0, "<div><a href='/'>tiny link</a></div>")], "doc_id long, html string")
+    r = H.html_boilerpipe(df).first()
+    assert r.content_text == "" and r.n_content == 0 and r.n_boiler == 1
+
+
+def test_extract_links(spark):
+    """Hrefs + visible anchor text in document order; nested inline tags
+    stripped from anchor text; anchors without href are skipped (pattern
+    requires the attribute); internal flag on path-relative hrefs."""
+    df = spark.createDataFrame(
+        [(0, "<nav><a href=\"/home\">go <b>home</b></a>"
+             "<a href=\"https://x.example/p\">ext&amp;ernal</a>"
+             "<a name='no-href'>skipped</a></nav>"
+             "<p><a href=\"/end\">last</a></p>")],
+        "doc_id long, html string")
+    rows = H.extract_links(df).orderBy("link_pos").collect()
+    assert [(r.link_pos, r.href, r.anchor_text, r.is_internal)
+            for r in rows] == [
+        (0, "/home", "go home", 1),
+        (1, "https://x.example/p", "ext&ernal", 0),
+        (2, "/end", "last", 1),
+    ]
+
+
+def test_extract_links_on_synthesized_corpus(spark):
+    """The oracle fixture yields exactly 5 internal links per doc in nav →
+    related order, with doc-borrowed words in the anchor texts."""
+    docs = spark.createDataFrame(
+        [(3, "palabra inicial del cuerpo")], "doc_id long, text string")
+    wrapped = docs.select(
+        "doc_id", H.synthesize_html(F.col("text"), F.col("doc_id")).alias("html"))
+    rows = H.extract_links(wrapped).orderBy("link_pos").collect()
+    assert [r.href for r in rows] == ["/", "/t", "/c", "/r1", "/r2"]
+    assert rows[1].anchor_text == "palabra archive"
+    assert all(r.is_internal == 1 for r in rows)
+
+
 def test_synthesized_wrapper_recovers_text(spark):
     """End-to-end over the oracle fixture: the extractor recovers the
     article text from the synthesized wrapper for corpus-length docs."""

@@ -75,6 +75,20 @@ CHECKS = {
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
         ("per-doc argmax window", r"Window"),
     ],
+    "boilerpipe_extract": [
+        ("all-Catalyst string pipeline (no python in the loop)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("lag/lead context window", r"Window"),
+        # the per-doc aggregate must land on the window's doc_id hash
+        # partitioning — classify + aggregate share ONE exchange
+        ("single shuffle shared by window and groupBy", ("max_exchanges", 1)),
+    ],
+    "html_links": [
+        ("all-Catalyst string pipeline (no python in the loop)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("no shuffle at all (pure map + posexplode)", ("max_exchanges", 0)),
+        ("column pruning on documents scan", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
     "decontaminate": [
         ("benchmark gram set broadcast (corpus never shuffles to meet it)",
          r"BroadcastExchange"),
@@ -102,6 +116,8 @@ def main():
         for label, pat in checks:
             if isinstance(pat, tuple) and pat[0] == "absent":
                 ok = re.search(pat[1], txt) is None
+            elif isinstance(pat, tuple) and pat[0] == "max_exchanges":
+                ok = len(re.findall(r"\(\d+\) Exchange", txt)) <= pat[1]
             elif isinstance(pat, tuple) and pat[0] == "single_scan":
                 # exactly ONE distinct parquet-scan node id in the whole plan
                 # text (formatted explain prints each node twice — tree +
