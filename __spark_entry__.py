@@ -1133,15 +1133,18 @@ FROM sel WHERE r = 1
 
 
 def q_boilerpipe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerpipe-style block classification (functions/html.py
-    classify_blocks → html_boilerpipe): the published Kohlschütter
-    NumWordsRulesClassifier decision tree over (prev, curr, next) shallow
-    text features, lag/lead windows in pure Catalyst, per-doc ordered
-    concat of kept blocks. The fixture adds a 6-word lede whose keep/drop
-    flips on the NEXT block's length, so the varying corpus exercises both
-    outcomes of the prev_ld>0.555556 branch plus both content arms of the
-    prev_ld<=0.555556 branch. Oracle replays features, windows, and tree
-    verbatim in DuckDB."""
+    """Boilerpipe-style block classification (functions/html.py): the
+    published Kohlschütter NumWordsRulesClassifier decision tree over
+    (prev, curr, next) shallow text features, per-doc ordered concat of
+    kept blocks. Runs the ARRAY-NATIVE form (html_boilerpipe_arrays):
+    every feature is within-document context, so the whole pipeline is a
+    pure map — ZERO exchanges (plan-asserted), streaming-compatible, and
+    equality-tested against the windowed lag/lead twin (html_boilerpipe).
+    The fixture adds a 6-word lede whose keep/drop flips on the NEXT
+    block's length, so the varying corpus exercises both outcomes of the
+    prev_ld>0.555556 branch plus both content arms of the
+    prev_ld<=0.555556 branch. Oracle replays features, neighbor context
+    (as SQL windows), and tree verbatim in DuckDB."""
     from api_ocr_spark.functions import html as H
 
     docs = _docs(spark, sf_dir)
@@ -1150,7 +1153,7 @@ def q_boilerpipe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         H.synthesize_html(F.col("text"), F.col("doc_id"),
                           lede=True).alias("html"),
     )
-    return H.html_boilerpipe(wrapped)
+    return H.html_boilerpipe_arrays(wrapped)
 
 
 # word count of an already-collapsed text expr; the length guard mirrors

@@ -275,6 +275,75 @@ def html_boilerpipe(df: DataFrame, html_col: str = "html",
     )
 
 
+def html_boilerpipe_arrays(df: DataFrame, html_col: str = "html",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Shuffle-FREE twin of html_boilerpipe: because every feature the
+    classifier consumes (prev/curr/next word counts, prev link density) is
+    context WITHIN one document, the whole pipeline can stay array-native
+    per row — split to a fragment array, per-element features via
+    transform/zip_with, neighbor context via index lambdas + F.get, tree +
+    ordered concat per row. ZERO exchanges: the classification is a pure
+    map over the corpus, so at 100 TB it runs at scan speed with no shuffle
+    at all (plan-asserted in tools/explain_audit.py), and — having no
+    window — it is directly usable under Structured Streaming.
+
+    Per-element lambdas are interpreted, but the per-block work is a
+    bounded handful of JVM regex calls (same count as the windowed form),
+    not per-token×per-counter folds — the equality test + bench guard the
+    tradeoff. Output is column-identical to html_boilerpipe (equality
+    asserted in tests/test_html_extract.py)."""
+    blocks = F.filter(
+        F.transform(
+            F.split(strip_noise(F.col(html_col)), BLOCK_SPLIT),
+            lambda p: F.struct(
+                visible_text(p).alias("txt"),
+                anchor_word_count(p).alias("aw"),
+            ),
+        ),
+        lambda b: F.length(b["txt"]) > 0,
+    )
+    # a doc whose blocks are all empty yields no groupBy row in the
+    # windowed form (and no row in the SQL oracle's GROUP BY) — drop it
+    # here too so the two forms are row-identical on degenerate input
+    d = df.select(id_col, blocks.alias("b")).filter(F.size("b") > 0)
+    d = d.withColumn(
+        "words", F.transform("b", lambda x: word_count(x["txt"])))
+    d = d.withColumn(
+        "lds", F.zip_with("b", "words",
+                          lambda x, w: x["aw"].cast("double") / w))
+    # F.get is 0-based and returns NULL out of bounds — coalesce supplies
+    # the classifier's missing-neighbor defaults (0 words, 0.0 density)
+    lab = F.transform(
+        "b",
+        lambda x, i: (
+            (F.get("lds", i) <= _LD_CURR)
+            & F.when(
+                F.coalesce(F.get("lds", i - 1), F.lit(0.0)) <= _LD_PREV,
+                (F.get("words", i) > 16)
+                | (F.coalesce(F.get("words", i + 1), F.lit(0)) > 15)
+                | (F.coalesce(F.get("words", i - 1), F.lit(0)) > 4),
+            ).otherwise(
+                (F.get("words", i) > 40)
+                | (F.coalesce(F.get("words", i + 1), F.lit(0)) > 17)
+            )
+        ),
+    )
+    d = d.withColumn("lab", lab)
+    return d.select(
+        id_col,
+        F.array_join(
+            F.zip_with("b", "lab", lambda x, l: F.when(l, x["txt"])),
+            " ").alias("content_text"),     # array_join drops NULL elements
+        F.size(F.filter("lab", lambda l: l)).cast("long").alias("n_content"),
+        F.size(F.filter("lab", lambda l: ~l)).cast("long").alias("n_boiler"),
+        F.aggregate(
+            F.zip_with("words", "lab",
+                       lambda w, l: F.when(l, w).otherwise(F.lit(0))),
+            F.lit(0), lambda acc, x: acc + x,
+        ).cast("long").alias("content_words"),
+    )
+
+
 def extract_links(df: DataFrame, html_col: str = "html",
                   id_col: str = "doc_id") -> DataFrame:
     """Outlink extraction — the link-graph primitive of a web-scale

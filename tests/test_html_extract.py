@@ -161,6 +161,58 @@ def test_boilerpipe_empty_result_is_empty_string(spark):
     assert r.content_text == "" and r.n_content == 0 and r.n_boiler == 1
 
 
+def test_boilerpipe_arrays_equals_windowed(spark):
+    """The shuffle-free array-native twin must be row-identical to the
+    windowed form over the fixture corpus AND degenerate pages (all-empty
+    blocks → doc dropped by both; nothing kept → '' by both)."""
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " + "cuerpo del documento extendido " * (i + 1))
+         for i in range(8)], "doc_id long, text string")
+    wrapped = docs.select(
+        "doc_id",
+        H.synthesize_html(F.col("text"), F.col("doc_id"),
+                          lede=True).alias("html"))
+    degenerate = spark.createDataFrame(
+        [(100, "<div>   </div><p></p>"),                 # all-empty blocks
+         (101, "<div><a href='/'>x</a></div>")],          # kept-nothing page
+        "doc_id long, html string")
+    both = wrapped.unionByName(degenerate)
+    a = sorted(H.html_boilerpipe(both).collect())
+    b = sorted(H.html_boilerpipe_arrays(both).collect())
+    assert a == b
+    ids = {r.doc_id for r in b}
+    assert 100 not in ids and 101 in ids
+
+
+def test_boilerpipe_streaming_matches_batch(spark, tmp_path):
+    """The array-native form has no window/aggregation, so it runs
+    unchanged as a stateless Structured Streaming stage — HTML extraction
+    joins OCR as a streaming-proven tier. Parity vs batch on the same
+    rows."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} " + "contenido principal del documento " * (i + 2))
+         for i in range(6)], "doc_id long, text string")
+    wrapped = docs.select(
+        "doc_id",
+        H.synthesize_html(F.col("text"), F.col("doc_id"),
+                          lede=True).alias("html"))
+    in_dir = os.path.join(str(tmp_path), "bp_stream_in")
+    wrapped.write.parquet(in_dir)
+    src = spark.readStream.schema(wrapped.schema).parquet(in_dir)
+    q = (H.html_boilerpipe_arrays(src)
+         .writeStream.format("memory").queryName("bp_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(spark.table("bp_stream").collect())
+    batch = sorted(H.html_boilerpipe_arrays(wrapped).collect())
+    assert got == batch and len(got) == 6
+
+
 def test_extract_links(spark):
     """Hrefs + visible anchor text in document order; nested inline tags
     stripped from anchor text; anchors without href are skipped (pattern

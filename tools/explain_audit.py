@@ -78,10 +78,10 @@ CHECKS = {
     "boilerpipe_extract": [
         ("all-Catalyst string pipeline (no python in the loop)",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
-        ("lag/lead context window", r"Window"),
-        # the per-doc aggregate must land on the window's doc_id hash
-        # partitioning — classify + aggregate share ONE exchange
-        ("single shuffle shared by window and groupBy", ("max_exchanges", 1)),
+        # array-native form: within-document context only, so the whole
+        # classification is a pure map over the corpus
+        ("no shuffle at all (array-native per-doc context)",
+         ("max_exchanges", 0)),
     ],
     "html_links": [
         ("all-Catalyst string pipeline (no python in the loop)",
