@@ -1285,6 +1285,130 @@ FROM l, unnest(range(1, len(hrefs) + 1)) AS t(i)
 """
 
 
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (functions/html.extract_metadata): title /
+    meta description / canonical URL / declared lang / heading census —
+    the WARC→WET-style header op. The meta fixture varies every field with
+    the document (lang branches on doc_id%3, the second heading on
+    doc_id%2, description/canonical borrow doc words/id), so constants
+    can't be special-cased. Pure map, zero shuffle (plan-asserted)."""
+    from api_ocr_spark.functions import html as H
+
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        H.synthesize_html(F.col("text"), F.col("doc_id"),
+                          meta=True).alias("html"),
+    )
+    return H.extract_metadata(wrapped)
+
+
+ORACLE_HTML_METADATA = f"""
+WITH h AS (
+  SELECT doc_id,
+    '<html lang="' || CASE WHEN doc_id % 3 = 0 THEN 'es' ELSE 'en' END ||
+    '"><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+    '<meta name="description" content="' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' resumen del documento">' ||
+    '<link rel="canonical" href="/doc/' || CAST(doc_id AS VARCHAR) || '">' ||
+    '<script>var t=1;</script><style>.m{{x:1}}</style></head>' ||
+    '<body><nav><a href="/">home</a> <a href="/t">' ||
+    regexp_extract(text, '^([^ ]+)', 1) ||
+    ' archive</a> <a href="/c">contact</a></nav>' ||
+    '<!-- build 17 -->' ||
+    '<h1>' || regexp_extract(text, '^([^ ]+)', 1) || ' titular</h1>' ||
+    CASE WHEN doc_id % 2 = 0 THEN '<h2>seccion dos</h2>' ELSE '' END ||
+    '<div class="content"><p>' || text ||
+    '</p></div><div class="related"><a href="/r1">' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' related reading one</a> <a href="/r2">' ||
+    regexp_extract(text, '^([^ ]+)', 1) || ' more suggested links two</a></div>' ||
+    '<footer>terms &amp; legal</footer></body></html>' AS html
+  FROM documents
+),
+noise AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<!--.*?-->', ' ', 'g'),
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS hh
+  FROM h
+),
+fields AS (
+  SELECT doc_id,
+    {_vis_sql("regexp_extract(hh, '(?is)<title[^>]*>(.*?)</title>', 1)")} AS title,
+    regexp_extract(hh, '(?is)<meta[^>]*name="description"[^>]*content="([^"]*)"', 1) AS description,
+    regexp_extract(hh, '(?is)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1) AS canonical,
+    regexp_extract(hh, '(?is)<html[^>]* lang="([^"]*)"', 1) AS lang,
+    CAST(len(regexp_extract_all(hh, '(?i)<h[1-6][^>]*>', 0)) AS BIGINT) AS n_headings
+  FROM noise
+)
+SELECT doc_id, title, description, canonical, lang, n_headings,
+  CAST(CASE WHEN length(title) = 0 THEN 0
+       ELSE len(string_split(title, ' ')) END AS BIGINT) AS title_words
+FROM fields
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation + context-window chunk packing
+    (functions/text.split_sentences + chunk_pack): the sequence-packing op
+    a training pipeline runs before tokenization. The synthetic corpus has
+    no punctuation, so the fixture deterministically inserts '. ' after
+    every 8th word (one global regexp_replace, identical rule in the
+    oracle), then packs sentences into ~20-word chunks by the prefix-sum
+    rule floor(words_before / cap). One shuffle: the (doc_id, chunk_id)
+    groupBy lands on the window's doc_id partitioning."""
+    from api_ocr_spark.functions import text as T
+
+    docs = _docs(spark, sf_dir)
+    marked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_replace(F.col("text"),
+                         r"((?:[^ ]+ ){7}[^ ]+) ", "$1. ").alias("text"),
+    )
+    return T.chunk_pack(marked, cap_words=20)
+
+
+ORACLE_CHUNK_DOCUMENTS = r"""
+WITH marked AS (
+  SELECT doc_id,
+    regexp_replace(text, '((?:[^ ]+ ){7}[^ ]+) ', '\1. ', 'g') AS text
+  FROM documents
+),
+sentmarked AS (
+  SELECT doc_id,
+    regexp_replace(text, '([.!?]) ', '\1' || chr(1), 'g') AS m
+  FROM marked
+),
+rawsent AS (
+  SELECT doc_id, i AS i0, trim(parts[i]) AS sent
+  FROM (SELECT doc_id, string_split(m, chr(1)) AS parts FROM sentmarked),
+       unnest(range(1, len(parts) + 1)) AS t(i)
+),
+sents AS (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY doc_id ORDER BY i0) - 1 AS pos, sent,
+    CASE WHEN length(sent) = 0 THEN 0
+         ELSE len(string_split(sent, ' ')) END AS w
+  FROM rawsent WHERE length(sent) > 0
+),
+chunked AS (
+  SELECT doc_id, pos, sent, w,
+    CAST(floor(coalesce(sum(w) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20.0)
+      AS BIGINT) AS chunk_id
+  FROM sents
+)
+SELECT doc_id, chunk_id,
+  string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+  CAST(count(*) AS BIGINT) AS n_sentences,
+  CAST(sum(w) AS BIGINT) AS n_words
+FROM chunked
+GROUP BY doc_id, chunk_id
+"""
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling — the reproducible
     down-sampling op a training-data pipeline runs per source/language:
@@ -1660,6 +1784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_dom": q_html_main_dom,
         "boilerpipe_extract": q_boilerpipe_extract,
         "html_links": q_html_links,
+        "html_metadata": q_html_metadata,
+        "chunk_documents": q_chunk_documents,
         "corpus_sample": q_corpus_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1700,6 +1826,8 @@ def oracle_sql() -> dict[str, str]:
         "html_main_dom": ORACLE_HTML_MAIN_DOM,
         "boilerpipe_extract": ORACLE_BOILERPIPE,
         "html_links": ORACLE_HTML_LINKS,
+        "html_metadata": ORACLE_HTML_METADATA,
+        "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

@@ -373,9 +373,45 @@ def extract_links(df: DataFrame, html_col: str = "html",
     )
 
 
+# ---------------------------------------------------------------------------
+# Page metadata extraction (WET-style: title / description / canonical /
+# lang / heading census)
+# ---------------------------------------------------------------------------
+
+TITLE_PATTERN = r"(?is)<title[^>]*>(.*?)</title>"
+META_DESC_PATTERN = r'(?is)<meta[^>]*name="description"[^>]*content="([^"]*)"'
+CANONICAL_PATTERN = r'(?is)<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
+LANG_PATTERN = r'(?is)<html[^>]* lang="([^"]*)"'
+HEADING_PATTERN = r"(?i)<h[1-6][^>]*>"
+
+
+def extract_metadata(df: DataFrame, html_col: str = "html",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-page metadata — the header-census op of a WARC→WET-style web
+    pipeline: visible <title> text, meta description, canonical URL,
+    declared language, heading count, and title word count. Absent fields
+    are '' (both engines' regexp_extract no-match convention), so the
+    schema is total without null handling downstream.
+
+    Pure codegen'd map, ZERO shuffle (plan-asserted): five regexp_extract
+    + one regexp_extract_all census per row."""
+    h = df.select(id_col, strip_noise(F.col(html_col)).alias("h"))
+    title = visible_text(F.regexp_extract(F.col("h"), TITLE_PATTERN, 1))
+    return h.select(
+        id_col,
+        title.alias("title"),
+        F.regexp_extract(F.col("h"), META_DESC_PATTERN, 1).alias("description"),
+        F.regexp_extract(F.col("h"), CANONICAL_PATTERN, 1).alias("canonical"),
+        F.regexp_extract(F.col("h"), LANG_PATTERN, 1).alias("lang"),
+        F.size(F.regexp_extract_all(F.col("h"), F.lit(HEADING_PATTERN), 0))
+        .cast("long").alias("n_headings"),
+        word_count(title).cast("long").alias("title_words"),
+    )
+
+
 def synthesize_html(text_col: Column, doc_id_col: Column,
                     article_when: Column | None = None,
-                    lede: bool = False) -> Column:
+                    lede: bool = False, meta: bool = False) -> Column:
     """Deterministic HTML wrapper used by the `html_main_content` oracle
     query: the article text inside <div class=content>, surrounded by
     discriminating boilerplate — a nav whose link texts BORROW the doc's
@@ -394,21 +430,46 @@ def synthesize_html(text_col: Column, doc_id_col: Column,
     keep/drop decision depends on the NEXT block's word count (tree branch
     prev_ld>0.555556 → next_words>17), so one corpus with varying document
     lengths exercises both outcomes, while the content block itself is kept
-    through either of the two content arms depending on its own length."""
+    through either of the two content arms depending on its own length.
+
+    `meta=True` is the extract_metadata fixture: a lang attribute on <html>
+    (es for doc_id%3==0, en otherwise — branch-discriminating, not
+    constant), a meta description and canonical link borrowing doc words/id,
+    and one or two headings (the second only for even ids, so n_headings
+    varies)."""
     first_word = F.regexp_extract(text_col, r"^([^ ]+)", 1)
     a_open = (F.when(article_when, F.lit("<article>")).otherwise(F.lit(""))
               if article_when is not None else F.lit(""))
     a_close = (F.when(article_when, F.lit("</article>")).otherwise(F.lit(""))
                if article_when is not None else F.lit(""))
+    html_open = (
+        F.concat(F.lit('<html lang="'),
+                 F.when(doc_id_col % 3 == 0, F.lit("es")).otherwise(F.lit("en")),
+                 F.lit('"><head><title>doc '))
+        if meta else F.lit("<html><head><title>doc "))
+    head_extra = (
+        F.concat(F.lit('<meta name="description" content="'), first_word,
+                 F.lit(' resumen del documento">'
+                       '<link rel="canonical" href="/doc/'),
+                 doc_id_col.cast("string"), F.lit('">'))
+        if meta else F.lit(""))
+    headings = (
+        F.concat(F.lit("<h1>"), first_word, F.lit(" titular</h1>"),
+                 F.when(doc_id_col % 2 == 0,
+                        F.lit("<h2>seccion dos</h2>")).otherwise(F.lit("")))
+        if meta else F.lit(""))
     return F.concat(
-        F.lit("<html><head><title>doc "), doc_id_col.cast("string"),
-        F.lit("</title><script>var t=1;</script><style>.m{x:1}</style></head>"
+        html_open, doc_id_col.cast("string"),
+        F.lit("</title>"),
+        head_extra,
+        F.lit("<script>var t=1;</script><style>.m{x:1}</style></head>"
               "<body><nav><a href=\"/\">home</a> <a href=\"/t\">"),
         first_word,
         F.lit(" archive</a> <a href=\"/c\">contact</a></nav>"
               "<!-- build 17 -->"),
         F.lit("<p>Editorial summary follows below here today.</p>"
               if lede else ""),
+        headings,
         a_open,
         F.lit("<div class=\"content\"><p>"),
         text_col,

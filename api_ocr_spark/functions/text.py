@@ -269,3 +269,72 @@ def hamming16(a: Column, b: Column) -> Column:
 # Catalyst higher-order lambdas (aggregate/transform) are interpreted per
 # element, so a 64-counter fold was ~50x slower than 64 codegen'd integer
 # SUM aggregates over exploded tokens. See dedup.simhash64_table.
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation + context-window chunk packing
+# ---------------------------------------------------------------------------
+
+# sentence boundary = terminal punctuation followed by a space. RE2 has no
+# lookbehind, so the splitter is a two-step: mark the boundary with \x01
+# (keeping the punctuation via the $1 backreference in the REPLACEMENT,
+# which both Java ($1) and DuckDB/RE2 (\1) support), then split on the mark
+SENTENCE_BOUNDARY = r"([.!?]) "
+_SENT_MARK = "\x01"
+
+
+def split_sentences(col: Column) -> Column:
+    """text → array of trimmed, non-empty sentences (terminal punctuation
+    kept). Pure Catalyst; the two-step mark-then-split stays inside the
+    Java∩RE2∩DuckDB regex subset (no lookbehind)."""
+    marked = F.regexp_replace(col, SENTENCE_BOUNDARY, "$1" + _SENT_MARK)
+    return F.filter(
+        F.transform(F.split(marked, _SENT_MARK), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+
+
+def chunk_pack(df, text_col: str = "text", id_col: str = "doc_id",
+               cap_words: int = 64):
+    """Context-window chunk packing — the sequence-packing op a training
+    pipeline runs before tokenization: split each document into sentences,
+    then assign consecutive sentences to chunks by the deterministic
+    prefix-sum rule chunk_id = floor(words_before_this_sentence /
+    cap_words). Sentences are never split; a chunk may overrun cap_words by
+    at most one sentence (the standard boundary-respecting tradeoff).
+    Returns (id, chunk_id, chunk_text, n_sentences, n_words).
+
+    Shape at 100 TB: ONE shuffle — the doc_id window partitioning also
+    satisfies the (doc_id, chunk_id) groupBy's clustered distribution
+    (partitioning keys are a subset of the grouping keys), so the aggregate
+    adds no second exchange (plan-asserted in tools/explain_audit.py).
+    The prefix-sum rule (vs. greedy repacking) is what keeps the operator
+    one window pass instead of an iterative loop."""
+    from pyspark.sql.window import Window
+
+    from .html import word_count
+
+    sents = (
+        df.select(id_col,
+                  F.posexplode(split_sentences(F.col(text_col)))
+                  .alias("pos", "sent"))
+        .withColumn("w", word_count(F.col("sent")))
+    )
+    w_before = (Window.partitionBy(id_col).orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    chunked = sents.withColumn(
+        "chunk_id",
+        F.floor(F.coalesce(F.sum("w").over(w_before), F.lit(0))
+                / F.lit(cap_words)).cast("long"))
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda s: s["sent"]),
+                " ").alias("chunk_text"),
+            F.count("*").cast("long").alias("n_sentences"),
+            F.sum("w").cast("long").alias("n_words"),
+        )
+    )

@@ -245,6 +245,63 @@ def test_extract_links_on_synthesized_corpus(spark):
     assert all(r.is_internal == 1 for r in rows)
 
 
+def test_extract_metadata(spark):
+    """Field extraction incl. absent-field '' convention and heading
+    census; title words counted on the VISIBLE title text."""
+    rows = [
+        (0, "<html lang=\"es\"><head><title> Mi <b>Gran</b> Pagina </title>"
+            "<meta name=\"description\" content=\"desc corta\">"
+            "<link rel=\"canonical\" href=\"/p/0\"></head>"
+            "<body><h1>uno</h1><h2>dos</h2><h3>tres</h3></body></html>"),
+        (1, "<html><head></head><body><p>no metadata at all</p></body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r for r in H.extract_metadata(df).collect()}
+    r0 = got[0]
+    assert r0.title == "Mi Gran Pagina" and r0.title_words == 3
+    assert r0.description == "desc corta"
+    assert r0.canonical == "/p/0"
+    assert r0.lang == "es"
+    assert r0.n_headings == 3
+    r1 = got[1]
+    assert (r1.title, r1.description, r1.canonical, r1.lang) == ("", "", "", "")
+    assert r1.n_headings == 0 and r1.title_words == 0
+
+
+def test_chunk_pack(spark):
+    """Prefix-sum packing: sentences never split; chunk_id advances when
+    the words-before prefix crosses the cap; single-sentence overruns stay
+    one chunk."""
+    from api_ocr_spark.functions import text as T
+
+    rows = [
+        # 4 sentences of 3 words each, cap 6 → prefix 0,3,6,9 → chunks 0,0,1,1
+        (0, "a b c. d e f. g h i. j k l."),
+        # one 10-word sentence, cap 6 → one chunk, overrun allowed
+        (1, "w w w w w w w w w w"),
+        # boundary punctuation variants and double spaces
+        (2, "uno dos! tres cuatro? cinco seis."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.chunk_pack(df, cap_words=6)
+    got = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert got[(0, 0)].chunk_text == "a b c. d e f."
+    assert got[(0, 1)].chunk_text == "g h i. j k l."
+    assert got[(0, 0)].n_sentences == 2 and got[(0, 0)].n_words == 6
+    assert got[(1, 0)].n_words == 10 and got[(1, 0)].n_sentences == 1
+    assert got[(2, 0)].chunk_text == "uno dos! tres cuatro? cinco seis."
+    assert got[(2, 0)].n_sentences == 3
+    assert len(got) == 4
+
+
+def test_split_sentences_keeps_punct_and_drops_empties(spark):
+    from api_ocr_spark.functions import text as T
+
+    df = spark.createDataFrame([("Hola. Que tal? Bien!  ",)], "t string")
+    got = df.select(T.split_sentences(F.col("t")).alias("s")).first().s
+    assert got == ["Hola.", "Que tal?", "Bien!"]
+
+
 def test_synthesized_wrapper_recovers_text(spark):
     """End-to-end over the oracle fixture: the extractor recovers the
     article text from the synthesized wrapper for corpus-length docs."""

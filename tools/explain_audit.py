@@ -89,6 +89,19 @@ CHECKS = {
         ("no shuffle at all (pure map + posexplode)", ("max_exchanges", 0)),
         ("column pruning on documents scan", r"ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "html_metadata": [
+        ("all-Catalyst string pipeline (no python in the loop)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("no shuffle at all (pure map)", ("max_exchanges", 0)),
+    ],
+    "chunk_documents": [
+        ("all-Catalyst string pipeline (no python in the loop)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("prefix-sum window", r"Window"),
+        # the (doc_id, chunk_id) groupBy must land on the window's doc_id
+        # hash partitioning (grouping keys are a superset) — one exchange
+        ("single shuffle shared by window and groupBy", ("max_exchanges", 1)),
+    ],
     "decontaminate": [
         ("benchmark gram set broadcast (corpus never shuffles to meet it)",
          r"BroadcastExchange"),
