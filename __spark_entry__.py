@@ -1409,6 +1409,231 @@ GROUP BY doc_id, chunk_id
 """
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (functions/text.repetition_stats):
+    duplicate-sentence fractions, top-2-gram char coverage, duplicate
+    3-gram char fraction, keep flag. The fixture marks sentence boundaries
+    every 8th word (same rule as chunk_documents) and PLANTS a repeated
+    sentence for doc_id%5==0 — the plant embeds the doc's first word, so
+    the duplicated unit varies per document and both keep branches are
+    exercised by one corpus. Two shuffles: (doc,kind,val) gram counts
+    (partial agg map-side), then the tiny per-doc rollup."""
+    docs = _docs(spark, sf_dir)
+    first_word = F.regexp_extract(F.col("text"), r"^([^ ]+)", 1)
+    plant = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(" "), first_word, F.lit(" repetido uno. "),
+                 first_word, F.lit(" repetido uno.")),
+    ).otherwise(F.lit(""))
+    marked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.col("text"),
+                             r"((?:[^ ]+ ){7}[^ ]+) ", "$1. "),
+            plant,
+        ).alias("text"),
+    )
+    return T.repetition_stats(marked)
+
+
+ORACLE_REPETITION = r"""
+WITH fx AS (
+  SELECT doc_id,
+    regexp_replace(text, '((?:[^ ]+ ){7}[^ ]+) ', '\1. ', 'g') ||
+    CASE WHEN doc_id % 5 = 0 THEN
+      ' ' || regexp_extract(text, '^([^ ]+)', 1) || ' repetido uno. ' ||
+      regexp_extract(text, '^([^ ]+)', 1) || ' repetido uno.'
+    ELSE '' END AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, length(t) AS tot_chars, t,
+    string_split(trim(regexp_replace(lower(t), '\s+', ' ', 'g')), ' ') AS toks
+  FROM fx
+),
+sent_m AS (
+  SELECT doc_id, regexp_replace(t, '([.!?]) ', '\1' || chr(1), 'g') AS m
+  FROM base
+),
+sents AS (
+  SELECT doc_id, 's' AS kind, trim(parts[i]) AS val
+  FROM (SELECT doc_id, string_split(m, chr(1)) AS parts FROM sent_m),
+       unnest(range(1, len(parts) + 1)) AS u(i)
+  WHERE length(trim(parts[i])) > 0
+),
+g2 AS (
+  SELECT doc_id, '2' AS kind, toks[i] || ' ' || toks[i+1] AS val
+  FROM base, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2 AND i <= len(toks) - 1
+),
+g3 AS (
+  SELECT doc_id, '3' AS kind,
+    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS val
+  FROM base, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 3 AND i <= len(toks) - 2
+),
+units AS (
+  SELECT * FROM sents UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3
+),
+counts AS (
+  SELECT doc_id, kind, val, count(*) AS cnt
+  FROM units GROUP BY doc_id, kind, val
+),
+agg AS (
+  SELECT doc_id,
+    sum(CASE WHEN kind = 's' THEN cnt ELSE 0 END) AS n_sents,
+    sum(CASE WHEN kind = 's' AND cnt >= 2 THEN cnt ELSE 0 END) AS n_dup_sents,
+    sum(CASE WHEN kind = 's' THEN cnt * length(val) ELSE 0 END) AS sent_chars,
+    sum(CASE WHEN kind = 's' AND cnt >= 2 THEN cnt * length(val) ELSE 0 END)
+      AS dup_sent_chars,
+    max(CASE WHEN kind = '2' AND cnt >= 2 THEN cnt * length(val) ELSE 0 END)
+      AS top2_chars,
+    sum(CASE WHEN kind = '3' AND cnt >= 2 THEN cnt * length(val) ELSE 0 END)
+      AS dup3_chars
+  FROM counts GROUP BY doc_id
+),
+fr AS (
+  SELECT a.doc_id,
+    CASE WHEN n_sents > 0
+      THEN CAST(n_dup_sents AS DOUBLE) / n_sents ELSE 0.0 END AS dup_sent_frac,
+    CASE WHEN sent_chars > 0
+      THEN CAST(dup_sent_chars AS DOUBLE) / sent_chars ELSE 0.0 END
+      AS dup_sent_char_frac,
+    CASE WHEN tot_chars > 0
+      THEN CAST(top2_chars AS DOUBLE) / tot_chars ELSE 0.0 END
+      AS top2_char_frac,
+    CASE WHEN tot_chars > 0
+      THEN CAST(dup3_chars AS DOUBLE) / tot_chars ELSE 0.0 END
+      AS dup3_char_frac
+  FROM agg a JOIN base b USING (doc_id)
+)
+SELECT doc_id, dup_sent_frac, dup_sent_char_frac, top2_char_frac,
+  dup3_char_frac,
+  CAST(CASE WHEN dup_sent_frac <= CAST('0.30' AS DOUBLE)
+         AND top2_char_frac <= CAST('0.20' AS DOUBLE)
+         AND dup3_char_frac <= CAST('0.60' AS DOUBLE)
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM fr
+"""
+
+
+# deterministic per-doc URL fixture shared by the two url_* queries: the
+# registered domain cycles over 23x3=69 (dom, tld) pairs, the subdomain over
+# 4 values, path shape and query presence alternate by parity — every parsed
+# field varies with doc_id so constants can't be special-cased. The SQL twin
+# below is the verbatim mirror.
+def _url_fixture(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id").cast("long")
+    sub = (F.when(d % 4 == 0, "www.").when(d % 4 == 1, "blog.")
+           .when(d % 4 == 2, "").otherwise("shop."))
+    tld = F.when(d % 3 == 0, "com").when(d % 3 == 1, "org").otherwise("net")
+    first_word = F.regexp_extract(F.col("text"), r"^([^ ]+)", 1)
+    url = F.concat(
+        F.lit("https://"), sub, F.lit("dom"), (d % 23).cast("string"),
+        F.lit("."), tld, F.lit("/"), first_word,
+        F.when(d % 2 == 0,
+               F.concat(F.lit("/p/"), d.cast("string"))).otherwise(F.lit("")),
+        F.when(d % 2 == 1,
+               F.concat(F.lit("?utm="),
+                        (d % 9).cast("string"))).otherwise(F.lit("")),
+    )
+    return docs.select(d.alias("doc_id"), url.alias("url"))
+
+
+_URL_FIXTURE_SQL = """
+  SELECT doc_id,
+    'https://' ||
+    CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                    WHEN 2 THEN '' ELSE 'shop.' END ||
+    'dom' || CAST(doc_id % 23 AS VARCHAR) || '.' ||
+    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END ||
+    '/' || regexp_extract(text, '^([^ ]+)', 1) ||
+    CASE WHEN doc_id % 2 = 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+         ELSE '' END ||
+    CASE WHEN doc_id % 2 = 1 THEN '?utm=' || CAST(doc_id % 9 AS VARCHAR)
+         ELSE '' END AS url
+  FROM documents
+"""
+
+_URL_PARSED_SQL = r"""
+  SELECT doc_id, url,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   '([^.]+\.[^.]+)$', 1) AS registered_domain,
+    CAST(len(list_filter(
+      string_split(regexp_extract(
+        url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+      s -> length(s) > 0)) AS BIGINT) AS path_depth
+  FROM u
+"""
+
+
+def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist + per-domain cap sampling (functions/url
+    .domain_cap_sample): parse registered domains, anti-join a broadcast
+    blocklist (domains whose md5 first hex digit is 0-3, ~25% — derived
+    in-query so the oracle can replay it; a production blocklist arrives as
+    a table and the plan is identical), keep the 3 lowest md5-ranked docs
+    per domain. rank<=cap plans as partial+final WindowGroupLimit: a
+    template domain's million pages contribute 3 rows per map task to the
+    shuffle — skew absorbed before the wire (plan-asserted)."""
+    from api_ocr_spark.functions import url as U
+
+    urls = _url_fixture(_docs(spark, sf_dir))
+    domains = urls.select(
+        U.registered_domain(F.col("url")).alias("registered_domain")
+    ).distinct()
+    blocklist = domains.where(
+        F.substring(F.md5(F.concat(F.lit("block:"),
+                                   F.col("registered_domain"))), 1, 1)
+        .isin("0", "1", "2", "3"))
+    return U.domain_cap_sample(urls, cap=3, blocklist=blocklist)
+
+
+ORACLE_URL_DOMAIN_CAP = f"""
+WITH u AS ({_URL_FIXTURE_SQL}),
+parsed AS ({_URL_PARSED_SQL}),
+keepable AS (
+  SELECT * FROM parsed
+  WHERE substring(md5('block:' || registered_domain), 1, 1)
+        NOT IN ('0', '1', '2', '3')
+),
+ranked AS (
+  SELECT doc_id, host, registered_domain, path_depth,
+    CAST(row_number() OVER (
+      PARTITION BY registered_domain
+      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+      AS BIGINT) AS domain_rank
+  FROM keepable
+)
+SELECT * FROM ranked WHERE domain_rank <= 3
+"""
+
+
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain census (functions/url.host_stats): doc count,
+    distinct hosts, query-string docs, max path depth. One shuffle with
+    map-side partial agg; countDistinct is Spark's standard two-phase
+    expand."""
+    from api_ocr_spark.functions import url as U
+
+    return U.host_stats(_url_fixture(_docs(spark, sf_dir)))
+
+
+ORACLE_URL_HOST_STATS = f"""
+WITH u AS ({_URL_FIXTURE_SQL}),
+parsed AS ({_URL_PARSED_SQL})
+SELECT registered_domain,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+  CAST(sum(CASE WHEN length(regexp_extract(url, '\\?([^#]*)', 1)) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_query,
+  CAST(max(path_depth) AS BIGINT) AS max_path_depth
+FROM parsed
+GROUP BY registered_domain
+"""
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling — the reproducible
     down-sampling op a training-data pipeline runs per source/language:
@@ -1786,6 +2011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": q_html_links,
         "html_metadata": q_html_metadata,
         "chunk_documents": q_chunk_documents,
+        "repetition_filter": q_repetition_filter,
+        "url_domain_cap": q_url_domain_cap,
+        "url_host_stats": q_url_host_stats,
         "corpus_sample": q_corpus_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1828,6 +2056,9 @@ def oracle_sql() -> dict[str, str]:
         "html_links": ORACLE_HTML_LINKS,
         "html_metadata": ORACLE_HTML_METADATA,
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+        "repetition_filter": ORACLE_REPETITION,
+        "url_domain_cap": ORACLE_URL_DOMAIN_CAP,
+        "url_host_stats": ORACLE_URL_HOST_STATS,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

@@ -1,0 +1,138 @@
+"""URL parsing + per-domain corpus-policy operators — all JVM-side Catalyst.
+
+The reference service has no URL layer (it is a per-request OCR API,
+/root/reference/main.py routes by endpoint); these operators extend the
+web-extraction tier this engine targets: host-level document caps and
+domain blocklists are the standard pre-extraction steps of a web corpus
+pipeline (CCNet / RefinedWeb keep at most K pages per registered domain so
+template-heavy hosts cannot dominate the training mix).
+
+Regex note: every pattern stays inside the Java ∩ RE2 ∩ DuckDB common
+subset so the DuckDB oracle SQL in __spark_entry__ uses the textually
+identical pattern (no lookbehind, no \\d).
+
+Registered-domain note: the real public-suffix list is data, not grammar
+(co.uk vs com); this engine pins the two-label rule `([^.]+\\.[^.]+)$` and
+documents it — swapping in a PSL broadcast join is a data change, not a
+shape change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCHEME_PATTERN = r"^([a-z][a-z0-9+.-]*)://"
+HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+PATH_PATTERN = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+QUERY_PATTERN = r"\?([^#]*)"
+REGISTERED_PATTERN = r"([^.]+\.[^.]+)$"
+
+
+def url_scheme(col: Column) -> Column:
+    return F.regexp_extract(col, SCHEME_PATTERN, 1)
+
+
+def url_host(col: Column) -> Column:
+    return F.regexp_extract(col, HOST_PATTERN, 1)
+
+
+def url_path(col: Column) -> Column:
+    return F.regexp_extract(col, PATH_PATTERN, 1)
+
+
+def url_query(col: Column) -> Column:
+    return F.regexp_extract(col, QUERY_PATTERN, 1)
+
+
+def registered_domain(col: Column) -> Column:
+    """Two-label suffix of the host (pinned rule; see module docstring)."""
+    return F.regexp_extract(url_host(col), REGISTERED_PATTERN, 1)
+
+
+def path_depth(col: Column) -> Column:
+    """Number of non-empty path segments (leading/trailing slashes ignored)."""
+    return F.size(
+        F.filter(F.split(url_path(col), "/"), lambda s: F.length(s) > 0)
+    ).cast("long")
+
+
+def parse_urls(df: DataFrame, url_col: str = "url",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-doc URL census: scheme/host/registered domain/path depth/query
+    flag. Absent components are '' (regexp_extract no-match convention in
+    both engines). Pure codegen'd map, zero shuffle."""
+    u = F.col(url_col)
+    return df.select(
+        id_col,
+        url_scheme(u).alias("scheme"),
+        url_host(u).alias("host"),
+        registered_domain(u).alias("registered_domain"),
+        url_path(u).alias("path"),
+        path_depth(u).alias("path_depth"),
+        (F.length(url_query(u)) > 0).cast("long").alias("has_query"),
+    )
+
+
+def domain_cap_sample(df: DataFrame, url_col: str = "url",
+                      id_col: str = "doc_id", cap: int = 3,
+                      blocklist: DataFrame | None = None) -> DataFrame:
+    """Per-registered-domain document cap with optional blocklist — the
+    host-balancing step of a web corpus pipeline: parse URLs, drop
+    blocklisted registered domains (broadcast ANTI join — the corpus never
+    shuffles to meet the blocklist), keep the `cap` lowest md5-ranked docs
+    per domain (md5 rank = deterministic uniform sample, reproducible
+    across runs and engines).
+
+    Shape at 100 TB: `row_number() <= cap` over the domain window triggers
+    Spark's WindowGroupLimit (partial per input partition, final after the
+    single domain exchange) — each map task forwards at most cap rows per
+    domain, so a million-page template domain contributes cap rows to the
+    shuffle, not a million: the domain skew is absorbed BEFORE the wire
+    (plan-asserted in tools/explain_audit.py, same shape as
+    topk_orders_per_customer)."""
+    u = F.col(url_col)
+    parsed = df.select(
+        id_col,
+        url_host(u).alias("host"),
+        registered_domain(u).alias("registered_domain"),
+        path_depth(u).alias("path_depth"),
+    )
+    if blocklist is not None:
+        parsed = parsed.join(F.broadcast(blocklist), "registered_domain",
+                             "left_anti")
+    w = Window.partitionBy("registered_domain").orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string"))),
+        id_col)
+    return (
+        parsed.withColumn("domain_rank",
+                          F.row_number().over(w).cast("long"))
+        .where(F.col("domain_rank") <= cap)
+        .select(id_col, "host", "registered_domain", "path_depth",
+                "domain_rank")
+    )
+
+
+def host_stats(df: DataFrame, url_col: str = "url",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-registered-domain census: doc count, distinct hosts, docs with a
+    query string, max path depth. One shuffle on the domain key with
+    map-side partial aggregation; countDistinct plans as Spark's standard
+    two-phase expand."""
+    u = F.col(url_col)
+    return (
+        df.select(
+            registered_domain(u).alias("registered_domain"),
+            url_host(u).alias("host"),
+            path_depth(u).alias("path_depth"),
+            (F.length(url_query(u)) > 0).cast("long").alias("has_query"),
+        )
+        .groupBy("registered_domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.sum("has_query").cast("long").alias("n_query"),
+            F.max("path_depth").alias("max_path_depth"),
+        )
+    )

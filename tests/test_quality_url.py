@@ -1,0 +1,107 @@
+"""Repetition-filter (Gopher-style) and URL/domain operator tests."""
+
+from pyspark.sql import functions as F
+
+from api_ocr_spark.functions import text as T
+from api_ocr_spark.functions import url as U
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("solo",), ("x y",)],
+                               "t string")
+    got = df.select(
+        T.word_ngrams(F.col("t"), 2).alias("g2"),
+        T.word_ngrams(F.col("t"), 3).alias("g3"),
+    ).collect()
+    assert got[0].g2 == ["a b", "b c", "c d"]
+    assert got[0].g3 == ["a b c", "b c d"]
+    assert got[1].g2 == [] and got[1].g3 == []
+    assert got[2].g2 == ["x y"] and got[2].g3 == []
+
+
+def test_repetition_stats_planted(spark):
+    """A doc that is one sentence repeated 3x must be flagged; a
+    no-repetition doc keeps. Fractions follow the documented rules."""
+    rows = [
+        (0, "uno dos tres. uno dos tres. uno dos tres."),
+        (1, "cada palabra aqui es distinta de verdad."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.repetition_stats(df).collect()}
+    r0 = got[0]
+    # all 3 sentence occurrences share one value -> frac 1.0
+    assert r0.dup_sent_frac == 1.0 and r0.dup_sent_char_frac == 1.0
+    # highest-coverage 2-gram is "dos tres." (9 chars x 3); tot_chars = 41
+    assert abs(r0.top2_char_frac - 3 * 9 / 41.0) < 1e-12
+    assert r0.dup3_char_frac > 0.6 and r0.keep == 0
+    r1 = got[1]
+    assert r1.dup_sent_frac == 0.0 and r1.dup3_char_frac == 0.0
+    # nothing repeats -> the repeated-2-gram coverage is zero by definition
+    assert r1.top2_char_frac == 0.0
+    assert r1.keep == 1
+
+
+def test_repetition_single_sentence_doc(spark):
+    """No boundary -> one sentence, never 'duplicate'; top2 still counted."""
+    df = spark.createDataFrame([(0, "w w w w")], "doc_id long, text string")
+    r = T.repetition_stats(df).first()
+    assert r.dup_sent_frac == 0.0
+    # "w w" occurs 3 times, 3 chars each, tot 7
+    assert abs(r.top2_char_frac - 9 / 7.0) < 1e-12
+    assert r.keep == 0  # top2 coverage over threshold
+
+
+def test_parse_urls_fields(spark):
+    rows = [
+        (0, "https://www.blog.example.com/a/b/c?x=1#frag"),
+        (1, "http://example.org"),
+        (2, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in U.parse_urls(df).collect()}
+    r0 = got[0]
+    assert r0.scheme == "https" and r0.host == "www.blog.example.com"
+    assert r0.registered_domain == "example.com"
+    assert r0.path == "/a/b/c" and r0.path_depth == 3 and r0.has_query == 1
+    r1 = got[1]
+    assert r1.host == "example.org" and r1.registered_domain == "example.org"
+    assert r1.path == "" and r1.path_depth == 0 and r1.has_query == 0
+    assert got[2].host == "" and got[2].registered_domain == ""
+
+
+def test_domain_cap_sample(spark):
+    """Cap keeps exactly cap docs per domain, ranks 1..cap, deterministic
+    across runs; blocklisted domains vanish entirely."""
+    rows = [(i, f"https://h{i % 2}.dom{i % 3}.com/p/{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = U.domain_cap_sample(df, cap=2).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.registered_domain, []).append(r)
+    assert set(by_dom) == {"dom0.com", "dom1.com", "dom2.com"}
+    for dom, rs in by_dom.items():
+        assert sorted(r.domain_rank for r in rs) == [1, 2]
+    again = U.domain_cap_sample(df, cap=2).collect()
+    assert sorted((r.doc_id, r.domain_rank) for r in again) == \
+        sorted((r.doc_id, r.domain_rank) for r in out)
+
+    block = spark.createDataFrame([("dom1.com",)],
+                                  "registered_domain string")
+    blocked = U.domain_cap_sample(df, cap=2, blocklist=block).collect()
+    assert {r.registered_domain for r in blocked} == {"dom0.com", "dom2.com"}
+
+
+def test_host_stats(spark):
+    rows = [
+        (0, "https://a.x.com/p"),
+        (1, "https://b.x.com/p/q?z=1"),
+        (2, "https://a.x.com/"),
+        (3, "https://y.org/only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.registered_domain: r for r in U.host_stats(df).collect()}
+    x = got["x.com"]
+    assert x.n_docs == 3 and x.n_hosts == 2 and x.n_query == 1
+    assert x.max_path_depth == 2
+    y = got["y.org"]
+    assert y.n_docs == 1 and y.n_hosts == 1 and y.n_query == 0

@@ -102,6 +102,28 @@ CHECKS = {
         # hash partitioning (grouping keys are a superset) — one exchange
         ("single shuffle shared by window and groupBy", ("max_exchanges", 1)),
     ],
+    "repetition_filter": [
+        ("all-Catalyst explode+aggregate (no python in the loop)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("codegen'd CASE aggregates (no interpreted HOF fold in agg)",
+         r"HashAggregate"),
+        # (doc,kind,val) counts then per-doc rollup: two exchanges, both
+        # with map-side partial aggregation; never a cartesian
+        ("two-level aggregation, bounded exchanges", ("max_exchanges", 2)),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
+    "url_domain_cap": [
+        ("cap pushed into the shuffle (partial WindowGroupLimit)",
+         r"WindowGroupLimit"),
+        ("blocklist met by broadcast ANTI join (corpus never shuffles "
+         "for the filter)", r"BroadcastHashJoin LeftAnti|LeftAnti, BuildRight"),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
+    "url_host_stats": [
+        ("all-Catalyst parse (no python in the loop)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("map-side partial aggregation", r"HashAggregate"),
+    ],
     "decontaminate": [
         ("benchmark gram set broadcast (corpus never shuffles to meet it)",
          r"BroadcastExchange"),
