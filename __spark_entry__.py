@@ -1517,6 +1517,128 @@ FROM fr
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-WIDE sentence dedup (operators/dedup.line_dedup): every
+    sentence seen more than once anywhere in the corpus survives only at
+    its first (doc_id, pos) occurrence; docs are re-assembled from kept
+    sentences. The fixture marks boundaries every 8th word (chunk_documents
+    rule) and plants cross-doc boilerplate: one sentence in EVERY doc and a
+    second in even docs — so the keeper logic, the removal path, and the
+    reassembly are all exercised corpus-wide. Min-agg + equi-join shape
+    (skew-immune; see operator docstring), never a window sort."""
+    docs = _docs(spark, sf_dir)
+    marked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.col("text"),
+                             r"((?:[^ ]+ ){7}[^ ]+) ", "$1. "),
+            F.lit(". Boletin oficial de la escuela."),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit(" Aviso de privacidad vigente."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup.line_dedup(marked)
+
+
+ORACLE_LINE_DEDUP = r"""
+WITH fx AS (
+  SELECT doc_id,
+    regexp_replace(text, '((?:[^ ]+ ){7}[^ ]+) ', '\1. ', 'g') ||
+    '. Boletin oficial de la escuela.' ||
+    CASE WHEN doc_id % 2 = 0 THEN ' Aviso de privacidad vigente.'
+         ELSE '' END AS t
+  FROM documents
+),
+sent_m AS (
+  SELECT doc_id, regexp_replace(t, '([.!?]) ', '\1' || chr(1), 'g') AS m
+  FROM fx
+),
+rawsent AS (
+  SELECT doc_id, i AS i0, trim(parts[i]) AS sent
+  FROM (SELECT doc_id, string_split(m, chr(1)) AS parts FROM sent_m),
+       unnest(range(1, len(parts) + 1)) AS u(i)
+),
+sents AS (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY doc_id ORDER BY i0) - 1 AS pos, sent
+  FROM rawsent WHERE length(sent) > 0
+),
+flagged AS (
+  SELECT doc_id, pos, sent,
+    row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) = 1 AS kept
+  FROM sents
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN kept THEN sent END, ' ' ORDER BY pos), '')
+    AS clean_text,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrub (functions/text.redact_pii): emails, IPv4, and
+    phone-shaped number groups to placeholder tokens + per-doc counts. The
+    fixture plants a DIFFERENT PII kind per doc_id%3 with id-varying
+    values; the corpus's own digit runs exercise the aggressive-phone
+    policy on unplanted text. Pure zero-shuffle codegen map; counts taken
+    stepwise on the progressively redacted text, nesting mirrored in the
+    oracle."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+    plant = (
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" contacto: user"), d.cast("string"),
+                        F.lit("@mail"), (d % 7).cast("string"),
+                        F.lit(".com")))
+        .when(d % 3 == 1,
+              F.concat(F.lit(" servidor 10."), (d % 250).cast("string"),
+                       F.lit(".0."), (d % 200).cast("string")))
+        .otherwise(
+            F.concat(F.lit(" tel +52 55-23"),
+                     (d % 80 + 10).cast("string"), F.lit("-1234"))))
+    fx = docs.select(d.alias("doc_id"),
+                     F.concat(F.col("text"), plant).alias("text"))
+    return T.redact_pii(fx)
+
+
+ORACLE_REDACT_PII = f"""
+WITH fx AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' contacto: user' ||
+           CAST(doc_id AS VARCHAR) || '@mail' ||
+           CAST(doc_id % 7 AS VARCHAR) || '.com'
+         WHEN doc_id % 3 = 1 THEN ' servidor 10.' ||
+           CAST(doc_id % 250 AS VARCHAR) || '.0.' ||
+           CAST(doc_id % 200 AS VARCHAR)
+         ELSE ' tel +52 55-23' || CAST(doc_id % 80 + 10 AS VARCHAR) ||
+           '-1234' END AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, t,
+    regexp_replace(t, '{T.PII_EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1
+  FROM fx
+),
+s2 AS (
+  SELECT doc_id, t, t1,
+    regexp_replace(t1, '{T.PII_IP_PATTERN}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t2, '{T.PII_PHONE_PATTERN}', '<PHONE>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(t, '{T.PII_EMAIL_PATTERN}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(t1, '{T.PII_IP_PATTERN}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '{T.PII_PHONE_PATTERN}')) AS BIGINT)
+    AS n_phones
+FROM s2
+"""
+
+
 # deterministic per-doc URL fixture shared by the two url_* queries: the
 # registered domain cycles over 23x3=69 (dom, tld) pairs, the subdomain over
 # 4 values, path shape and query presence alternate by parity — every parsed
@@ -2012,6 +2134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_metadata": q_html_metadata,
         "chunk_documents": q_chunk_documents,
         "repetition_filter": q_repetition_filter,
+        "line_dedup": q_line_dedup,
+        "redact_pii": q_redact_pii,
         "url_domain_cap": q_url_domain_cap,
         "url_host_stats": q_url_host_stats,
         "corpus_sample": q_corpus_sample,
@@ -2057,6 +2181,8 @@ def oracle_sql() -> dict[str, str]:
         "html_metadata": ORACLE_HTML_METADATA,
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "repetition_filter": ORACLE_REPETITION,
+        "line_dedup": ORACLE_LINE_DEDUP,
+        "redact_pii": ORACLE_REDACT_PII,
         "url_domain_cap": ORACLE_URL_DOMAIN_CAP,
         "url_host_stats": ORACLE_URL_HOST_STATS,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,

@@ -442,3 +442,44 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
          & (F.col("top2_char_frac") <= max_top2_char_frac)
          & (F.col("dup3_char_frac") <= max_dup3_char_frac)).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (C4-style pre-training scrub)
+# ---------------------------------------------------------------------------
+
+# Patterns stay in the Java ∩ RE2 ∩ DuckDB common subset ([0-9], no \d, no
+# lookaround). The phone rule keeps \b AFTER the optional +CC prefix: '+' is
+# a non-word char, so a leading \b could never match before it.
+PII_EMAIL_PATTERN = r"\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b"
+PII_IP_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_PATTERN = r"(?:\+[0-9]{1,3} )?\b(?:[0-9]{2,4}[- ]){1,3}[0-9]{2,4}\b"
+
+
+def redact_pii(df, text_col: str = "text", id_col: str = "doc_id"):
+    """C4-style PII scrub — redact emails, IPv4 addresses, and phone-shaped
+    number groups to typed placeholder tokens, reporting per-doc counts.
+    The three rules apply IN ORDER (email → ip → phone) and each count is
+    taken on the text as it stands at that step, so a digit run consumed by
+    an earlier rule can't be double-counted by a later one; the oracle
+    mirrors the same nesting. The phone rule is deliberately aggressive
+    (any 2-4-digit groups joined by '-' or ' '): a pre-training scrub
+    prefers false positives over leaked numbers — pinned policy, same rule
+    in both engines.
+
+    Pure codegen'd map, zero shuffle: three regexp_replace + three
+    regexp_extract_all counts per row."""
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_PATTERN), 0))
+    t1 = F.regexp_replace(t0, PII_EMAIL_PATTERN, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IP_PATTERN), 0))
+    t2 = F.regexp_replace(t1, PII_IP_PATTERN, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_PATTERN), 0))
+    t3 = F.regexp_replace(t2, PII_PHONE_PATTERN, "<PHONE>")
+    return df.select(
+        id_col,
+        t3.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )

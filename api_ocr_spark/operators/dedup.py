@@ -584,3 +584,60 @@ def contamination_flags(documents: DataFrame, benchmark: DataFrame, n: int = 8) 
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line/sentence dedup (C4 / CCNet style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(documents: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus-WIDE sentence-level dedup — the C4/CCNet "discard any line
+    seen elsewhere" pass: every sentence that occurs more than once in the
+    whole corpus survives only at its FIRST occurrence (min (doc_id, pos)
+    — a deterministic total order, reproducible across runs and engines);
+    all later occurrences are dropped and each document is re-assembled
+    from its kept sentences in original order.
+
+    Returns (doc_id, clean_text, n_kept, n_removed) for every input doc
+    (a doc whose every sentence was removed still comes out, with
+    clean_text = '' — collect_list drops the NULLed removed rows but the
+    groupBy sees them).
+
+    Shape at 100 TB — deliberately min-agg + join, NOT a row_number
+    window: the keeper per sentence is min(struct(doc_id, pos)), which
+    partial-aggregates MAP-SIDE, so a boilerplate sentence occurring a
+    billion times ("Click here to subscribe.") contributes one row per map
+    task to the first shuffle instead of forcing a billion-row sort in one
+    window partition. The flag join back (occurrences x per-sentence
+    keeper) is an equi-join on the sentence key that AQE's skew-join can
+    split freely — a window's sort-per-partition cannot be split. Three
+    exchanges total: keeper agg, flag join, per-doc reassembly (the last
+    reuses the flagged frame's output directly)."""
+    from ..functions.text import split_sentences
+
+    sents = _fan_out(documents).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(split_sentences(F.col(text_col))).alias("pos", "sent"),
+    )
+    keepers = sents.groupBy("sent").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keeper"))
+    flagged = sents.join(keepers, "sent").select(
+        "doc_id", "pos", "sent",
+        (F.struct("doc_id", "pos") == F.col("keeper")).alias("kept"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("kept"),
+                               F.struct("pos", "sent")))),
+                    lambda s: s["sent"]),
+                " ").alias("clean_text"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum((~F.col("kept")).cast("long")).alias("n_removed"),
+        )
+    )

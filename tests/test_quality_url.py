@@ -105,3 +105,52 @@ def test_host_stats(spark):
     assert x.max_path_depth == 2
     y = got["y.org"]
     assert y.n_docs == 1 and y.n_hosts == 1 and y.n_query == 0
+
+
+def test_line_dedup_cross_and_intra_doc(spark):
+    from api_ocr_spark.operators import dedup
+
+    rows = [
+        (0, "alpha uno. comun a todos. beta dos."),
+        (1, "comun a todos. gamma tres."),
+        # intra-doc repeat: second occurrence dropped
+        (2, "delta cuatro. delta cuatro. comun a todos."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    assert got[0].clean_text == "alpha uno. comun a todos. beta dos."
+    assert got[0].n_kept == 3 and got[0].n_removed == 0
+    assert got[1].clean_text == "gamma tres."
+    assert got[1].n_kept == 1 and got[1].n_removed == 1
+    assert got[2].clean_text == "delta cuatro."
+    assert got[2].n_kept == 1 and got[2].n_removed == 2
+
+
+def test_line_dedup_all_removed_doc_survives(spark):
+    from api_ocr_spark.operators import dedup
+
+    rows = [(0, "unico contenido aqui."), (1, "unico contenido aqui.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    assert got[0].clean_text == "unico contenido aqui."
+    assert got[1].clean_text == "" and got[1].n_kept == 0
+    assert got[1].n_removed == 1
+
+
+def test_redact_pii(spark):
+    rows = [
+        (0, "escribe a maria.lopez+x@uni-mx.edu.mx hoy"),
+        (1, "servidor en 192.168.1.250 responde"),
+        (2, "llama al +52 55-2310-1234 manana"),
+        (3, "sin datos personales aqui"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.redact_pii(df).collect()}
+    assert got[0].clean_text == "escribe a <EMAIL> hoy"
+    assert (got[0].n_emails, got[0].n_ips, got[0].n_phones) == (1, 0, 0)
+    assert got[1].clean_text == "servidor en <IP> responde"
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (0, 1, 0)
+    assert got[2].clean_text == "llama al <PHONE> manana"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 0, 1)
+    assert got[3].clean_text == "sin datos personales aqui"
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 0)

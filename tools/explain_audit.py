@@ -112,6 +112,19 @@ CHECKS = {
         ("two-level aggregation, bounded exchanges", ("max_exchanges", 2)),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "line_dedup": [
+        ("keeper via min-AGG (map-side partials; no window sort on the "
+         "hot sentence partition)", r"HashAggregate"),
+        ("flag join is an equi-join AQE can skew-split, not a cartesian",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
+    "redact_pii": [
+        ("all-Catalyst regex pipeline (no python in the loop)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("no shuffle at all (pure map)", ("max_exchanges", 0)),
+    ],
     "url_domain_cap": [
         ("cap pushed into the shuffle (partial WindowGroupLimit)",
          r"WindowGroupLimit"),
