@@ -58,6 +58,12 @@ HEADLINE = [
     "text_stats",
     "html_main_content",
     "html_main_dom",
+    "boilerpipe_extract",
+    "chunk_documents",
+    "repetition_filter",
+    "line_dedup",
+    "url_domain_cap",
+    "redact_pii",
     "ann_cosine_topk",
     "lsh_embedding_neardup",
     "ivf_ann_topk",
