@@ -1433,7 +1433,11 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             plant,
         ).alias("text"),
     )
-    return T.repetition_stats(marked)
+    # same single-file-parquet fan-out rationale as dedup._fan_out: the
+    # explode+agg would otherwise run on ONE input partition here
+    fanned = marked.repartition(
+        2 * spark.sparkContext.defaultParallelism)
+    return T.repetition_stats(fanned)
 
 
 ORACLE_REPETITION = r"""

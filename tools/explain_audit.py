@@ -107,9 +107,9 @@ CHECKS = {
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
         ("codegen'd CASE aggregates (no interpreted HOF fold in agg)",
          r"HashAggregate"),
-        # (doc,kind,val) counts then per-doc rollup: two exchanges, both
-        # with map-side partial aggregation; never a cartesian
-        ("two-level aggregation, bounded exchanges", ("max_exchanges", 2)),
+        # fan-out repartition + (doc,kind,val) counts + per-doc rollup:
+        # three exchanges, aggs partial map-side; never a cartesian
+        ("two-level aggregation, bounded exchanges", ("max_exchanges", 3)),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
     "line_dedup": [
