@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from api_ocr_spark.functions import text as T  # noqa: E402
-from api_ocr_spark.operators import dedup, pipeline, similarity  # noqa: E402
+from api_ocr_spark.operators import dedup, keywords, pipeline, similarity  # noqa: E402
 from api_ocr_spark.sources.interleave import build_media, flat_spans  # noqa: E402
 from api_ocr_spark.sources.tables import load_table  # noqa: E402
 
@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # OCR pipeline family
 # --------------------------------------------------------------------------
 
-_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_NORM_SQL = "lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 
 _ROUNDTRIP_ORACLE = f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_NORM_SQL} AS extracted_text
@@ -1062,7 +1062,7 @@ def _vis_sql(expr: str) -> str:
         f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g'),"
         "'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),"
         " '&quot;', '\"'), '&#39;', ''''),"
-        " '\\s+', ' ', 'g'))"
+        " '\s+', ' ', 'g'))"
     )
 
 
@@ -1518,6 +1518,74 @@ SELECT doc_id, dup_sent_frac, dup_sent_char_frac, top2_char_frac,
          AND dup3_char_frac <= CAST('0.60' AS DOUBLE)
        THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM fr
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per doc by exact-rational TF-IDF
+    (operators/keywords.tfidf_top_terms): score = (tf/doc_len)*(N/df) —
+    the ln-free form is bit-identical across engines (IEEE divide and
+    multiply are correctly rounded; libm ln is not), same ranking as
+    ln-idf for fixed N. rank<=k plans as partial+final WindowGroupLimit;
+    df derives from the distinct (doc,term) frame, never a second corpus
+    pass."""
+    return keywords.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+ORACLE_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        ' ')) AS doc_len,
+    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, first(doc_len) AS doc_len
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+    (t.tf / t.doc_len) * ((SELECT n_docs FROM n) / d.df) AS score
+  FROM tf t JOIN dfreq d USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+  score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 vocabulary (operators/keywords.vocab_topk): corpus
+    term counts + document frequency, (count desc, term asc) total order.
+    sort+limit plans as TakeOrderedAndProject — each partition forwards
+    only its local top-K, the global sort never materializes
+    (plan-asserted)."""
+    return keywords.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+ORACLE_VOCAB_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        ' ')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM toks GROUP BY term
+)
+SELECT term, n_occurrences, n_docs
+FROM counts ORDER BY n_occurrences DESC, term LIMIT 100
 """
 
 
@@ -2139,6 +2207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "repetition_filter": q_repetition_filter,
         "line_dedup": q_line_dedup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "vocab_topk": q_vocab_topk,
         "redact_pii": q_redact_pii,
         "url_domain_cap": q_url_domain_cap,
         "url_host_stats": q_url_host_stats,
@@ -2186,6 +2256,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "repetition_filter": ORACLE_REPETITION,
         "line_dedup": ORACLE_LINE_DEDUP,
+        "tfidf_top_terms": ORACLE_TFIDF,
+        "vocab_topk": ORACLE_VOCAB_TOPK,
         "redact_pii": ORACLE_REDACT_PII,
         "url_domain_cap": ORACLE_URL_DOMAIN_CAP,
         "url_host_stats": ORACLE_URL_HOST_STATS,

@@ -154,3 +154,37 @@ def test_redact_pii(spark):
     assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 0, 1)
     assert got[3].clean_text == "sin datos personales aqui"
     assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 0)
+
+
+def test_tfidf_top_terms(spark):
+    from api_ocr_spark.operators import keywords
+
+    rows = [
+        (0, "manzana manzana pera uva"),
+        (1, "pera uva kiwi"),
+        (2, "uva uva uva banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = keywords.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: manzana tf=2/4 df=1 -> (0.5)*(3/1)=1.5 beats pera/uva
+    top0 = sorted(by_doc[0], key=lambda r: r.rank)
+    assert top0[0].term == "manzana" and abs(top0[0].score - 1.5) < 1e-12
+    assert top0[0].tf == 2 and top0[0].df == 1
+    # doc 2: uva tf=3/4 but df=3 -> 0.75*1=0.75; banana 0.25*3=0.75 ->
+    # tie broken by term asc: banana first
+    top2 = sorted(by_doc[2], key=lambda r: r.rank)
+    assert [r.term for r in top2] == ["banana", "uva"]
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_vocab_topk(spark):
+    from api_ocr_spark.operators import keywords
+
+    rows = [(0, "a b a c"), (1, "b a d"), (2, "a e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = keywords.vocab_topk(df, k=3).collect()
+    assert [(r.term, r.n_occurrences, r.n_docs) for r in got] == [
+        ("a", 4, 3), ("b", 2, 2), ("c", 1, 1)]

@@ -112,6 +112,20 @@ CHECKS = {
         ("two-level aggregation, bounded exchanges", ("max_exchanges", 3)),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "tfidf_top_terms": [
+        ("rank<=k pushed into the shuffle (partial WindowGroupLimit)",
+         r"WindowGroupLimit"),
+        ("tf x df equi-join, not cartesian",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
+    "vocab_topk": [
+        ("distributed top-k (no global sort materialization)",
+         r"TakeOrderedAndProject"),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "line_dedup": [
         ("keeper via min-AGG (map-side partials; no window sort on the "
          "hot sentence partition)", r"HashAggregate"),
