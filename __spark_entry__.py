@@ -2089,6 +2089,64 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (similarity.semdedup) over the
+    planted-augmented corpus: md5-seeded Lloyd clusters (same codebook as
+    ivf_ann_topk — the oracle unrolls the three rounds identically), then a
+    within-cluster min-id prune at cosine >= 0.8. The planted
+    negated-coordinate replicas (cos ≈ 0.95-0.99 vs their sources) are the
+    discriminating dups — each lands keep=0 whenever Lloyd co-clusters it
+    with its source, and the oracle replays the same clustering, so equality
+    holds whatever the co-clustering rate is (the rate itself is asserted
+    nonzero in tests). Plan shape: the pair meet is an equi-join on
+    centroid_id — never a cartesian."""
+    aug = similarity.augment_with_planted(load_table(spark, sf_dir, "embeddings"))
+    return similarity.semdedup(aug, threshold=0.8, n_centroids=16)
+
+
+# full algorithmic twin of similarity.semdedup over the augmented corpus:
+# md5-derived Lloyd seeding, three unrolled rounds, final assignment,
+# within-cluster min-id drop set at exact-integer cosine >= 0.8
+ORACLE_SEMANTIC_DEDUP = (f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+{_AUG_SQL},
+q0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM aug
+), n AS (
+  SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q0
+), init AS (
+  SELECT qv, row_number() OVER (ORDER BY md5('ivf11_' || CAST(vec_id AS VARCHAR))) - 1 AS centroid_id
+  FROM n ORDER BY md5('ivf11_' || CAST(vec_id AS VARCHAR)) LIMIT 16
+), cents0 AS (
+  SELECT centroid_id, qv AS cvec,
+         CASE WHEN list_dot_product(qv, qv) = 0 THEN 1 ELSE list_dot_product(qv, qv) END AS cnorm2
+  FROM init
+)"""
+    + "".join(_ivf_lloyd_round_sql(r) for r in (1, 2, 3))
+    + """
+, scored4 AS (
+  SELECT n.vec_id, c.centroid_id,
+         list_dot_product(n.qv, c.cvec) / sqrt(n.norm2 * c.cnorm2) AS ccos
+  FROM n CROSS JOIN cents3 c
+), assign4 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+    FROM scored4) WHERE rn = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign4 a JOIN assign4 b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE round(list_dot_product(na.qv, nb.qv) / sqrt(na.norm2 * nb.norm2), 6) >= 0.8
+)
+SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM assign4 a LEFT JOIN drops d ON d.vec_id = a.vec_id
+""")
+
+
 def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction over the binary media column. The
     decode is real (engine PNG/JPEG codecs); the checked projection is the
@@ -2217,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "semantic_dedup": q_semantic_dedup,
         "image_metadata": q_image_metadata,
     }
 
@@ -2270,6 +2329,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
         "lsh_embedding_neardup": ORACLE_LSH_EMBEDDING_NEARDUP,
         "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
+        "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "image_metadata": ORACLE_IMAGE_METADATA,
         # no rows-only entries remain: the Lloyd iteration unrolls into SQL
         # once its seeding is md5-derived, and image_metadata's checked

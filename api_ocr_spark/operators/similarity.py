@@ -393,3 +393,49 @@ def lsh_buckets_table(emb: DataFrame, dim: int = 64, bits: int = LSH_BITS,
         .agg(F.sum("bit").cast("int").alias("bucket"))
     )
     return q.join(buckets, "vec_id")
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.8, n_centroids: int = 16,
+             iters: int = 3, seed: int = 11) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus with the md5-seeded Lloyd coarse quantizer
+    (ivf_assign_table — broadcast codebook, so the codebook can grow to
+    production sizes without bloating the plan), then prune WITHIN each
+    cluster: a vector is dropped iff a lower-id member of its own cluster
+    sits inside the cosine-`threshold` ball. Min-id keep policy — fully
+    deterministic and SQL-replicable; the paper keeps a random exemplar (or
+    the one farthest from the centroid), a pinned deviation documented here.
+    Cross-cluster near-dups are NOT found — that approximation is the
+    algorithm's published trade (recall vs the quadratic global meet).
+
+    Returns (vec_id, centroid_id, keep) for every corpus vector.
+
+    Shape at 100 TB: the pair meet is an EQUI-join on centroid_id (shuffle
+    hash/SMJ — never a cartesian), quadratic only inside one inverted list,
+    which is the published algorithm's own cost model; cluster size is
+    bounded by scaling n_centroids with the corpus (k ≈ N / target cluster
+    size) so each list stays executor-sized. The drop set is distinct'd
+    BEFORE the flag join, so boilerplate-heavy clusters cannot fan the join
+    out."""
+    assigned, _ = ivf_assign_table(emb, n_centroids=n_centroids, iters=iters,
+                                   seed=seed)
+    left = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("qvec").alias("qa"),
+        F.col("norm2").alias("na"), "centroid_id")
+    right = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("qvec").alias("qb"),
+        F.col("norm2").alias("nb"), "centroid_id")
+    dropped = (
+        left.join(right, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(dot(F.col("qa"), F.col("qb")),
+                       F.col("na"), F.col("nb")) >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id", "centroid_id",
+        F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("keep"),
+    )

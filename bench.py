@@ -64,9 +64,12 @@ HEADLINE = [
     "line_dedup",
     "url_domain_cap",
     "redact_pii",
+    "tfidf_top_terms",
+    "vocab_topk",
     "ann_cosine_topk",
     "lsh_embedding_neardup",
     "ivf_ann_topk",
+    "semantic_dedup",
 ]
 
 

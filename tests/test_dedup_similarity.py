@@ -380,3 +380,31 @@ def test_md5_bucket_roughly_uniform(spark):
     assert len(counts) == 10
     ns = [r["count"] for r in counts]
     assert min(ns) > 2000 / 10 * 0.7 and max(ns) < 2000 / 10 * 1.3
+
+
+def test_semdedup_drops_higher_id_neardup(vectors):
+    out = {r.vec_id: r for r in
+           similarity.semdedup(vectors, threshold=0.95, n_centroids=4).collect()}
+    assert len(out) == 20
+    # vec 1 is a near-identical copy of vec 0 (cos > 0.99): same argmax
+    # centroid by construction, so the min-id policy keeps 0 and drops 1
+    assert out[0].centroid_id == out[1].centroid_id
+    assert out[0].keep == 1 and out[1].keep == 0
+    assert all(r.keep == 1 for i, r in out.items() if i != 1)
+
+
+def test_semdedup_planted_corpus(vectors):
+    aug = similarity.augment_with_planted(vectors, every=5)
+    out = {r.vec_id: r for r in
+           similarity.semdedup(aug, threshold=0.8, n_centroids=4).collect()}
+    assert len(out) == 24  # 20 + planted replicas of 0, 5, 10, 15
+    co_clustered_drops = 0
+    for src in (0, 5, 10, 15):
+        rep = out[500_000 + src]
+        if rep.centroid_id == out[src].centroid_id:
+            # source is the lower id inside the threshold ball -> replica drops
+            assert rep.keep == 0
+            co_clustered_drops += 1
+    # Lloyd must actually co-cluster at least one planted pair, else the
+    # keep flags are vacuous
+    assert co_clustered_drops >= 1

@@ -64,6 +64,15 @@ CHECKS = {
          r"(Broadcast|Shuffled)HashJoin\nLeft keys \[1\]: \[centroid_id"),
         ("window top-k", r"Window"),
     ],
+    "semantic_dedup": [
+        # the corpus x k-row codebook scoring joins are broadcast BNLJ Cross
+        # by design (as in ivf_ann_topk); the PAIR MEET must be an equi-join
+        # on centroid_id — quadratic only inside one inverted list
+        ("pair meet is not a cartesian", ("absent", r"CartesianProduct")),
+        ("within-cluster equi-join on centroid_id",
+         r"Left keys \[1\]: \[centroid_id"),
+        ("no per-row python", ("absent", r"BatchEvalPython")),
+    ],
     "html_main_content": [
         ("all-Catalyst string pipeline (no python in the loop)",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
