@@ -21,7 +21,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -976,10 +976,9 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.html_main_content(wrapped)
 
 
-ORACLE_HTML_MAIN_CONTENT = r"""
-WITH h AS (
-  SELECT doc_id,
-    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+# SQL twin of functions/html.synthesize_html's default (density) page —
+# shared by ORACLE_HTML_MAIN_CONTENT and the WARC fixture's html payload
+_HTML_PAGE_SQL = """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
     '</title><script>var t=1;</script><style>.m{x:1}</style></head>' ||
     '<body><nav><a href="/">home</a> <a href="/t">' ||
     regexp_extract(text, '^([^ ]+)', 1) ||
@@ -988,7 +987,12 @@ WITH h AS (
     '</p></div><div class="related"><a href="/r1">' ||
     regexp_extract(text, '^([^ ]+)', 1) || ' related reading one</a> <a href="/r2">' ||
     regexp_extract(text, '^([^ ]+)', 1) || ' more suggested links two</a></div>' ||
-    '<footer>terms &amp; legal</footer></body></html>' AS html
+    '<footer>terms &amp; legal</footer></body></html>'"""
+
+ORACLE_HTML_MAIN_CONTENT = """
+WITH h AS (
+  SELECT doc_id,
+    """ + _HTML_PAGE_SQL + r""" AS html
   FROM documents
 ),
 noise AS (
@@ -1716,13 +1720,15 @@ FROM s2
 # 4 values, path shape and query presence alternate by parity — every parsed
 # field varies with doc_id so constants can't be special-cased. The SQL twin
 # below is the verbatim mirror.
-def _url_fixture(docs: DataFrame) -> DataFrame:
+def _url_expr() -> Column:
+    """The deterministic URL-per-doc rule (over doc_id + text columns) —
+    shared by the url_* fixtures and the WARC fixture's WARC-Target-URI."""
     d = F.col("doc_id").cast("long")
     sub = (F.when(d % 4 == 0, "www.").when(d % 4 == 1, "blog.")
            .when(d % 4 == 2, "").otherwise("shop."))
     tld = F.when(d % 3 == 0, "com").when(d % 3 == 1, "org").otherwise("net")
     first_word = F.regexp_extract(F.col("text"), r"^([^ ]+)", 1)
-    url = F.concat(
+    return F.concat(
         F.lit("https://"), sub, F.lit("dom"), (d % 23).cast("string"),
         F.lit("."), tld, F.lit("/"), first_word,
         F.when(d % 2 == 0,
@@ -1731,7 +1737,11 @@ def _url_fixture(docs: DataFrame) -> DataFrame:
                F.concat(F.lit("?utm="),
                         (d % 9).cast("string"))).otherwise(F.lit("")),
     )
-    return docs.select(d.alias("doc_id"), url.alias("url"))
+
+
+def _url_fixture(docs: DataFrame) -> DataFrame:
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       _url_expr().alias("url"))
 
 
 _URL_FIXTURE_SQL = """
@@ -2089,6 +2099,88 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """)
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingest (sources/warc_source.py): synthesize
+    deterministic WARC/1.0 archives from the documents table (16 files,
+    records in doc_id order; WARC-Target-URI from the shared URL rule,
+    WARC-Date from doc_id arithmetic, payload = the shared HTML fixture page
+    — except doc_id%10==7 records, which carry text/plain payloads so the
+    content-type branch discriminates), then parse them back with the
+    offset-driven record parser and report per-record framing + payload
+    digests. The oracle recomputes every field straight from `documents` —
+    so a framing bug anywhere in writer OR parser (lengths, separators,
+    header echo, utf-8 round-trip) breaks the md5/length match. The parse
+    side is a pure per-file map (no shuffle); the build groupBy is fixture
+    tooling only."""
+    from api_ocr_spark.functions import html as H
+    from api_ocr_spark.sources import warc_source as W
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+    recs = docs.select(
+        d.alias("doc_id"),
+        F.concat(F.lit("urn:md5:"),
+                 F.md5(F.encode(F.concat(F.lit("warc_"), d.cast("string")),
+                                "UTF-8"))).alias("record_id"),
+        _url_expr().alias("target_uri"),
+        F.concat(F.lit("2026-01-"),
+                 F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+                 F.lit("T"), F.lpad((d % 24).cast("string"), 2, "0"),
+                 F.lit(":00:00Z")).alias("warc_date"),
+        F.when(d % 10 == 7, F.lit("text/plain; charset=utf-8"))
+         .otherwise(F.lit("text/html; charset=utf-8")).alias("content_type"),
+        F.when(d % 10 == 7, F.col("text"))
+         .otherwise(H.synthesize_html(F.col("text"), d)).alias("payload"),
+    )
+    parsed = W.warc_records(W.build_warc_archives(recs, n_files=16))
+    return parsed.select(
+        "file_id", "rec_index", "record_id", "target_uri", "warc_date",
+        "content_type", "http_status",
+        F.length("payload").cast("long").alias("payload_len"),
+        F.md5(F.encode(F.col("payload"), "UTF-8")).alias("payload_md5"),
+    )
+
+
+# field-by-field twin computed straight from documents: file bucketing +
+# in-file order, the shared URL rule, date arithmetic, the content-type
+# branch, and the payload length/md5 (html fixture page or raw text) — the
+# WARC writer+parser round trip must reproduce all of it byte-exactly
+ORACLE_WARC_INGEST = ("""
+WITH f AS (
+  SELECT doc_id, text,
+    """ + _HTML_PAGE_SQL + """ AS page
+  FROM documents
+), recs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 7 THEN text ELSE page END AS payload,
+    CASE WHEN doc_id % 10 = 7 THEN 'text/plain; charset=utf-8'
+         ELSE 'text/html; charset=utf-8' END AS content_type,
+    'https://' ||
+    CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                    WHEN 2 THEN '' ELSE 'shop.' END ||
+    'dom' || CAST(doc_id % 23 AS VARCHAR) || '.' ||
+    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END ||
+    '/' || regexp_extract(text, '^([^ ]+)', 1) ||
+    CASE WHEN doc_id % 2 = 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+         ELSE '' END ||
+    CASE WHEN doc_id % 2 = 1 THEN '?utm=' || CAST(doc_id % 9 AS VARCHAR)
+         ELSE '' END AS target_uri,
+    '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+    'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00Z' AS warc_date
+  FROM f
+)
+SELECT CAST(doc_id % 16 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1
+            AS BIGINT) AS rec_index,
+       'urn:md5:' || md5('warc_' || CAST(doc_id AS VARCHAR)) AS record_id,
+       target_uri, warc_date, content_type,
+       CAST(200 AS INTEGER) AS http_status,
+       CAST(length(payload) AS BIGINT) AS payload_len,
+       md5(payload) AS payload_md5
+FROM recs
+""")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (similarity.semdedup) over the
     planted-augmented corpus: md5-seeded Lloyd clusters (same codebook as
@@ -2276,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "semantic_dedup": q_semantic_dedup,
+        "warc_ingest": q_warc_ingest,
         "image_metadata": q_image_metadata,
     }
 
@@ -2330,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embedding_neardup": ORACLE_LSH_EMBEDDING_NEARDUP,
         "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+        "warc_ingest": ORACLE_WARC_INGEST,
         "image_metadata": ORACLE_IMAGE_METADATA,
         # no rows-only entries remain: the Lloyd iteration unrolls into SQL
         # once its seeding is md5-derived, and image_metadata's checked

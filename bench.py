@@ -70,6 +70,7 @@ HEADLINE = [
     "lsh_embedding_neardup",
     "ivf_ann_topk",
     "semantic_dedup",
+    "warc_ingest",
 ]
 
 

@@ -64,6 +64,16 @@ CHECKS = {
          r"(Broadcast|Shuffled)HashJoin\nLeft keys \[1\]: \[centroid_id"),
         ("window top-k", r"Window"),
     ],
+    "warc_ingest": [
+        ("Arrow-batched parse stage (mapInPandas, no per-row python)",
+         r"MapInPandas"),
+        ("no per-row python", ("absent", r"BatchEvalPython")),
+        # the parse side is a pure per-file map; the single exchange is the
+        # fixture builder's groupBy(file_id) (production archives arrive
+        # pre-written, so the ingest itself is shuffle-free)
+        ("only the fixture-build shuffle", ("max_exchanges", 1)),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
     "semantic_dedup": [
         # the corpus x k-row codebook scoring joins are broadcast BNLJ Cross
         # by design (as in ivf_ann_topk); the PAIR MEET must be an equi-join
