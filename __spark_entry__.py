@@ -989,14 +989,14 @@ _HTML_PAGE_SQL = """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
     regexp_extract(text, '^([^ ]+)', 1) || ' more suggested links two</a></div>' ||
     '<footer>terms &amp; legal</footer></body></html>'"""
 
-ORACLE_HTML_MAIN_CONTENT = """
-WITH h AS (
-  SELECT doc_id,
-    """ + _HTML_PAGE_SQL + r""" AS html
-  FROM documents
-),
+def _html_argmax_sql(key: str) -> str:
+    """The density-argmax CTE chain (noise → frags → scored → sel), keyed by
+    `key`; expects a preceding CTE `h` with ({key}, html). Shared by
+    ORACLE_HTML_MAIN_CONTENT (keyed by doc_id) and ORACLE_WARC_EXTRACT
+    (keyed by record_id) so the regex pipeline has ONE definition."""
+    return f"""
 noise AS (
-  SELECT doc_id,
+  SELECT {key},
     regexp_replace(regexp_replace(regexp_replace(html,
       '(?is)<!--.*?-->', ' ', 'g'),
       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
@@ -1004,39 +1004,47 @@ noise AS (
   FROM h
 ),
 frags AS (
-  SELECT doc_id, i - 1 AS pos, parts[i] AS frag
-  FROM (SELECT doc_id,
+  SELECT {key}, i - 1 AS pos, parts[i] AS frag
+  FROM (SELECT {key},
           string_split_regex(hh,
             '(?i)</?(?:html|head|body|div|p|nav|header|footer|article|section|aside|main|table|tr|td|th|ul|ol|li|h[1-6]|blockquote|pre|form)[^>]*>') AS parts
         FROM noise),
        unnest(range(1, len(parts) + 1)) AS t(i)
 ),
 scored AS (
-  SELECT doc_id, pos,
+  SELECT {key}, pos,
     trim(regexp_replace(
       replace(replace(replace(replace(replace(replace(
         regexp_replace(frag, '(?s)<[^>]*>', ' ', 'g'),
         '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-      '\s+', ' ', 'g')) AS txt,
+      '\\s+', ' ', 'g')) AS txt,
     coalesce(list_aggregate(list_transform(
       regexp_extract_all(frag, '(?is)<a[^>]*>(.*?)</a>', 1),
       a -> length(trim(regexp_replace(
         replace(replace(replace(replace(replace(replace(
           regexp_replace(a, '(?s)<[^>]*>', ' ', 'g'),
           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-        '\s+', ' ', 'g')))), 'sum'), 0) AS alen
+        '\\s+', ' ', 'g')))), 'sum'), 0) AS alen
   FROM frags
 ),
 sel AS (
-  SELECT doc_id, txt, length(txt) - alen AS score, pos,
-    row_number() OVER (PARTITION BY doc_id ORDER BY length(txt) - alen DESC, pos ASC) AS r,
-    count(*) OVER (PARTITION BY doc_id) AS nb
+  SELECT {key}, txt, length(txt) - alen AS score, pos,
+    row_number() OVER (PARTITION BY {key} ORDER BY length(txt) - alen DESC, pos ASC) AS r,
+    count(*) OVER (PARTITION BY {key}) AS nb
   FROM scored WHERE length(txt) > 0
-)
+)"""
+
+
+ORACLE_HTML_MAIN_CONTENT = ("""
+WITH h AS (
+  SELECT doc_id,
+    """ + _HTML_PAGE_SQL + """ AS html
+  FROM documents
+),""" + _html_argmax_sql("doc_id") + """
 SELECT doc_id, txt AS main_text, CAST(score AS BIGINT) AS main_score,
        CAST(nb AS BIGINT) AS n_blocks
 FROM sel WHERE r = 1
-"""
+""")
 
 
 def q_html_main_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2099,23 +2107,55 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """)
 
 
-def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC crawl-archive ingest (sources/warc_source.py): synthesize
-    deterministic WARC/1.0 archives from the documents table (16 files,
-    records in doc_id order; WARC-Target-URI from the shared URL rule,
-    WARC-Date from doc_id arithmetic, payload = the shared HTML fixture page
-    — except doc_id%10==7 records, which carry text/plain payloads so the
-    content-type branch discriminates), then parse them back with the
-    offset-driven record parser and report per-record framing + payload
-    digests. The oracle recomputes every field straight from `documents` —
-    so a framing bug anywhere in writer OR parser (lengths, separators,
-    header echo, utf-8 round-trip) breaks the md5/length match. The parse
-    side is a pure per-file map (no shuffle); the build groupBy is fixture
-    tooling only."""
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup (dedup.bloom_history_dedup): history =
+    even doc_ids, probe batch = the whole corpus, m=4096 bits / k=3
+    md5-derived positions. Every even doc is a guaranteed filter hit (no
+    false negatives); odd docs hit only via position collisions or genuine
+    text equality — the exact `in_history` column ships alongside so the
+    FPR is auditable. The oracle re-derives the identical positions in SQL,
+    so equality holds at any collision rate."""
+    docs = _docs(spark, sf_dir)
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.bloom_history_dedup(docs, history, m_bits=4096, k=3)
+
+
+# position-exact twin of dedup.bloom_history_dedup (m=4096, k=3, history =
+# even doc_ids): fingerprint, set-bit relation, all-k-present membership
+# test, and the exact semi-join audit column
+ORACLE_BLOOM_DEDUP = f"""
+WITH fp AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+), hist AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0
+), ks AS (SELECT unnest(range(3)) AS i),
+bits AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(fingerprint || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 4096 AS pos
+  FROM hist CROSS JOIN ks
+), probe AS (
+  SELECT f.doc_id, f.fingerprint,
+         CAST(('0x' || substr(md5(f.fingerprint || '_' || CAST(k.i AS VARCHAR)), 1, 15)) AS BIGINT) % 4096 AS pos
+  FROM fp f CROSS JOIN ks k
+), tested AS (
+  SELECT p.doc_id, p.fingerprint,
+         CAST(min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS maybe_in_history
+  FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY p.doc_id, p.fingerprint
+)
+SELECT t.doc_id, t.fingerprint, t.maybe_in_history,
+       CAST(CASE WHEN h.fingerprint IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_history
+FROM tested t LEFT JOIN hist h ON h.fingerprint = t.fingerprint
+"""
+
+
+def _warc_parsed(docs: DataFrame) -> DataFrame:
+    """Shared WARC fixture: deterministic records from documents (record_id/
+    URI/date rules, text-plain branch for doc_id%10==7, html fixture page
+    otherwise) packed into 16 archives and parsed back — the frame both
+    warc_ingest and warc_extract start from."""
     from api_ocr_spark.functions import html as H
     from api_ocr_spark.sources import warc_source as W
 
-    docs = _docs(spark, sf_dir)
     d = F.col("doc_id").cast("long")
     recs = docs.select(
         d.alias("doc_id"),
@@ -2132,7 +2172,23 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 10 == 7, F.col("text"))
          .otherwise(H.synthesize_html(F.col("text"), d)).alias("payload"),
     )
-    parsed = W.warc_records(W.build_warc_archives(recs, n_files=16))
+    return W.warc_records(W.build_warc_archives(recs, n_files=16))
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingest (sources/warc_source.py): synthesize
+    deterministic WARC/1.0 archives from the documents table (16 files,
+    records in doc_id order; WARC-Target-URI from the shared URL rule,
+    WARC-Date from doc_id arithmetic, payload = the shared HTML fixture page
+    — except doc_id%10==7 records, which carry text/plain payloads so the
+    content-type branch discriminates), then parse them back with the
+    offset-driven record parser and report per-record framing + payload
+    digests. The oracle recomputes every field straight from `documents` —
+    so a framing bug anywhere in writer OR parser (lengths, separators,
+    header echo, utf-8 round-trip) breaks the md5/length match. The parse
+    side is a pure per-file map (no shuffle); the build groupBy is fixture
+    tooling only."""
+    parsed = _warc_parsed(_docs(spark, sf_dir))
     return parsed.select(
         "file_id", "rec_index", "record_id", "target_uri", "warc_date",
         "content_type", "http_status",
@@ -2178,6 +2234,45 @@ SELECT CAST(doc_id % 16 AS BIGINT) AS file_id,
        CAST(length(payload) AS BIGINT) AS payload_len,
        md5(payload) AS payload_md5
 FROM recs
+""")
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-extraction tier, end to end in ONE plan: WARC
+    archives → offset-framed record parse → content-type gate (the
+    text/plain records drop out) → boilerplate-stripped main-content argmax
+    → token count + dedup fingerprint of the extracted text. This is the
+    pipeline a crawl-to-corpus user actually runs; every stage is the same
+    operator the standalone queries check, keyed here by WARC record_id
+    (production's key — the doc_id never leaves the archive). The oracle
+    recomputes the whole chain from documents: fixture page → the SHARED
+    density-argmax SQL (one definition, _html_argmax_sql) → the text-stats
+    normalization twins."""
+    from api_ocr_spark.functions import html as H
+
+    parsed = _warc_parsed(_docs(spark, sf_dir))
+    pages = parsed.filter(
+        F.col("content_type") == "text/html; charset=utf-8"
+    ).select("record_id", F.col("payload").alias("html"))
+    main = H.html_main_content(pages, id_col="record_id")
+    return main.select(
+        "record_id", "main_text", "main_score", "n_blocks",
+        T.token_count(F.col("main_text")).cast("long").alias("n_tokens"),
+        T.fingerprint_md5(F.col("main_text")).alias("fingerprint"),
+    )
+
+
+ORACLE_WARC_EXTRACT = ("""
+WITH h AS (
+  SELECT 'urn:md5:' || md5('warc_' || CAST(doc_id AS VARCHAR)) AS record_id,
+    """ + _HTML_PAGE_SQL + """ AS html
+  FROM documents WHERE doc_id % 10 <> 7
+),""" + _html_argmax_sql("record_id") + r"""
+SELECT record_id, txt AS main_text, CAST(score AS BIGINT) AS main_score,
+       CAST(nb AS BIGINT) AS n_blocks,
+       CAST(len(string_split(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens,
+       md5(lower(trim(regexp_replace(txt, '\s+', ' ', 'g')))) AS fingerprint
+FROM sel WHERE r = 1
 """)
 
 
@@ -2369,6 +2464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "semantic_dedup": q_semantic_dedup,
         "warc_ingest": q_warc_ingest,
+        "bloom_dedup": q_bloom_dedup,
+        "warc_extract": q_warc_extract,
         "image_metadata": q_image_metadata,
     }
 
@@ -2424,6 +2521,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "warc_ingest": ORACLE_WARC_INGEST,
+        "bloom_dedup": ORACLE_BLOOM_DEDUP,
+        "warc_extract": ORACLE_WARC_EXTRACT,
         "image_metadata": ORACLE_IMAGE_METADATA,
         # no rows-only entries remain: the Lloyd iteration unrolls into SQL
         # once its seeding is md5-derived, and image_metadata's checked

@@ -641,3 +641,78 @@ def line_dedup(documents: DataFrame, text_col: str = "text",
             F.sum((~F.col("kept")).cast("long")).alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup against a history corpus
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(fp: Column, k: int, m_bits: int) -> list[Column]:
+    """k md5-derived bit positions in [0, m_bits) for a fingerprint —
+    position i = first 60 bits of md5(fp || '_' || i) mod m_bits. md5 (not
+    xxhash64) so the DuckDB oracle derives identical positions in SQL; the
+    at-scale swap is xxhash64(fp, i) with the oracle downgraded to
+    rows-only, as for decontaminate's gram hashing."""
+    return [
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(fp, F.lit(f"_{i}"))), 1, 15),
+                   16, 10).cast("long"),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_history_dedup(new_docs: DataFrame, history_docs: DataFrame,
+                        m_bits: int = 4096, k: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Incremental-crawl dedup via a Bloom filter over the HISTORY corpus:
+    yesterday's corpus is summarized into an m-bit filter; today's batch
+    tests membership WITHOUT joining the full history — the pattern that
+    makes daily dedup of a 100 TB archive affordable (the filter for 10^10
+    fingerprints at ~1% FPR is ~12 GB: executor-broadcastable, vs re-reading
+    the archive).
+
+    Representation here: the filter is the DISTINCT set of set bit
+    positions, broadcast to the probe side; a fingerprint "maybe" matches
+    when ALL k of its positions are present (duplicate positions within one
+    fingerprint need no special-casing under all-present semantics). False
+    positives are possible BY DESIGN (that is the Bloom trade); false
+    negatives are not — a test pins both directions and the oracle replays
+    the identical positions, so equality holds at any FPR.
+
+    Returns (doc_id, fingerprint, maybe_in_history, in_history):
+    `in_history` is the exact semi-join answer, included for FPR auditing —
+    at scale you drop it (it IS the join the filter exists to avoid)."""
+    fp_new = new_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        fingerprint_md5(F.col(text_col)).alias("fingerprint"))
+    fp_hist = history_docs.select(
+        fingerprint_md5(F.col(text_col)).alias("fingerprint")).distinct()
+    bits = (
+        fp_hist.select(F.explode(F.array(
+            *_bloom_positions(F.col("fingerprint"), k, m_bits))).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = fp_new.select(
+        "doc_id", "fingerprint",
+        F.explode(F.array(
+            *_bloom_positions(F.col("fingerprint"), k, m_bits))).alias("pos"))
+    tested = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "fingerprint")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0)))
+             .cast("long").alias("maybe_in_history"))
+    )
+    exact = fp_hist.withColumn("exact", F.lit(1))
+    return (
+        tested.join(F.broadcast(exact), "fingerprint", "left")
+        .select(
+            "doc_id", "fingerprint", "maybe_in_history",
+            F.coalesce(F.col("exact"), F.lit(0)).cast("long")
+            .alias("in_history"),
+        )
+    )

@@ -71,6 +71,8 @@ HEADLINE = [
     "ivf_ann_topk",
     "semantic_dedup",
     "warc_ingest",
+    "bloom_dedup",
+    "warc_extract",
 ]
 
 

@@ -408,3 +408,41 @@ def test_semdedup_planted_corpus(vectors):
     # Lloyd must actually co-cluster at least one planted pair, else the
     # keep flags are vacuous
     assert co_clustered_drops >= 1
+
+
+def test_bloom_history_dedup_no_false_negatives(spark):
+    rows = [(i, f"document number {i} with unique words w{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    out = {r.doc_id: r for r in
+           dedup.bloom_history_dedup(docs, hist, m_bits=4096, k=3).collect()}
+    assert len(out) == 40
+    for i in range(0, 40, 2):  # every history member must hit the filter
+        assert out[i].maybe_in_history == 1 and out[i].in_history == 1
+    for r in out.values():  # Bloom can over-approximate, never under
+        assert r.maybe_in_history >= r.in_history
+
+
+def test_bloom_false_positives_at_tiny_m(spark):
+    # with m=8 bits and 20 history fingerprints the filter saturates: some
+    # non-member must collide — the FPR trade is observable and exact
+    docs = spark.createDataFrame(
+        [(i, f"texto {i} palabras distintas x{i}") for i in range(40)],
+        "doc_id long, text string")
+    hist = docs.filter(F.col("doc_id") < 20)
+    out = dedup.bloom_history_dedup(docs, hist, m_bits=8, k=2).collect()
+    fp_rows = [r for r in out if r.maybe_in_history == 1 and r.in_history == 0]
+    assert fp_rows, "a saturated 8-bit filter must produce false positives"
+    assert all(r.maybe_in_history == 1 for r in out if r.in_history == 1)
+
+
+def test_bloom_exact_membership_is_textual(spark):
+    # same normalized text under a different doc_id is a TRUE member
+    docs = spark.createDataFrame(
+        [(0, "shared body"), (1, "  SHARED   body "), (2, "other thing")],
+        "doc_id long, text string")
+    hist = docs.filter(F.col("doc_id") == 0)
+    out = {r.doc_id: r for r in
+           dedup.bloom_history_dedup(docs, hist, m_bits=4096, k=3).collect()}
+    assert out[1].in_history == 1 and out[1].maybe_in_history == 1
+    assert out[2].in_history == 0

@@ -64,6 +64,13 @@ CHECKS = {
          r"(Broadcast|Shuffled)HashJoin\nLeft keys \[1\]: \[centroid_id"),
         ("window top-k", r"Window"),
     ],
+    "bloom_dedup": [
+        # the set-bit relation (and the exact-audit fingerprint set) are
+        # broadcast; the probe side meets the filter map-side
+        ("filter bit-set broadcast to the probe side", r"BroadcastExchange"),
+        ("membership test is a broadcast hash join", r"BroadcastHashJoin"),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
     "warc_ingest": [
         ("Arrow-batched parse stage (mapInPandas, no per-row python)",
          r"MapInPandas"),
@@ -72,6 +79,15 @@ CHECKS = {
         # fixture builder's groupBy(file_id) (production archives arrive
         # pre-written, so the ingest itself is shuffle-free)
         ("only the fixture-build shuffle", ("max_exchanges", 1)),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
+    "warc_extract": [
+        ("Arrow-batched parse stage", r"MapInPandas"),
+        ("no per-row python", ("absent", r"BatchEvalPython")),
+        ("per-record argmax window", r"Window"),
+        # fixture-build groupBy + the record_id window shuffle; the
+        # extraction chain itself adds no exchange beyond the window
+        ("bounded exchanges (build + window)", ("max_exchanges", 2)),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
     "semantic_dedup": [
