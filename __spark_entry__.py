@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from api_ocr_spark.functions import text as T  # noqa: E402
-from api_ocr_spark.operators import dedup, keywords, pipeline, similarity  # noqa: E402
+from api_ocr_spark.operators import dedup, graph, keywords, pipeline, similarity  # noqa: E402
 from api_ocr_spark.sources.interleave import build_media, flat_spans  # noqa: E402
 from api_ocr_spark.sources.tables import load_table  # noqa: E402
 
@@ -2276,6 +2276,106 @@ FROM sel WHERE r = 1
 """)
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph centrality for crawl prioritization (operators/graph):
+    page-level host→host pairs from pure doc_id arithmetic (src host = the
+    URL rule's host; dst host = the (id*7+3)%23 / (id+1)%3 partner — both
+    valid hosts at every SF with no id-contiguity assumption), aggregated
+    into a weighted edge frame, then THREE integer PageRank rounds. The
+    floored-integer recurrence makes the oracle an exact-equality unroll
+    (float PageRank sums in engine-dependent order and could only be
+    tolerance-checked)."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+
+    def tld(x: Column) -> Column:
+        return (F.when(x % 3 == 0, "com").when(x % 3 == 1, "org")
+                .otherwise("net"))
+
+    pairs = docs.select(
+        F.concat(F.lit("dom"), (d % 23).cast("string"), F.lit("."),
+                 tld(d)).alias("src"),
+        F.concat(F.lit("dom"), ((d * 7 + 3) % 23).cast("string"), F.lit("."),
+                 tld(d + 1)).alias("dst"),
+    )
+    return graph.pagerank_int(graph.aggregate_edges(pairs), iters=3)
+
+
+def _pr_round_sql(k: int) -> str:
+    """One unrolled integer-PageRank round: floored-integer shares along
+    weighted edges, then base + Σ per node (nodes with no in-edges keep
+    only the base mass)."""
+    return f"""
+, c{k} AS (
+  SELECT e.dst AS node, sum((r.r * 85 * e.w) // (100 * o.out_w)) AS s
+  FROM edges e JOIN r{k - 1} r ON r.node = e.src JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT n.node, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+)"""
+
+
+ORACLE_HOST_PAGERANK = ("""
+WITH pairs AS (
+  SELECT
+    'dom' || CAST(doc_id % 23 AS VARCHAR) || '.' ||
+      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS src,
+    'dom' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) || '.' ||
+      CASE (doc_id + 1) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS dst
+  FROM documents
+), edges AS (SELECT src, dst, count(*) AS w FROM pairs GROUP BY src, dst),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+inw AS (SELECT dst, sum(w) AS in_w FROM edges GROUP BY dst),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    + "".join(_pr_round_sql(k) for k in (1, 2, 3))
+    + """
+SELECT n.node AS host, r3.r AS pagerank,
+       CAST(coalesce(o.out_w, 0) AS BIGINT) AS out_w,
+       CAST(coalesce(i.in_w, 0) AS BIGINT) AS in_w
+FROM nodes n JOIN r3 ON r3.node = n.node
+LEFT JOIN outw o ON o.src = n.node
+LEFT JOIN inw i ON i.dst = n.node
+""")
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality filter (functions/text
+    .hashed_linear_score): fastText-shaped classifier plumbing — token →
+    md5 hash bucket → pinned md5-derived integer weight, per-doc codegen'd
+    SUM (one exchange), threshold gate. Weights are deterministic stand-ins
+    (the swap-in point for trained weights is a broadcast table join); the
+    oracle re-derives bucket and weight per token occurrence in SQL, so the
+    integer score, the single-division norm_score, and the keep gate all
+    hash-match."""
+    # same single-file-parquet fan-out rationale as q_repetition_filter:
+    # the per-token md5 work runs map-side BEFORE the groupBy exchange, so
+    # it must not be confined to the scan's one input partition
+    fanned = _docs(spark, sf_dir).repartition(
+        2 * spark.sparkContext.defaultParallelism)
+    return T.hashed_linear_score(fanned)
+
+
+ORACLE_QUALITY_FILTER = f"""
+WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM d),
+wt AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('w7_' || CAST(
+      CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024
+    AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+  FROM tok
+)
+SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(w) / count(*), 6) AS norm_score,
+       CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM wt GROUP BY doc_id
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (similarity.semdedup) over the
     planted-augmented corpus: md5-seeded Lloyd clusters (same codebook as
@@ -2466,6 +2566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "bloom_dedup": q_bloom_dedup,
         "warc_extract": q_warc_extract,
+        "quality_filter": q_quality_filter,
+        "host_pagerank": q_host_pagerank,
         "image_metadata": q_image_metadata,
     }
 
@@ -2523,6 +2625,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": ORACLE_WARC_INGEST,
         "bloom_dedup": ORACLE_BLOOM_DEDUP,
         "warc_extract": ORACLE_WARC_EXTRACT,
+        "quality_filter": ORACLE_QUALITY_FILTER,
+        "host_pagerank": ORACLE_HOST_PAGERANK,
         "image_metadata": ORACLE_IMAGE_METADATA,
         # no rows-only entries remain: the Lloyd iteration unrolls into SQL
         # once its seeding is md5-derived, and image_metadata's checked

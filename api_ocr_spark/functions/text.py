@@ -493,3 +493,55 @@ def redact_pii(df, text_col: str = "text", id_col: str = "doc_id"):
         n_ips.cast("long").alias("n_ips"),
         n_phones.cast("long").alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality filter (fastText-style classifier plumbing)
+# ---------------------------------------------------------------------------
+
+
+def hashed_linear_score(df, text_col: str = "text", id_col: str = "doc_id",
+                        n_buckets: int = 1024, seed: str = "w7",
+                        threshold: int = 0):
+    """Linear text classifier over hashed token features — the SHAPE of the
+    fastText-style quality filters every pretraining pipeline runs over
+    crawl text (hashing trick, Weinberger et al. 2009: token → bucket via a
+    hash, score = sum of per-bucket weights, threshold decides keep/drop).
+
+    The weights here are md5-derived pinned constants (bucket b →
+    integer in [-1000, 1000] from md5('{seed}_' || b)), NOT trained — this
+    is deliberately the deterministic, oracle-checkable PLUMBING: scoring
+    arithmetic, bucketing, aggregation shape, and threshold gate are
+    production-real; swapping in trained weights is a broadcast
+    (bucket, weight) table join at the marked step, changing no plan shape.
+
+    Per doc: score = Σ_tokens weight(md5_bucket(token)), integer-exact;
+    norm_score = score / n_tokens (one IEEE division, identical across
+    engines); keep = score > threshold.
+
+    Shape at 100 TB: explode + codegen'd SUM with map-side partial
+    aggregation — one exchange on doc_id (the repetition_stats lesson:
+    per-token HOF folds are interpreted; explode into a codegen'd aggregate
+    instead). Weight derivation is one md5 per token OCCURRENCE; at scale
+    derive per DISTINCT (bucket) via the broadcast weight table instead."""
+    t = F.explode(tokens(F.col(text_col))).alias("tok")
+    bucket = md5_bucket(F.col("tok"), n_buckets)
+    # swap-in point: replace this expression with a broadcast join against a
+    # trained (bucket, weight) table
+    weight = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{seed}_"), bucket.cast("string"))), 1, 8),
+            16, 10).cast("long") % 2001 - 1000
+    )
+    toks = df.select(F.col(id_col).cast("long").alias("doc_id"), t)
+    return (
+        toks.select("doc_id", weight.alias("wt"))
+        .groupBy("doc_id")
+        .agg(F.sum("wt").cast("long").alias("score"),
+             F.count("*").cast("long").alias("n_tokens"))
+        .select(
+            "doc_id", "score", "n_tokens",
+            F.round(F.col("score") / F.col("n_tokens"), 6).alias("norm_score"),
+            (F.col("score") > threshold).cast("long").alias("keep"),
+        )
+    )

@@ -73,6 +73,8 @@ HEADLINE = [
     "warc_ingest",
     "bloom_dedup",
     "warc_extract",
+    "quality_filter",
+    "host_pagerank",
 ]
 
 

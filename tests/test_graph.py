@@ -1,0 +1,46 @@
+"""Integer PageRank vs a hand-rolled Python reference."""
+
+from collections import defaultdict
+
+from api_ocr_spark.operators import graph
+
+
+def _py_pagerank(edges, iters=3, r0=1_000_000, base=150_000):
+    nodes = {u for u, _, _ in edges} | {v for _, v, _ in edges}
+    outw = defaultdict(int)
+    for u, _, w in edges:
+        outw[u] += w
+    r = {n: r0 for n in nodes}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for u, v, w in edges:
+            s[v] += (r[u] * 85 * w) // (100 * outw[u])
+        r = {n: base + s[n] for n in nodes}
+    return r
+
+
+def test_pagerank_int_matches_python_reference(spark):
+    edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("a", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {x.host: x for x in graph.pagerank_int(df, iters=3).collect()}
+    assert {h: x.pagerank for h, x in got.items()} == _py_pagerank(edges)
+    assert got["a"].out_w == 3 and got["a"].in_w == 1
+    assert got["b"].in_w == 2
+
+
+def test_pagerank_dangling_node_keeps_base_plus_inflow(spark):
+    # d receives mass but has no out-edges: its inflow is dropped (plain
+    # formulation), and it must still appear with base + share each round
+    edges = [("a", "d", 1), ("a", "b", 1), ("b", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {x.host: x for x in graph.pagerank_int(df, iters=3).collect()}
+    assert set(got) == {"a", "b", "d"}
+    assert {h: x.pagerank for h, x in got.items()} == _py_pagerank(edges)
+    assert got["d"].out_w == 0
+
+
+def test_aggregate_edges_counts_multiplicity(spark):
+    pairs = spark.createDataFrame(
+        [("h1", "h2"), ("h1", "h2"), ("h1", "h3")], "src string, dst string")
+    got = {(r.src, r.dst): r.w for r in graph.aggregate_edges(pairs).collect()}
+    assert got == {("h1", "h2"): 2, ("h1", "h3"): 1}

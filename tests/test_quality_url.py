@@ -188,3 +188,27 @@ def test_vocab_topk(spark):
     got = keywords.vocab_topk(df, k=3).collect()
     assert [(r.term, r.n_occurrences, r.n_docs) for r in got] == [
         ("a", 4, 3), ("b", 2, 2), ("c", 1, 1)]
+
+
+def test_hashed_linear_score_matches_python_reference(spark):
+    import hashlib
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024
+
+    def w(t):
+        return int(hashlib.md5(f"w7_{bucket(t)}".encode()).hexdigest()[:8],
+                   16) % 2001 - 1000
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "gamma"), (2, "  Alpha   GAMMA ")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in T.hashed_linear_score(docs).collect()}
+    assert out[0].score == 2 * w("alpha") + w("beta")
+    assert out[0].n_tokens == 3
+    assert out[1].score == w("gamma")
+    # normalization: case/whitespace collapse before tokenizing
+    assert out[2].score == w("alpha") + w("gamma")
+    for r in out.values():
+        assert r.keep == (1 if r.score > 0 else 0)
+        assert abs(r.norm_score - round(r.score / r.n_tokens, 6)) < 1e-12

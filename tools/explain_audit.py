@@ -64,6 +64,23 @@ CHECKS = {
          r"(Broadcast|Shuffled)HashJoin\nLeft keys \[1\]: \[centroid_id"),
         ("window top-k", r"Window"),
     ],
+    "host_pagerank": [
+        ("edge frame materialized once (localCheckpoint feeds all rounds)",
+         r"Scan ExistingRDD|LogicalRDD"),
+        ("rank rounds aggregate partial map-side", r"HashAggregate"),
+        ("rank propagation is equi-joins, never cartesian",
+         ("absent", r"CartesianProduct")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
+    "quality_filter": [
+        ("explode into codegen'd SUM (no interpreted HOF fold)",
+         r"HashAggregate"),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("fan-out + one groupBy exchange", ("max_exchanges", 2)),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
     "bloom_dedup": [
         # the set-bit relation (and the exact-audit fingerprint set) are
         # broadcast; the probe side meets the filter map-side
