@@ -1663,6 +1663,86 @@ GROUP BY doc_id
 """
 
 
+_SPANDUP_A = "the quick brown fox jumps over lazy dog"
+_SPANDUP_B = "pack my box with five dozen liquor jugs"
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (operators/dedup.substring_dedup, Lee et al.
+    2021): every 8-token span occurring more than once corpus-wide
+    survives only at its first (doc_id, start); covered tokens of later
+    occurrences are removed and docs re-assembled. The fixture plants an
+    8-token phrase A in EVERY doc, phrase B after A in even docs (the 7
+    straddling A|B grams are duplicated too — exercises overlapping-span
+    union coverage), and A a second time in doc_id%5==0 docs (intra-doc
+    duplication). Keeper agg is map-side partial min+count; reassembly is
+    array-native (tokens never explode through a shuffle — see operator
+    docstring)."""
+    docs = _docs(spark, sf_dir)
+    marked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" " + _SPANDUP_A),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" " + _SPANDUP_B))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" " + _SPANDUP_A))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup.substring_dedup(marked, k=8)
+
+
+ORACLE_SUBSTRING_DEDUP = rf"""
+WITH fx AS (
+  SELECT doc_id,
+    text || ' {_SPANDUP_A}' ||
+    CASE WHEN doc_id % 2 = 0 THEN ' {_SPANDUP_B}' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' {_SPANDUP_A}' ELSE '' END AS t
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(t), '\s+', ' ', 'g')), ' ') AS ts
+  FROM fx
+),
+grams AS (
+  SELECT doc_id, i - 1 AS start, array_to_string(ts[i:i+7], ' ') AS gram
+  FROM parts, unnest(range(1, len(ts) - 6)) AS u(i)
+),
+occ AS (
+  SELECT doc_id, start,
+    count(*) OVER (PARTITION BY gram) AS cnt,
+    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+  FROM grams
+),
+rmstart AS (SELECT doc_id, start FROM occ WHERE cnt > 1 AND rn > 1),
+spans AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+  FROM rmstart GROUP BY doc_id
+),
+rmpos AS (
+  SELECT DISTINCT doc_id, start + j AS pos
+  FROM rmstart, unnest(range(0, 8)) AS v(j)
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+  FROM parts, unnest(range(1, len(ts) + 1)) AS u(i)
+)
+SELECT tk.doc_id,
+  coalesce(string_agg(CASE WHEN r.pos IS NULL THEN tk.tok END,
+                      ' ' ORDER BY tk.pos), '') AS clean_text,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  CAST(max(coalesce(s.n_dup_spans, 0)) AS BIGINT) AS n_dup_spans
+FROM toks tk
+LEFT JOIN rmpos r ON tk.doc_id = r.doc_id AND tk.pos = r.pos
+LEFT JOIN spans s ON tk.doc_id = s.doc_id
+GROUP BY tk.doc_id
+"""
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style PII scrub (functions/text.redact_pii): emails, IPv4, and
     phone-shaped number groups to placeholder tokens + per-doc counts. The
@@ -2552,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "repetition_filter": q_repetition_filter,
         "line_dedup": q_line_dedup,
+        "substring_dedup": q_substring_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "vocab_topk": q_vocab_topk,
         "redact_pii": q_redact_pii,
@@ -2607,6 +2688,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "repetition_filter": ORACLE_REPETITION,
         "line_dedup": ORACLE_LINE_DEDUP,
+        "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "tfidf_top_terms": ORACLE_TFIDF,
         "vocab_topk": ORACLE_VOCAB_TOPK,
         "redact_pii": ORACLE_REDACT_PII,

@@ -345,18 +345,19 @@ def chunk_pack(df, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Array of space-joined word n-grams over tokens(col); empty array when
-    the document has fewer than n tokens (the guard also keeps F.sequence
-    from producing a descending range — sequence(1, 0) counts DOWN).
+def token_ngrams(ts_col: Column, n: int) -> Column:
+    """Array of space-joined n-grams over an existing token-array column;
+    empty array when it has fewer than n elements (the guard also keeps
+    F.sequence from producing a descending range — sequence(1, 0) counts
+    DOWN). Gram at array index i (0-based) starts at token position i.
 
     Perf shape: the token array is bound ONCE as an outer lambda variable
     (transform over a one-element array), and each gram is n O(1)
-    element_at lookups. The naive form — slice(tokens(col), i, n) inside
-    the lambda — re-evaluates the whole split/regex token subtree per
-    element (HOF lambdas are interpreted; captured subtrees are not CSE'd),
-    which is O(len^2) per document and measured 8.2 s vs 0.4 s on the
-    sf0.1 bench corpus."""
+    element_at lookups. The naive form — slice(ts, i, n) inside the
+    lambda — re-evaluates the whole captured subtree per element (HOF
+    lambdas are interpreted; captured subtrees are not CSE'd), which is
+    O(len^2) per document and measured 8.2 s vs 0.4 s on the sf0.1 bench
+    corpus."""
 
     def grams(ts: Column) -> Column:
         idx = F.sequence(F.lit(1), F.size(ts) - (n - 1))
@@ -366,7 +367,13 @@ def word_ngrams(col: Column, n: int) -> Column:
                 " ", *[F.element_at(ts, i + j) for j in range(n)])),
         ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
 
-    return F.flatten(F.transform(F.array(tokens(col)), grams))
+    return F.flatten(F.transform(F.array(ts_col), grams))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams over tokens(col) — see
+    token_ngrams for the bound-once perf shape."""
+    return token_ngrams(tokens(col), n)
 
 
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",

@@ -644,6 +644,91 @@ def line_dedup(documents: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Exact substring (repeated k-token span) dedup — Lee et al. 2021 style
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup(documents: DataFrame, k: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact substring dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2021): any k-token span whose exact word
+    sequence occurs more than once ANYWHERE in the corpus survives only at
+    its first occurrence (min (doc_id, start) — a deterministic total
+    order); every token covered by a later duplicate occurrence is removed
+    and the document is re-assembled from its surviving tokens in order.
+    Token-level union semantics: a token is dropped iff ANY non-keeper
+    duplicated-gram occurrence covers it (a keeper span does not shield
+    tokens that an overlapping removed span covers — positions are
+    removed, not spans).
+
+    Returns (doc_id, clean_text, n_tokens, n_removed, n_dup_spans) for
+    every input document.
+
+    Shape at 100 TB — the reference design is a suffix array; the
+    distributed equivalent here is gram-keyed aggregation:
+      - keeper per gram = min(struct(doc_id, start)) + count(*), which
+        partial-aggregates MAP-SIDE — a boilerplate span occurring a
+        billion times contributes one row per map task, never a
+        billion-row window sort.
+      - only NON-KEEPER occurrences of duplicated grams (a tiny fraction
+        of the corpus) fan out into per-position rows; clean documents
+        produce nothing past the gram agg.
+      - reassembly is ARRAY-NATIVE: the per-doc removal-position set
+        (usually empty/small, AQE-broadcastable) joins the compact
+        (doc_id, token-array) frame and tokens are filtered in place —
+        corpus tokens never explode through a shuffle, unlike the
+        line_dedup collect_list path.
+    Grams travel as strings so the DuckDB oracle can replay the op
+    exactly; at petabyte scale hash each gram to 64 bits first (xxhash64
+    — the same one-line swap decontaminate documents)."""
+    from ..functions.text import token_ngrams, tokens
+
+    base = _fan_out(documents).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(F.col(text_col)).alias("ts"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(token_ngrams(F.col("ts"), k)).alias("start", "gram"),
+    )
+    keepers = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "start")).alias("keeper"),
+        F.count("*").alias("cnt"),
+    ).filter(F.col("cnt") > 1)
+    removals = (
+        grams.join(keepers, "gram")
+        .filter(F.struct("doc_id", "start") != F.col("keeper"))
+        .select("doc_id", "start")
+    )
+    rm = removals.groupBy("doc_id").agg(
+        F.collect_list("start").alias("starts"))
+    rm = rm.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.flatten(F.transform(
+            F.col("starts"),
+            lambda s: F.sequence(s, s + F.lit(k - 1)))))).alias("rmpos"),
+        F.size("starts").cast("long").alias("n_dup_spans"),
+    )
+    joined = base.join(rm, "doc_id", "left").select(
+        "doc_id", "ts",
+        F.coalesce(F.col("rmpos"),
+                   F.expr("CAST(array() AS ARRAY<INT>)")).alias("rmpos"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.col("ts"),
+                     lambda t, i: ~F.array_contains(F.col("rmpos"), i)),
+            " ").alias("clean_text"),
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.size("rmpos").cast("long").alias("n_removed"),
+        F.col("n_dup_spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter membership dedup against a history corpus
 # ---------------------------------------------------------------------------
 

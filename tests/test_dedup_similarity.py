@@ -446,3 +446,25 @@ def test_bloom_exact_membership_is_textual(spark):
            dedup.bloom_history_dedup(docs, hist, m_bits=4096, k=3).collect()}
     assert out[1].in_history == 1 and out[1].maybe_in_history == 1
     assert out[2].in_history == 0
+
+
+def test_substring_dedup_exact_spans(spark):
+    """Hand-computed Lee-et-al substring dedup at k=3: cross-doc span
+    (keeper = first (doc_id,start)), overlapping removed spans union their
+    positions, intra-doc repeat drops only the later copy, short docs
+    (< k tokens) pass through untouched."""
+    rows = [(0, "a b c d e f g"), (1, "x y a b c d z"),
+            (2, "p q r s t u"), (3, "m n o w m n o"), (4, "hi there")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.substring_dedup(df, k=3).collect()}
+    assert out[0].clean_text == "a b c d e f g"
+    assert (out[0].n_removed, out[0].n_dup_spans) == (0, 0)
+    # d1 contains d0's "a b c d": grams (a b c),(b c d) are non-keepers at
+    # starts 2,3 -> removed positions {2,3,4,5}
+    assert out[1].clean_text == "x y z"
+    assert (out[1].n_tokens, out[1].n_removed, out[1].n_dup_spans) == (7, 4, 2)
+    assert out[2].clean_text == "p q r s t u"
+    # intra-doc repeat: second "m n o" (start 4) removed, first kept
+    assert out[3].clean_text == "m n o w"
+    assert (out[3].n_removed, out[3].n_dup_spans) == (3, 1)
+    assert out[4].clean_text == "hi there"
