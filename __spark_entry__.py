@@ -1902,6 +1902,110 @@ SELECT * FROM ranked WHERE domain_rank <= 3
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (functions/url.url_dedup): RFC-3986
+    syntax normalization + tracking-param scrub, then min-doc_id keeper
+    per canonical form. The messy fixture exercises every rule — uppercase
+    scheme (doc_id%4==0) and host (doc_id%8<4), default ports :443/:80
+    (stripped) vs :8080 (kept, doc_id%10==7), duplicate-slash + trailing-
+    slash paths (even docs), utm_*/fbclid scrub + param sorting, fragments
+    everywhere — and plants collisions via the m = doc_id%300 identity:
+    docs d and d+300 canonicalize identically while differing in raw case,
+    tracking values, and fragments (200 pairs + 100 singletons at
+    sf0.01)."""
+    from api_ocr_spark.functions import url as U
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+    m = d % 300
+    scheme = (F.when(d % 20 == 3, "http")
+              .when(d % 4 == 0, "HTTPS").otherwise("https"))
+    port = (F.when(d % 20 == 3, ":80")
+            .when(d % 10 == 7, ":8080")
+            .when(d % 2 == 0, ":443").otherwise(""))
+    tld = (F.when(m % 3 == 0, "com")
+           .when(m % 3 == 1, "org").otherwise("net"))
+    host = F.concat(
+        F.when(d % 8 < 4, F.lit("Dom")).otherwise(F.lit("dom")),
+        (m % 23).cast("string"), F.lit("."), tld)
+    path = (F.when(d % 2 == 0,
+                   F.concat(F.lit("/w//a"), m.cast("string"), F.lit("//")))
+            .otherwise(F.concat(F.lit("/w/a"), m.cast("string"))))
+    query = (F.when(d % 2 == 1,
+                    F.concat(F.lit("?utm_campaign="), d.cast("string")))
+             .otherwise(F.concat(F.lit("?b=2&a=1&fbclid="),
+                                 d.cast("string"))))
+    url = F.concat(scheme, F.lit("://"), host, port, path, query,
+                   F.lit("#s"), d.cast("string"))
+    return U.url_dedup(docs.select(d.alias("doc_id"), url.alias("url")))
+
+
+ORACLE_URL_DEDUP = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 20 = 3 THEN 'http'
+         WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+    CASE WHEN doc_id % 8 < 4 THEN 'Dom' ELSE 'dom' END ||
+    CAST((doc_id % 300) % 23 AS VARCHAR) || '.' ||
+    CASE (doc_id % 300) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+         ELSE 'net' END ||
+    CASE WHEN doc_id % 20 = 3 THEN ':80'
+         WHEN doc_id % 10 = 7 THEN ':8080'
+         WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+    CASE WHEN doc_id % 2 = 0
+         THEN '/w//a' || CAST(doc_id % 300 AS VARCHAR) || '//'
+         ELSE '/w/a' || CAST(doc_id % 300 AS VARCHAR) END ||
+    CASE WHEN doc_id % 2 = 1
+         THEN '?utm_campaign=' || CAST(doc_id AS VARCHAR)
+         ELSE '?b=2&a=1&fbclid=' || CAST(doc_id AS VARCHAR) END ||
+    '#s' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+      AS hostport,
+    regexp_replace(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '/+', '/', 'g') AS collapsed,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u
+),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' || regexp_replace(hostport, ':[0-9]+$', '') ||
+    CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+              AND NOT ((scheme = 'http'
+                        AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+                   OR (scheme = 'https'
+                       AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443'))
+         THEN ':' || regexp_extract(hostport, ':([0-9]+)$', 1) ELSE '' END ||
+    CASE WHEN collapsed IN ('', '/') THEN '/'
+         ELSE regexp_replace(collapsed, '/$', '') END ||
+    CASE WHEN array_to_string(list_sort(list_filter(string_split(query, '&'),
+           p -> length(p) > 0 AND NOT regexp_matches(
+             p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') <> ''
+         THEN '?' || array_to_string(list_sort(list_filter(
+           string_split(query, '&'),
+           p -> length(p) > 0 AND NOT regexp_matches(
+             p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&')
+         ELSE '' END AS canonical_url
+  FROM parts
+),
+groups AS (
+  SELECT canonical_url, min(doc_id) AS keeper_doc_id,
+    CAST(count(*) AS BIGINT) AS n_urls
+  FROM canon GROUP BY canonical_url
+)
+SELECT c.doc_id, c.canonical_url,
+  CAST(g.keeper_doc_id AS BIGINT) AS keeper_doc_id, g.n_urls,
+  c.doc_id = g.keeper_doc_id AS is_keeper
+FROM canon c JOIN groups g USING (canonical_url)
+"""
+
+
 def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain census (functions/url.host_stats): doc count,
     distinct hosts, query-string docs, max path depth. One shuffle with
@@ -2638,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "url_domain_cap": q_url_domain_cap,
         "url_host_stats": q_url_host_stats,
+        "url_dedup": q_url_dedup,
         "corpus_sample": q_corpus_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -2694,6 +2799,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": ORACLE_REDACT_PII,
         "url_domain_cap": ORACLE_URL_DOMAIN_CAP,
         "url_host_stats": ORACLE_URL_HOST_STATS,
+        "url_dedup": ORACLE_URL_DEDUP,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

@@ -114,6 +114,78 @@ def domain_cap_sample(df: DataFrame, url_col: str = "url",
     )
 
 
+SCHEME_CI_PATTERN = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+HOSTPORT_CI_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+PATH_CI_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+PORT_PATTERN = r":([0-9]+)$"
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form for frontier/corpus dedup (the normalization a
+    crawler applies before the seen-set test — RFC 3986 §6 syntax-based
+    normalization plus the standard tracking-param scrub):
+      - scheme and host lowercased (case-insensitive per RFC); path and
+        query values untouched (case-significant),
+      - default ports stripped (http:80, https:443); others kept,
+      - duplicate path slashes collapsed, trailing slash stripped (root
+        stays '/'; empty path becomes '/'),
+      - query params: empties and tracking params (utm_*, fbclid, gclid,
+        ref) dropped, the rest sorted lexicographically (param order is
+        not semantic),
+      - fragment dropped (client-side only).
+    Pure codegen'd Catalyst map — regexes in the Java∩RE2∩DuckDB subset
+    ([0-9] not \\d), so the oracle replays it textually."""
+    scheme = F.lower(F.regexp_extract(col, SCHEME_CI_PATTERN, 1))
+    hostport = F.lower(F.regexp_extract(col, HOSTPORT_CI_PATTERN, 1))
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    port = F.regexp_extract(hostport, PORT_PATTERN, 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")))
+    collapsed = F.regexp_replace(
+        F.regexp_extract(col, PATH_CI_PATTERN, 1), "/+", "/")
+    cpath = (F.when(collapsed.isin("", "/"), F.lit("/"))
+             .otherwise(F.regexp_replace(collapsed, "/$", "")))
+    params = F.filter(
+        F.split(F.regexp_extract(col, QUERY_PATTERN, 1), "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_PATTERN))
+    cquery = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        cpath,
+        F.when(F.length(cquery) > 0,
+               F.concat(F.lit("?"), cquery)).otherwise(F.lit("")))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL dedup: canonicalize (pure map), then one keeper (min
+    doc_id) per canonical form. Returns every input doc with its canonical
+    URL, the group keeper, group size, and is_keeper.
+
+    Shape at 100 TB: canonicalization never leaves the scan's codegen
+    stage; the group frame is ONE shuffle on canonical_url with map-side
+    partial min/count (a link-farm URL duplicated a billion times sends
+    one row per map task), and the flag join back is an equi-join AQE can
+    skew-split — the exact_dedup shape lifted to the URL layer."""
+    c = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        canonicalize_url(F.col(url_col)).alias("canonical_url"),
+    )
+    groups = c.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_urls"),
+    )
+    return c.join(groups, "canonical_url").select(
+        "doc_id", "canonical_url",
+        F.col("keeper_doc_id").cast("long").alias("keeper_doc_id"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
+    )
+
+
 def host_stats(df: DataFrame, url_col: str = "url",
                id_col: str = "doc_id") -> DataFrame:
     """Per-registered-domain census: doc count, distinct hosts, docs with a

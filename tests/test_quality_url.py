@@ -212,3 +212,42 @@ def test_hashed_linear_score_matches_python_reference(spark):
     for r in out.values():
         assert r.keep == (1 if r.score > 0 else 0)
         assert abs(r.norm_score - round(r.score / r.n_tokens, 6)) < 1e-12
+
+
+def test_canonicalize_url_rules(spark):
+    """Each RFC-3986/scrub rule asserted on a handcrafted URL."""
+    from api_ocr_spark.functions import url as U
+    cases = [
+        # lowercase scheme+host, strip default https port, fragment gone
+        ("HTTPS://Ex.COM:443/Path/#frag", "https://ex.com/Path"),
+        # non-default port kept; dup slashes collapse; trailing strip
+        ("https://ex.com:8080//a//b//", "https://ex.com:8080/a/b"),
+        # http default port; empty path -> '/'
+        ("http://ex.com:80", "http://ex.com/"),
+        # tracking scrub + param sort; case in values preserved
+        ("https://ex.com/p?utm_source=x&b=B&fbclid=1&a=A",
+         "https://ex.com/p?a=A&b=B"),
+        # all params scrubbed -> no '?'
+        ("https://ex.com/p?utm_campaign=9&gclid=z&ref=r", "https://ex.com/p"),
+        # root path stays root
+        ("https://ex.com/", "https://ex.com/"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "doc_id long, url string")
+    out = df.select("doc_id",
+                    U.canonicalize_url(df.url).alias("c")).collect()
+    for row, (_, want) in zip(sorted(out, key=lambda r: r.doc_id), cases):
+        assert row.c == want, (row.doc_id, row.c, want)
+
+
+def test_url_dedup_groups(spark):
+    from api_ocr_spark.functions import url as U
+    rows = [(0, "https://ex.com/p?b=2&a=1#x"),
+            (1, "HTTPS://EX.com:443/p/?utm_source=t&a=1&b=2"),
+            (2, "https://other.net/q")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in U.url_dedup(df).collect()}
+    assert out[0].canonical_url == out[1].canonical_url
+    assert out[0].is_keeper and not out[1].is_keeper
+    assert out[1].keeper_doc_id == 0 and out[1].n_urls == 2
+    assert out[2].n_urls == 1 and out[2].is_keeper
