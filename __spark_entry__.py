@@ -2077,6 +2077,60 @@ WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 ELSE 10 END)
 """
 
 
+def q_tier_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier extraction + per-tier quota sampling
+    (operators/tiering.tier_extract): histogram-quantile tiers over the
+    quality score (all-integer rule: high iff 5*c_before < N, mid iff
+    2*c_before < N — ties share a tier, no global sort), then the 100/50/25
+    lowest md5-ranked docs per tier. Tier table lives on the distinct-score
+    frame (broadcast); quota filter is WindowGroupLimit-shaped."""
+    from api_ocr_spark.operators import tiering
+
+    return tiering.tier_extract(_docs(spark, sf_dir))
+
+
+ORACLE_TIER_EXTRACT = f"""
+WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+           FROM documents),
+scored AS (
+  SELECT doc_id,
+    round(0.4 * least(len(ws) / 100.0, 1.0)
+        + 0.4 * (len(list_distinct(ws)) / len(ws))
+        + 0.2 * (1.0 - abs(len(list_filter(ws,
+              x -> x IN ('the','a','de','la','el'))) / len(ws) - 0.1)), 6)
+      AS score
+  FROM d
+),
+counts AS (SELECT score, count(*) AS n FROM scored GROUP BY score),
+cum AS (
+  SELECT score, coalesce(sum(n) OVER (
+      ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
+  FROM counts
+),
+total AS (SELECT count(*) AS n_total FROM scored),
+tiers AS (
+  SELECT score,
+    CASE WHEN 5 * c_before < (SELECT n_total FROM total) THEN 'high'
+         WHEN 2 * c_before < (SELECT n_total FROM total) THEN 'mid'
+         ELSE 'low' END AS tier
+  FROM cum
+),
+ranked AS (
+  SELECT s.doc_id, s.score, t.tier,
+    row_number() OVER (
+      PARTITION BY t.tier
+      ORDER BY md5('tier:' || CAST(s.doc_id AS VARCHAR)), s.doc_id)
+      AS tier_rank
+  FROM scored s JOIN tiers t USING (score)
+)
+SELECT doc_id, score, tier, CAST(tier_rank AS BIGINT) AS tier_rank
+FROM ranked
+WHERE tier_rank <= CASE tier WHEN 'high' THEN 100 WHEN 'mid' THEN 50
+                   ELSE 25 END
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         load_table(spark, sf_dir, "embeddings"), k=5, n_queries=8)
@@ -2744,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": q_url_host_stats,
         "url_dedup": q_url_dedup,
         "corpus_sample": q_corpus_sample,
+        "tier_extract": q_tier_extract,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
@@ -2801,6 +2856,7 @@ def oracle_sql() -> dict[str, str]:
         "url_host_stats": ORACLE_URL_HOST_STATS,
         "url_dedup": ORACLE_URL_DEDUP,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
+        "tier_extract": ORACLE_TIER_EXTRACT,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
         "simhash64_neardup": ORACLE_SIMHASH64_NEARDUP,

@@ -251,3 +251,27 @@ def test_url_dedup_groups(spark):
     assert out[0].is_keeper and not out[1].is_keeper
     assert out[1].keeper_doc_id == 0 and out[1].n_urls == 2
     assert out[2].n_urls == 1 and out[2].is_keeper
+
+
+def test_tier_extract_quotas_and_monotonicity(spark):
+    """Tier sizes hit their quotas, ranks are 1-based, and tier score
+    ranges are monotone (high >= mid >= low) — tie-sharing keeps the
+    boundary inside one tier so ranges never interleave."""
+    from api_ocr_spark.operators import tiering
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [(i, " ".join(words[: 1 + (i * 7) % 10] * (1 + i % 13)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tiering.tier_extract(
+        df, quotas={"high": 5, "mid": 3, "low": 2}).collect()
+    by_tier = {}
+    for r in out:
+        by_tier.setdefault(r.tier, []).append(r)
+    assert {t: len(v) for t, v in by_tier.items()} == {
+        "high": 5, "mid": 3, "low": 2}
+    for rs in by_tier.values():
+        assert sorted(r.tier_rank for r in rs) == list(range(1, len(rs) + 1))
+    assert min(r.score for r in by_tier["high"]) >= max(
+        r.score for r in by_tier["mid"])
+    assert min(r.score for r in by_tier["mid"]) >= max(
+        r.score for r in by_tier["low"])
