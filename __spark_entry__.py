@@ -2579,6 +2579,111 @@ LEFT JOIN inw i ON i.dst = n.node
 """)
 
 
+def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/graph.anchor_text_index): inbound-link
+    census per target host with the most frequent anchor term. Fixture
+    pages carry the _url_expr source URL and three absolute cross-host
+    links (host (3d+j+1)%23, tld (d+j)%3, anchor 'term{(d+j)%7} guide')
+    plus a path-relative '/self' link that resolves to the source host and
+    is dropped by the intra-host rule; for d%4==2, d≡11 (mod 23) the j=0
+    link collides with the source host and is dropped too — both
+    resolution branches and the drop rule are exercised. 'guide' rides
+    every link, so hosts whose inbound anchors all share one term tie at
+    the top and exercise the max-struct tie-break."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+
+    def link(j: int) -> Column:
+        tld = (F.when((d + j) % 3 == 0, "com")
+               .when((d + j) % 3 == 1, "org").otherwise("net"))
+        return F.concat(
+            F.lit('<a href="https://dom'),
+            ((3 * d + j + 1) % 23).cast("string"), F.lit("."), tld,
+            F.lit("/p/"), (d % 50).cast("string"), F.lit('">term'),
+            ((d + j) % 7).cast("string"), F.lit(" guide</a>"))
+
+    html = F.concat(
+        F.lit('<body><nav><a href="/self">home nav</a></nav>'),
+        link(0), F.lit(" "), link(1), F.lit(" "), link(2), F.lit("</body>"))
+    pages = docs.select(d.alias("doc_id"), _url_expr().alias("url"),
+                        html.alias("html"))
+    return graph.anchor_text_index(pages)
+
+
+_ANCHOR_LINK_SQL = """
+    '<a href="https://dom' || CAST((3*doc_id+{j}+1)%23 AS VARCHAR) || '.' ||
+    CASE (doc_id+{j})%3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+         ELSE 'net' END ||
+    '/p/' || CAST(doc_id%50 AS VARCHAR) || '">term' ||
+    CAST((doc_id+{j})%7 AS VARCHAR) || ' guide</a>'
+"""
+
+ORACLE_ANCHOR_INDEX = f"""
+WITH u AS ({_URL_FIXTURE_SQL}),
+h AS (
+  SELECT doc_id, url,
+    '<body><nav><a href="/self">home nav</a></nav>' ||
+    {_ANCHOR_LINK_SQL.format(j=0)} || ' ' ||
+    {_ANCHOR_LINK_SQL.format(j=1)} || ' ' ||
+    {_ANCHOR_LINK_SQL.format(j=2)} || '</body>' AS html
+  FROM u
+),
+l AS (
+  SELECT doc_id, url,
+    regexp_extract_all(html, {_LINK_RE}, 1) AS hrefs,
+    regexp_extract_all(html, {_LINK_RE}, 2) AS texts
+  FROM h
+),
+links AS (
+  SELECT doc_id, url, hrefs[i] AS href,
+    {_vis_sql('texts[i]')} AS anchor
+  FROM l, unnest(range(1, len(hrefs) + 1)) AS t(i)
+),
+res AS (
+  SELECT
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS src_host,
+    CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+         ELSE 'https://' ||
+              regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) ||
+              href END AS dst,
+    anchor
+  FROM links
+),
+edges AS (
+  SELECT src_host,
+    regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS dst_host,
+    anchor
+  FROM res
+  WHERE regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) <> src_host
+),
+stats AS (
+  SELECT dst_host, CAST(count(*) AS BIGINT) AS n_links,
+    CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+  FROM edges GROUP BY dst_host
+),
+terms AS (
+  SELECT dst_host, term, count(*) AS n
+  FROM (SELECT dst_host,
+          unnest(string_split(trim(regexp_replace(lower(anchor),
+            '\\s+', ' ', 'g')), ' ')) AS term
+        FROM edges)
+  WHERE length(term) > 0
+  GROUP BY dst_host, term
+),
+top AS (
+  SELECT dst_host, term, n
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY dst_host ORDER BY n DESC, term DESC) AS rn
+        FROM terms)
+  WHERE rn = 1
+)
+SELECT s.dst_host, s.n_links, s.n_src_hosts,
+  coalesce(top.term, '') AS top_anchor_term,
+  CAST(coalesce(top.n, 0) AS BIGINT) AS top_term_count
+FROM stats s LEFT JOIN top USING (dst_host)
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear quality filter (functions/text
     .hashed_linear_score): fastText-shaped classifier plumbing — token →
@@ -2809,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "quality_filter": q_quality_filter,
         "host_pagerank": q_host_pagerank,
+        "anchor_index": q_anchor_index,
         "image_metadata": q_image_metadata,
     }
 
@@ -2871,6 +2977,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract": ORACLE_WARC_EXTRACT,
         "quality_filter": ORACLE_QUALITY_FILTER,
         "host_pagerank": ORACLE_HOST_PAGERANK,
+        "anchor_index": ORACLE_ANCHOR_INDEX,
         "image_metadata": ORACLE_IMAGE_METADATA,
         # no rows-only entries remain: the Lloyd iteration unrolls into SQL
         # once its seeding is md5-derived, and image_metadata's checked

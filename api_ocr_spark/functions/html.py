@@ -345,25 +345,28 @@ def html_boilerpipe_arrays(df: DataFrame, html_col: str = "html",
 
 
 def extract_links(df: DataFrame, html_col: str = "html",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """Outlink extraction — the link-graph primitive of a web-scale
     pipeline: one row per <a href="…">…</a> with its position, href, visible
-    anchor text, and an internal-link flag (path-relative href).
+    anchor text, and an internal-link flag (path-relative href). `carry`
+    names extra input columns to pass through per link row (e.g. the page
+    URL for downstream href resolution) — still zero-shuffle.
 
     Shape at 100 TB: pure codegen'd map + posexplode, NO shuffle at all —
     link rows stay on the partition that held the page. Both capture groups
     come from the SAME pattern so the zipped arrays always align."""
-    h = df.select(id_col, strip_noise(F.col(html_col)).alias("h"))
+    h = df.select(id_col, *carry, strip_noise(F.col(html_col)).alias("h"))
     return (
         h.withColumn("hrefs",
                      F.regexp_extract_all(F.col("h"), F.lit(LINK_PATTERN), 1))
         .withColumn("texts",
                     F.regexp_extract_all(F.col("h"), F.lit(LINK_PATTERN), 2))
-        .select(id_col,
+        .select(id_col, *carry,
                 F.posexplode(F.arrays_zip("hrefs", "texts"))
                 .alias("link_pos", "z"))
         .select(
-            id_col,
+            id_col, *carry,
             F.col("link_pos").cast("long").alias("link_pos"),
             F.col("z.hrefs").alias("href"),
             visible_text(F.col("z.texts")).alias("anchor_text"),

@@ -82,3 +82,57 @@ def pagerank_int(edges: DataFrame, iters: int = 3,
             F.coalesce(F.col("in_w"), F.lit(0)).cast("long").alias("in_w"),
         )
     )
+
+
+def anchor_text_index(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Anchor-text index — what a page's INBOUND link text says about it,
+    the classic off-page relevance/quality signal (Brin & Page 1998 §2.2
+    store anchor text with the target, not the source; search and
+    quality-classifier pipelines over CommonCrawl do the same): extract
+    outlinks, resolve each href against its source page's host
+    (path-relative hrefs join the source host; absolute hrefs keep their
+    own), drop intra-host links, and aggregate per TARGET host: inbound
+    link count, distinct linking hosts, and the most frequent anchor term
+    (ties broken toward the lexicographically larger term — max-struct
+    order, mirrored in the oracle).
+
+    Shape at 100 TB: link extraction + href resolution never shuffle
+    (codegen'd map, source URL carried through the posexplode); the term
+    census is one map-side-partial groupBy on (dst_host, term) — anchor
+    spam ("click here" a billion times) collapses per map task — followed
+    by a per-host max-struct argmax and an equi-join with the host stats
+    frame, both keyed on dst_host so AQE can plan/skew-split them."""
+    from ..functions.html import extract_links
+    from ..functions.text import tokens
+    from ..functions.url import SCHEME_CI_PATTERN, url_host
+
+    links = extract_links(pages, html_col=html_col, id_col=id_col,
+                          carry=(url_col,))
+    dst = F.when(F.col("href").rlike(SCHEME_CI_PATTERN), F.col("href")) \
+        .otherwise(F.concat(F.lit("https://"), url_host(F.col(url_col)),
+                            F.col("href")))
+    edges = links.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        url_host(dst).alias("dst_host"),
+        F.col("anchor_text"),
+    ).filter(F.col("dst_host") != F.col("src_host"))
+    stats = edges.groupBy("dst_host").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+    )
+    terms = (
+        edges.select("dst_host",
+                     F.explode(tokens(F.col("anchor_text"))).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("dst_host", "term").agg(F.count("*").alias("n"))
+    )
+    top = terms.groupBy("dst_host").agg(
+        F.max(F.struct("n", "term")).alias("m"))
+    return stats.join(top, "dst_host", "left").select(
+        "dst_host", "n_links", "n_src_hosts",
+        F.coalesce(F.col("m.term"), F.lit("")).alias("top_anchor_term"),
+        F.coalesce(F.col("m.n"), F.lit(0)).cast("long")
+        .alias("top_term_count"),
+    )

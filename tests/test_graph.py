@@ -44,3 +44,30 @@ def test_aggregate_edges_counts_multiplicity(spark):
         [("h1", "h2"), ("h1", "h2"), ("h1", "h3")], "src string, dst string")
     got = {(r.src, r.dst): r.w for r in graph.aggregate_edges(pairs).collect()}
     assert got == {("h1", "h2"): 2, ("h1", "h3"): 1}
+
+
+def test_anchor_text_index(spark):
+    """Relative hrefs resolve to the source host (and drop as intra-host);
+    absolute cross-host links aggregate per target with distinct-source
+    counts; top term = max count with max-struct (lexicographically larger)
+    tie-break."""
+    from api_ocr_spark.operators.graph import anchor_text_index
+    rows = [
+        (0, "https://a.com/x",
+         '<body><a href="/in">self link</a>'
+         '<a href="https://t.org/1">spark guide</a>'
+         '<a href="https://t.org/2">spark tips</a></body>'),
+        (1, "https://b.net/y",
+         '<body><a href="https://t.org/3">spark intro</a>'
+         '<a href="https://a.com/z">alpha beta</a></body>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    out = {r.dst_host: r for r in anchor_text_index(df).collect()}
+    assert set(out) == {"t.org", "a.com"}
+    t = out["t.org"]
+    assert (t.n_links, t.n_src_hosts) == (3, 2)
+    assert (t.top_anchor_term, t.top_term_count) == ("spark", 3)
+    a = out["a.com"]
+    assert (a.n_links, a.n_src_hosts) == (1, 1)
+    # 'alpha' and 'beta' tie at 1 -> max-struct picks the larger term
+    assert (a.top_anchor_term, a.top_term_count) == ("beta", 1)
