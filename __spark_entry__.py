@@ -2030,6 +2030,83 @@ GROUP BY registered_domain
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt policy gate (functions/url.robots_filter): per-host
+    Disallow prefixes parsed from synthesized robots.txt bodies (75% of
+    hosts have one — md5-gated; ~12.5% carry a full 'Disallow: /' block;
+    one letter rule and one conditional '/p' rule vary per host; an
+    'Allow:' line, an empty 'Disallow:' and a Crawl-delay line exercise
+    the parser's ignore paths). Broadcast rule table, map-side exists()
+    prefix test — the corpus never shuffles."""
+    from api_ocr_spark.functions import url as U
+
+    urls = _url_fixture(_docs(spark, sf_dir))
+    hosts = urls.select(U.url_host(F.col("url")).alias("host")).distinct()
+    h = F.col("host")
+    nl = F.lit("\n")
+    content = F.concat(
+        F.lit("User-agent: *"), nl,
+        F.lit("Allow: /open"), nl,
+        F.lit("Disallow: /"),
+        F.substring(F.md5(F.concat(F.lit("dis:"), h)), 1, 1), nl,
+        F.when(F.substring(F.md5(F.concat(F.lit("dis2:"), h)), 1, 1) < "8",
+               F.concat(F.lit("Disallow: /p"), nl)).otherwise(F.lit("")),
+        F.when(F.substring(F.md5(F.concat(F.lit("dis3:"), h)), 1, 1)
+               .isin("0", "1"),
+               F.concat(F.lit("Disallow: /"), nl)).otherwise(F.lit("")),
+        F.lit("Disallow:"), nl, F.lit("Crawl-delay: 5"))
+    robots = hosts.filter(
+        ~F.substring(F.md5(F.concat(F.lit("hasrobots:"), h)), 1, 1)
+        .isin("0", "1", "2", "3")
+    ).select("host", content.alias("robots_txt"))
+    return U.robots_filter(urls, robots)
+
+
+ORACLE_ROBOTS_FILTER = f"""
+WITH u AS ({_URL_FIXTURE_SQL}),
+hosts AS (
+  SELECT DISTINCT
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+  FROM u
+),
+rob AS (
+  SELECT host,
+    'User-agent: *' || chr(10) ||
+    'Allow: /open' || chr(10) ||
+    'Disallow: /' || substring(md5('dis:' || host), 1, 1) || chr(10) ||
+    CASE WHEN substring(md5('dis2:' || host), 1, 1) < '8'
+         THEN 'Disallow: /p' || chr(10) ELSE '' END ||
+    CASE WHEN substring(md5('dis3:' || host), 1, 1) IN ('0', '1')
+         THEN 'Disallow: /' || chr(10) ELSE '' END ||
+    'Disallow:' || chr(10) || 'Crawl-delay: 5' AS robots_txt
+  FROM hosts
+  WHERE substring(md5('hasrobots:' || host), 1, 1)
+        NOT IN ('0', '1', '2', '3')
+),
+rules AS (
+  SELECT host,
+    list_filter(
+      list_transform(
+        list_filter(string_split(robots_txt, chr(10)),
+                    ln -> regexp_matches(ln, '^Disallow: ')),
+        ln -> regexp_replace(ln, '^Disallow: ', '')),
+      p -> length(p) > 0) AS prefixes
+  FROM rob
+),
+pages AS (
+  SELECT doc_id,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+  FROM u
+)
+SELECT p.doc_id, p.host, p.path,
+  CAST(coalesce(len(r.prefixes), 0) AS BIGINT) AS n_rules,
+  coalesce(len(list_filter(r.prefixes, x -> starts_with(p.path, x))) > 0,
+           FALSE) AS blocked
+FROM pages p LEFT JOIN rules r USING (host)
+"""
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling — the reproducible
     down-sampling op a training-data pipeline runs per source/language:
@@ -2902,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_cap": q_url_domain_cap,
         "url_host_stats": q_url_host_stats,
         "url_dedup": q_url_dedup,
+        "robots_filter": q_robots_filter,
         "corpus_sample": q_corpus_sample,
         "tier_extract": q_tier_extract,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2961,6 +3039,7 @@ def oracle_sql() -> dict[str, str]:
         "url_domain_cap": ORACLE_URL_DOMAIN_CAP,
         "url_host_stats": ORACLE_URL_HOST_STATS,
         "url_dedup": ORACLE_URL_DEDUP,
+        "robots_filter": ORACLE_ROBOTS_FILTER,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "tier_extract": ORACLE_TIER_EXTRACT,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,

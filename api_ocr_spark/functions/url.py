@@ -208,3 +208,54 @@ def host_stats(df: DataFrame, url_col: str = "url",
             F.max("path_depth").alias("max_path_depth"),
         )
     )
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 content_col: str = "robots_txt") -> DataFrame:
+    """robots.txt → (host, prefixes): the non-empty 'Disallow: ' path
+    prefixes, in file order. Single-agent simplification (every Disallow
+    line counts, whatever User-agent block it sits in) — documented, the
+    per-agent split is a grouping refinement, not a shape change. Empty
+    'Disallow:' lines (allow-all convention) and non-Disallow lines are
+    ignored."""
+    lines = F.split(F.col(content_col), "\n")
+    prefixes = F.filter(
+        F.transform(
+            F.filter(lines, lambda ln: ln.rlike("^Disallow: ")),
+            lambda ln: F.regexp_replace(ln, "^Disallow: ", "")),
+        lambda p: F.length(p) > 0)
+    return robots.select(F.col(host_col).alias("host"),
+                         prefixes.alias("prefixes"))
+
+
+def robots_filter(pages: DataFrame, robots: DataFrame,
+                  url_col: str = "url", id_col: str = "doc_id",
+                  host_col: str = "host",
+                  content_col: str = "robots_txt") -> DataFrame:
+    """Crawl-policy gate: flag each page whose URL path falls under a
+    'Disallow:' prefix of its host's robots.txt (prefix-match rule of the
+    original 1994 REP; hosts without a robots row allow everything).
+    Returns (doc_id, host, path, n_rules, blocked) for every page.
+
+    Shape at 100 TB: the rule table is hosts × a handful of prefixes —
+    BROADCAST; pages meet it map-side on the host key and evaluate the
+    prefix test with an exists() over the tiny per-host array, so the
+    corpus never shuffles for the policy decision. If the rule table ever
+    outgrows broadcast, the same plan degrades gracefully to a host-keyed
+    equi-join."""
+    rules = parse_robots(robots, host_col=host_col, content_col=content_col)
+    parsed = pages.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        url_host(F.col(url_col)).alias("host"),
+        url_path(F.col(url_col)).alias("path"),
+    )
+    joined = parsed.join(F.broadcast(rules), "host", "left")
+    return joined.select(
+        "doc_id", "host", "path",
+        F.when(F.col("prefixes").isNull(), F.lit(0))
+        .otherwise(F.size("prefixes")).cast("long").alias("n_rules"),
+        F.coalesce(
+            F.exists(F.col("prefixes"),
+                     lambda p: F.col("path").startswith(p)),
+            F.lit(False)).alias("blocked"),
+    )

@@ -275,3 +275,21 @@ def test_tier_extract_quotas_and_monotonicity(spark):
         r.score for r in by_tier["mid"])
     assert min(r.score for r in by_tier["mid"]) >= max(
         r.score for r in by_tier["low"])
+
+
+def test_robots_filter_rules(spark):
+    from api_ocr_spark.functions import url as U
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private\nDisallow:\n"
+                   "Allow: /private/ok\nCrawl-delay: 3"),
+         ("b.net", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string")
+    pages = spark.createDataFrame(
+        [(0, "https://a.com/private/x"), (1, "https://a.com/public"),
+         (2, "https://b.net/anything"), (3, "https://c.org/no/robots")],
+        "doc_id long, url string")
+    out = {r.doc_id: r for r in U.robots_filter(pages, robots).collect()}
+    assert out[0].blocked and out[0].n_rules == 1   # empty Disallow ignored
+    assert not out[1].blocked
+    assert out[2].blocked                            # full block
+    assert not out[3].blocked and out[3].n_rules == 0  # no robots row
