@@ -203,6 +203,46 @@ CHECKS = {
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
         ("map-side partial aggregation", r"HashAggregate"),
     ],
+    "substring_dedup": [
+        ("gram keeper via min-AGG (map-side partials; no corpus-wide "
+         "window sort)", r"HashAggregate"),
+        ("gram meet + removal-set join are equi-joins, not cartesian",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
+    "url_dedup": [
+        ("canonical groupBy partial map-side", r"HashAggregate"),
+        ("flag join is an equi-join, not cartesian",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
+    "tier_extract": [
+        ("quota pushed into the shuffle (partial+final WindowGroupLimit)",
+         r"WindowGroupLimit"),
+        ("corpus meets the tier table via BROADCAST join (distinct-score "
+         "frame only)", r"BroadcastHashJoin"),
+        # score-count agg + small-frame cumsum window + tier window: 3
+        ("bounded exchanges", ("max_exchanges", 3)),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
+    "anchor_index": [
+        ("term census aggregates partial map-side", r"HashAggregate"),
+        ("stats x top-term meet is an equi-join, not cartesian",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
+    "robots_filter": [
+        ("rule table broadcast; pages gated map-side", r"BroadcastHashJoin"),
+        # the only shuffle is the fixture's distinct-hosts build; the page
+        # side never exchanges for the policy decision
+        ("page side never shuffles", ("max_exchanges", 1)),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "decontaminate": [
         ("benchmark gram set broadcast (corpus never shuffles to meet it)",
          r"BroadcastExchange"),
