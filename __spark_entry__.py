@@ -1663,6 +1663,129 @@ GROUP BY doc_id
 """
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 document heuristics (functions/text.c4_doc_stats, Raffel et al.
+    2020 §2.2 at document granularity): sentence census, terminal-punct
+    majority, brace + bad-snippet detection, keep decision. The fixture
+    marks sentence boundaries every 8 words and plants, by doc_id
+    residue, a '{' (d%7), mixed-case 'Lorem Ipsum' (d%11), 'JavaScript'
+    (d%5), an unterminated trailing fragment (d%3), and a too-short doc
+    (d%13) — every rule fires both ways corpus-wide. Zero-shuffle pure
+    map."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+    enriched = F.concat(
+        F.regexp_replace(F.col("text"), r"((?:[^ ]+ ){7}[^ ]+) ", "$1. "),
+        F.lit("."),
+        F.when(d % 7 == 0, F.lit(" {config}")).otherwise(F.lit("")),
+        F.when(d % 11 == 0,
+               F.lit(" Lorem Ipsum dolor sit")).otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.lit(" Please enable JavaScript to continue"))
+        .otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.lit(" trailing fragment without punct"))
+        .otherwise(F.lit("")),
+    )
+    marked = docs.select(
+        d.alias("doc_id"),
+        F.when(d % 13 == 0, F.lit("too short"))
+        .otherwise(enriched).alias("text"))
+    return T.c4_doc_stats(marked)
+
+
+_C4_BAD_SQL = ("(contains(lower(t), 'lorem ipsum') OR "
+               "contains(lower(t), 'javascript') OR "
+               "contains(lower(t), 'cookie policy'))")
+_C4_TERM_SQL = "len(list_filter(sents, s -> regexp_matches(s, '[.!?]$')))"
+
+ORACLE_C4_FILTER = rf"""
+WITH fx AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN 'too short'
+    ELSE regexp_replace(text, '((?:[^ ]+ ){{7}}[^ ]+) ', '\1. ', 'g')
+      || '.' ||
+      CASE WHEN doc_id % 7 = 0 THEN ' {{config}}' ELSE '' END ||
+      CASE WHEN doc_id % 11 = 0 THEN ' Lorem Ipsum dolor sit'
+           ELSE '' END ||
+      CASE WHEN doc_id % 5 = 0
+           THEN ' Please enable JavaScript to continue' ELSE '' END ||
+      CASE WHEN doc_id % 3 = 0
+           THEN ' trailing fragment without punct' ELSE '' END
+    END AS t
+  FROM documents
+),
+sent AS (
+  SELECT doc_id, t,
+    list_filter(
+      list_transform(
+        string_split(regexp_replace(t, '([.!?]) ', '\1' || chr(1), 'g'),
+                     chr(1)),
+        s -> trim(s)),
+      s -> length(s) > 0) AS sents
+  FROM fx
+)
+SELECT doc_id,
+  CAST(len(sents) AS BIGINT) AS n_sentences,
+  CAST({_C4_TERM_SQL} AS BIGINT) AS n_terminal,
+  contains(t, '{{') AS has_brace,
+  {_C4_BAD_SQL} AS has_bad_snippet,
+  (len(sents) >= 3 AND NOT contains(t, '{{') AND NOT {_C4_BAD_SQL}
+   AND 2 * {_C4_TERM_SQL} >= len(sents)) AS keep
+FROM sent
+"""
+
+
+def q_rarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split
+    (operators/keywords.rarity_buckets): integer unigram-surprisal
+    surrogate for LM fit (total DIV count per token occurrence — exact
+    arithmetic in both engines; KenLM is the documented production
+    swap-in), corpus thirds by mean rarity over the distinct-mean
+    histogram frame. Runs on the raw corpus — the natural term
+    distribution is the fixture."""
+    return keywords.rarity_buckets(_docs(spark, sf_dir))
+
+
+ORACLE_RARITY_BUCKETS = rf"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        ' ')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT count(*) AS t FROM toks),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum((SELECT t FROM total) // cnt) AS BIGINT) AS rarity_sum
+  FROM toks JOIN vocab USING (term) GROUP BY doc_id
+),
+pd AS (
+  SELECT doc_id, n_tokens, rarity_sum,
+    CAST(rarity_sum // n_tokens AS BIGINT) AS mean_rarity
+  FROM perdoc
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+counts AS (SELECT mean_rarity, count(*) AS n FROM pd GROUP BY mean_rarity),
+cum AS (
+  SELECT mean_rarity, coalesce(sum(n) OVER (
+      ORDER BY mean_rarity
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
+  FROM counts
+),
+buckets AS (
+  SELECT mean_rarity,
+    CASE WHEN 3 * c_before < (SELECT n_docs FROM n) THEN 'head'
+         WHEN 3 * c_before < 2 * (SELECT n_docs FROM n) THEN 'middle'
+         ELSE 'tail' END AS bucket
+  FROM cum
+)
+SELECT pd.doc_id, pd.n_tokens, pd.rarity_sum, pd.mean_rarity, b.bucket
+FROM pd JOIN buckets b USING (mean_rarity)
+"""
+
+
 _SPANDUP_A = "the quick brown fox jumps over lazy dog"
 _SPANDUP_B = "pack my box with five dozen liquor jugs"
 
@@ -2973,6 +3096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
+        "c4_filter": q_c4_filter,
+        "rarity_buckets": q_rarity_buckets,
         "tfidf_top_terms": q_tfidf_top_terms,
         "vocab_topk": q_vocab_topk,
         "redact_pii": q_redact_pii,
@@ -3033,6 +3158,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": ORACLE_REPETITION,
         "line_dedup": ORACLE_LINE_DEDUP,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "c4_filter": ORACLE_C4_FILTER,
+        "rarity_buckets": ORACLE_RARITY_BUCKETS,
         "tfidf_top_terms": ORACLE_TFIDF,
         "vocab_topk": ORACLE_VOCAB_TOPK,
         "redact_pii": ORACLE_REDACT_PII,

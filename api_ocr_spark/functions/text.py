@@ -552,3 +552,41 @@ def hashed_linear_score(df, text_col: str = "text", id_col: str = "doc_id",
             (F.col("score") > threshold).cast("long").alias("keep"),
         )
     )
+
+
+TERMINAL_PUNCT_PATTERN = r"[.!?]$"
+C4_BAD_SNIPPETS = ("lorem ipsum", "javascript", "cookie policy")
+
+
+def c4_doc_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                 min_sentences: int = 3):
+    """C4 document-level cleaning heuristics (Raffel et al. 2020 §2.2,
+    re-derived at document granularity — the corpus has no line
+    structure): sentence census, terminal-punctuation coverage, brace and
+    bad-snippet detection, and the keep decision
+        keep = n_sentences >= 3
+             AND no '{' (code page signal)
+             AND none of {lorem ipsum, javascript, cookie policy}
+             AND 2 * n_terminal >= n_sentences   (exact-rational majority)
+    Pure codegen'd Catalyst map, ZERO shuffle — every signal is per-row.
+    Returns (doc_id, n_sentences, n_terminal, has_brace, has_bad_snippet,
+    keep)."""
+    c = F.col(text_col)
+    low = F.lower(c)
+    sents = split_sentences(c)
+    n_sent = F.size(sents)
+    n_term = F.size(F.filter(sents,
+                             lambda s: s.rlike(TERMINAL_PUNCT_PATTERN)))
+    has_brace = c.contains("{")
+    has_bad = (low.contains(C4_BAD_SNIPPETS[0])
+               | low.contains(C4_BAD_SNIPPETS[1])
+               | low.contains(C4_BAD_SNIPPETS[2]))
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_term.cast("long").alias("n_terminal"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_bad_snippet"),
+        ((n_sent >= min_sentences) & ~has_brace & ~has_bad
+         & (2 * n_term >= n_sent)).alias("keep"),
+    )

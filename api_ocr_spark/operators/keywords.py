@@ -93,3 +93,64 @@ def vocab_topk(documents: DataFrame, k: int = 100,
     return (counts
             .orderBy(F.col("n_occurrences").desc(), "term")
             .limit(k))
+
+
+def rarity_buckets(documents: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style head/middle/tail corpus split by language-model fit
+    (Wenzek et al. 2020 §4.3 bucket documents by KenLM perplexity into
+    corpus thirds). No KenLM exists in this container, so the fit signal
+    is an INTEGER unigram-surprisal surrogate — per token occurrence,
+        surprisal(term) = total_token_occurrences DIV corpus_count(term)
+    (floored inverse unigram probability; monotone in -log p, and exact
+    integer arithmetic, so the DuckDB oracle is an equality check — a
+    KenLM swap-in would downgrade the oracle to rows-only and is the
+    documented production upgrade). Per document:
+        rarity_sum  = Σ surprisal(token)
+        mean_rarity = rarity_sum DIV n_tokens
+    and the bucket is the CCNet corpus third by mean_rarity (head =
+    most-common language), via the same histogram rule as
+    tiering.tier_extract: on the DISTINCT mean_rarity frame,
+        head   iff 3 * c_before < N
+        middle iff 3 * c_before < 2N
+        tail   otherwise
+    with c_before = #docs with SMALLER mean_rarity (ascending — low
+    rarity = good LM fit). Ties share a bucket.
+
+    Shape at 100 TB: token census is one term-keyed shuffle with map-side
+    partials; tokens meet their counts through a term equi-join (stopwords
+    are the hot keys — AQE skew-split, or salt the census, both
+    documented); per-doc sum is a doc_id groupBy; the bucket table lives
+    on the distinct-mean frame (small, broadcast). Totals are two scalar
+    driver counts, never row collects."""
+    toks = _fan_out(documents).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = toks.count()
+    per_doc = (
+        toks.join(vocab, "term")
+        .select("doc_id",
+                F.expr(f"CAST({total} AS BIGINT) DIV cnt").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.sum("s").cast("long").alias("rarity_sum"))
+        .select("doc_id", "n_tokens", "rarity_sum",
+                F.expr("rarity_sum DIV n_tokens").alias("mean_rarity"))
+    )
+    n_docs = documents.count()
+    counts = per_doc.groupBy("mean_rarity").agg(F.count("*").alias("n"))
+    w_cum = (Window.orderBy("mean_rarity")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    buckets = counts.select(
+        "mean_rarity",
+        F.coalesce(F.sum("n").over(w_cum), F.lit(0)).alias("c_before"),
+    ).select(
+        "mean_rarity",
+        F.when(3 * F.col("c_before") < n_docs, "head")
+        .when(3 * F.col("c_before") < 2 * n_docs, "middle")
+        .otherwise("tail").alias("bucket"),
+    )
+    return per_doc.join(F.broadcast(buckets), "mean_rarity").select(
+        "doc_id", "n_tokens", "rarity_sum", "mean_rarity", "bucket")

@@ -293,3 +293,38 @@ def test_robots_filter_rules(spark):
     assert not out[1].blocked
     assert out[2].blocked                            # full block
     assert not out[3].blocked and out[3].n_rules == 0  # no robots row
+
+
+def test_c4_doc_stats_rules(spark):
+    from api_ocr_spark.functions.text import c4_doc_stats
+    rows = [
+        (0, "One fine day. Two more things. Three at last."),
+        (1, "Bad { code inside. More here. And more after."),
+        (2, "lorem IPSUM classic. Second sentence. Third one."),
+        (3, "Only one sentence here."),
+        (4, "First part. Second part. third fragment with no punct at all"),
+        (5, "No punct one. no punct two three four. then a b. c trailing "
+            "x y. but wait here comes a very long unterminated tail part"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_doc_stats(df).collect()}
+    assert out[0].keep and out[0].n_sentences == 3 and out[0].n_terminal == 3
+    assert not out[1].keep and out[1].has_brace
+    assert not out[2].keep and out[2].has_bad_snippet
+    assert not out[3].keep and out[3].n_sentences == 1
+    assert out[4].keep and (out[4].n_sentences, out[4].n_terminal) == (3, 2)
+    assert out[5].keep  # 5 sentences, 4 terminal: majority holds
+
+
+def test_rarity_buckets_ordering(spark):
+    """Buckets are monotone in mean rarity and the corpus-thirds rule
+    assigns all three buckets on a 3-doc corpus with distinct means."""
+    from api_ocr_spark.operators.keywords import rarity_buckets
+    rows = [(0, "aa aa aa aa aa aa"),
+            (1, "aa aa aa bb cc dd"),
+            (2, "ee ff gg hh ii jj")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(rarity_buckets(df).collect(), key=lambda r: r.mean_rarity)
+    assert [r.bucket for r in out] == ["head", "middle", "tail"]
+    assert [r.doc_id for r in out] == [0, 1, 2]
+    assert all(r.n_tokens == 6 for r in out)
