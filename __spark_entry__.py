@@ -1601,6 +1601,47 @@ FROM counts ORDER BY n_occurrences DESC, term LIMIT 100
 """
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI bigram collocations (operators/keywords
+    .collocations_topk, Church & Hanks 1990): exact-rational score
+    (c_ab * total) / (c1 * c2) — integer products exact, one correctly-
+    rounded divide, bit-identical across engines; min_count=3 drops the
+    classic low-count PMI instability; (score desc, bigram) total order
+    plans as TakeOrderedAndProject. Natural corpus phrase distribution is
+    the fixture."""
+    return keywords.collocations_topk(_docs(spark, sf_dir), k=100)
+
+
+ORACLE_COLLOCATIONS = rf"""
+WITH d AS (SELECT string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w
+),
+total AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS t FROM d),
+bi AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS bigram, count(*) AS c_ab
+  FROM d, unnest(range(1, len(ws))) AS u(i)
+  GROUP BY 1 HAVING count(*) >= 3
+),
+parts AS (
+  SELECT bigram, c_ab,
+    string_split(bigram, ' ')[1] AS w1,
+    string_split(bigram, ' ')[2] AS w2
+  FROM bi
+),
+scored AS (
+  SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
+    CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+    (c_ab * (SELECT t FROM total)) / (u1.c * u2.c) AS score
+  FROM parts
+  JOIN uni u1 ON parts.w1 = u1.w
+  JOIN uni u2 ON parts.w2 = u2.w
+)
+SELECT * FROM scored ORDER BY score DESC, bigram LIMIT 100
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-WIDE sentence dedup (operators/dedup.line_dedup): every
     sentence seen more than once anywhere in the corpus survives only at
@@ -3100,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_buckets": q_rarity_buckets,
         "tfidf_top_terms": q_tfidf_top_terms,
         "vocab_topk": q_vocab_topk,
+        "collocations": q_collocations,
         "redact_pii": q_redact_pii,
         "url_domain_cap": q_url_domain_cap,
         "url_host_stats": q_url_host_stats,
@@ -3162,6 +3204,7 @@ def oracle_sql() -> dict[str, str]:
         "rarity_buckets": ORACLE_RARITY_BUCKETS,
         "tfidf_top_terms": ORACLE_TFIDF,
         "vocab_topk": ORACLE_VOCAB_TOPK,
+        "collocations": ORACLE_COLLOCATIONS,
         "redact_pii": ORACLE_REDACT_PII,
         "url_domain_cap": ORACLE_URL_DOMAIN_CAP,
         "url_host_stats": ORACLE_URL_HOST_STATS,

@@ -154,3 +154,51 @@ def rarity_buckets(documents: DataFrame, text_col: str = "text",
     )
     return per_doc.join(F.broadcast(buckets), "mean_rarity").select(
         "doc_id", "n_tokens", "rarity_sum", "mean_rarity", "bucket")
+
+
+def collocations_topk(documents: DataFrame, k: int = 100,
+                      min_count: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Top-K bigram collocations by PMI (Church & Hanks 1990) — the phrase
+    mining step before tokenizer/vocab induction merges multiwords. Score
+    is the exact-rational PMI argument
+        score = (bigram_count * total_tokens) / (count(w1) * count(w2))
+    (= p(ab)/(p(a)p(b)); ln of it is PMI — same ranking, and the ln-free
+    form is bit-identical across engines: integer products are exact and
+    the single divide is correctly rounded, the tfidf_top_terms argument).
+    Bigrams below min_count are dropped (PMI's classic low-count
+    instability). Total order: (score desc, bigram asc).
+
+    Shape at 100 TB: bigram census + unigram census are term-keyed
+    shuffles with map-side partials; the two unigram meets are equi-joins
+    (AQE skew-splittable); sort+limit plans as TakeOrderedAndProject —
+    the global sort never materializes."""
+    from ..functions.text import token_ngrams, tokens
+
+    base = _fan_out(documents).select(tokens(F.col(text_col)).alias("ts"))
+    uni = (base.select(F.explode("ts").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    total = base.select(F.sum(F.size("ts"))).collect()[0][0]
+    bi = (base.select(F.explode(token_ngrams(F.col("ts"), 2)).alias("bigram"))
+          .groupBy("bigram").agg(F.count("*").alias("c_ab"))
+          .filter(F.col("c_ab") >= min_count))
+    parts = bi.select(
+        "bigram", "c_ab",
+        F.split("bigram", " ")[0].alias("w1"),
+        F.split("bigram", " ")[1].alias("w2"),
+    )
+    scored = (
+        parts
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+              "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+              "w2")
+        .select(
+            "bigram", F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            ((F.col("c_ab") * F.lit(int(total)))
+             / (F.col("c1") * F.col("c2"))).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "bigram").limit(k)

@@ -328,3 +328,21 @@ def test_rarity_buckets_ordering(spark):
     assert [r.bucket for r in out] == ["head", "middle", "tail"]
     assert [r.doc_id for r in out] == [0, 1, 2]
     assert all(r.n_tokens == 6 for r in out)
+
+
+def test_collocations_pmi_ranking(spark):
+    """A bigram whose words appear ONLY together outranks one whose words
+    are common; min_count drops rare pairs."""
+    from api_ocr_spark.operators.keywords import collocations_topk
+    phrase = "san francisco is big and the weather " \
+             "in san francisco stays mild since san francisco faces sea"
+    common = "the cat and the dog and the bird and the fish and the cow"
+    df = spark.createDataFrame(
+        [(0, phrase), (1, common), (2, common)],
+        "doc_id long, text string")
+    out = collocations_topk(df, k=10, min_count=3).collect()
+    by = {r.bigram: r for r in out}
+    assert "san francisco" in by and by["san francisco"].c_ab == 3
+    top = max(out, key=lambda r: (r.score, r.bigram))
+    assert top.bigram == "san francisco"
+    assert all(r.c_ab >= 3 for r in out)

@@ -243,10 +243,33 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "c4_filter": [
+        ("all-Catalyst rules (no python in the loop)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("no shuffle at all (pure per-doc map)", ("max_exchanges", 0)),
+    ],
+    "rarity_buckets": [
+        ("token census partial map-side", r"HashAggregate"),
+        ("bucket table met via BROADCAST join (distinct-mean frame only)",
+         r"BroadcastHashJoin"),
+        ("token x vocab meet is an equi-join, not cartesian",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "decontaminate": [
         ("benchmark gram set broadcast (corpus never shuffles to meet it)",
          r"BroadcastExchange"),
         ("no cartesian", ("absent", r"CartesianProduct")),
+    ],
+    "collocations": [
+        ("global sort never materializes (top-k pushed into the sort)",
+         r"TakeOrderedAndProject"),
+        ("bigram x unigram meets are equi-joins, not cartesian",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("censuses partial map-side", r"HashAggregate"),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
 }
 
