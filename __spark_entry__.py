@@ -1601,6 +1601,60 @@ FROM counts ORDER BY n_occurrences DESC, term LIMIT 100
 """
 
 
+_BM25_QUERIES = [
+    (1, "fast table scan"),
+    (2, "window agg join"),
+    (3, "customer query value"),
+    (4, "slow filter vector zzznotincorpus"),
+]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BM25 top-10 per query (operators/retrieval.bm25_topk,
+    Robertson et al. TREC-3): all-integer two-stage floor-division scoring
+    with k1=6/5, b=3/4 exact — bit-identical across engines, sum of
+    integers is order-free. Query 4 carries a term absent from the corpus
+    (scores 0 contribution via the inner postings join — the set-semantics
+    branch is exercised)."""
+    from api_ocr_spark.operators import retrieval
+    qdf = spark.createDataFrame(_BM25_QUERIES,
+                                "query_id long, query_text string")
+    return retrieval.bm25_topk(_docs(spark, sf_dir), qdf, k=10)
+
+
+ORACLE_BM25 = rf"""
+WITH q(query_id, query_text) AS (VALUES
+  (1, 'fast table scan'), (2, 'window agg join'),
+  (3, 'customer query value'), (4, 'slow filter vector zzznotincorpus')),
+d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(len(ws)) AS BIGINT) AS tl FROM d),
+tf AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(any_value(dl) AS BIGINT) AS doc_len
+  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d)
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+              unnest(string_split(query_text, ' ')) AS term FROM q),
+pt AS (
+  SELECT query_id, doc_id,
+    (((22 * tf * tl * 1000000)
+      // (10 * tf * tl + 3 * tl + 9 * doc_len * n))
+     * (2 * n - 2 * df + 1)) // (2 * df + 1) AS term_score
+  FROM tf JOIN qt USING (term) JOIN dfreq USING (term), stats
+),
+sc AS (SELECT query_id, doc_id, CAST(sum(term_score) AS BIGINT) AS score,
+              CAST(count(*) AS BIGINT) AS n_terms_hit
+       FROM pt GROUP BY 1, 2)
+SELECT query_id, doc_id, score, n_terms_hit,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM sc QUALIFY rank <= 10
+"""
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 PMI bigram collocations (operators/keywords
     .collocations_topk, Church & Hanks 1990): exact-rational score
@@ -3142,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "vocab_topk": q_vocab_topk,
         "collocations": q_collocations,
+        "bm25_topk": q_bm25,
         "redact_pii": q_redact_pii,
         "url_domain_cap": q_url_domain_cap,
         "url_host_stats": q_url_host_stats,
@@ -3205,6 +3260,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": ORACLE_TFIDF,
         "vocab_topk": ORACLE_VOCAB_TOPK,
         "collocations": ORACLE_COLLOCATIONS,
+        "bm25_topk": ORACLE_BM25,
         "redact_pii": ORACLE_REDACT_PII,
         "url_domain_cap": ORACLE_URL_DOMAIN_CAP,
         "url_host_stats": ORACLE_URL_HOST_STATS,

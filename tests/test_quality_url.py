@@ -346,3 +346,50 @@ def test_collocations_pmi_ranking(spark):
     top = max(out, key=lambda r: (r.score, r.bigram))
     assert top.bigram == "san francisco"
     assert all(r.c_ab >= 3 for r in out)
+
+
+def test_bm25_ranking_and_set_semantics(spark):
+    """Doc saturated with the query term outranks a longer doc with one
+    mention; duplicate query terms score once; absent terms contribute 0."""
+    from api_ocr_spark.operators.retrieval import bm25_topk
+    docs = spark.createDataFrame(
+        [(0, "spark spark spark spark engine"),
+         (1, "spark " + "filler " * 40),
+         (2, "nothing relevant here at all")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, "spark spark"), (2, "zzzabsent")],
+        "query_id long, query_text string")
+    out = bm25_topk(docs, qs, k=5).collect()
+    q1 = sorted([r for r in out if r.query_id == 1], key=lambda r: r.rank)
+    assert [r.doc_id for r in q1] == [0, 1]          # doc 2 never matches
+    assert q1[0].score > q1[1].score
+    assert all(r.n_terms_hit == 1 for r in q1)       # 'spark spark' = set
+    assert not [r for r in out if r.query_id == 2]   # absent term -> no rows
+
+
+def test_bm25_integer_score_matches_reference_formula(spark):
+    """Spot-check one (query, doc) score against a pure-Python replay of
+    the two-stage floor arithmetic."""
+    from api_ocr_spark.operators.retrieval import bm25_topk, SCALE
+    texts = [(0, "alpha beta gamma alpha"), (1, "beta beta delta"),
+             (2, "alpha epsilon")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "alpha beta")],
+                               "query_id long, query_text string")
+    rows = {r.doc_id: r for r in bm25_topk(docs, qs, k=10).collect()}
+
+    lens = {i: len(t.split()) for i, t in texts}
+    n, tl = 3, sum(lens.values())
+    df = {"alpha": 2, "beta": 2}
+    tf = {(0, "alpha"): 2, (0, "beta"): 1, (1, "beta"): 2, (2, "alpha"): 1}
+
+    def term_score(doc, term):
+        t = tf[(doc, term)]
+        s1 = (22 * t * tl * SCALE) // (10 * t * tl + 3 * tl
+                                       + 9 * lens[doc] * n)
+        return (s1 * (2 * n - 2 * df[term] + 1)) // (2 * df[term] + 1)
+
+    assert rows[0].score == term_score(0, "alpha") + term_score(0, "beta")
+    assert rows[1].score == term_score(1, "beta")
+    assert rows[2].score == term_score(2, "alpha")

@@ -262,6 +262,15 @@ CHECKS = {
          r"BroadcastExchange"),
         ("no cartesian", ("absent", r"CartesianProduct")),
     ],
+    "bm25_topk": [
+        ("query-term set BROADCAST (corpus never shuffles to meet it)",
+         r"BroadcastHashJoin"),
+        ("rank<=k absorbed before the shuffle (partial+final group limit)",
+         r"WindowGroupLimit"),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "collocations": [
         ("global sort never materializes (top-k pushed into the sort)",
          r"TakeOrderedAndProject"),
