@@ -1655,6 +1655,93 @@ FROM sc QUALIFY rank <= 10
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff (operators/snapshot.snapshot_diff): old
+    snapshot drops doc_id%7==0 (those become 'added'), new snapshot drops
+    doc_id%11==0 ('gone' where the old still had them) and rewrites the
+    text of doc_id%5==0 ('changed'); everything else 'unchanged'. All four
+    statuses are planted by construction. Map-side md5 fingerprints, one
+    full outer join on the key."""
+    from api_ocr_spark.operators import snapshot
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot.snapshot_diff(old, new)
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp_old FROM documents WHERE doc_id % 7 <> 0),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                  ELSE text END) AS fp_new
+  FROM documents WHERE doc_id % 11 <> 0)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+  CASE WHEN fp_old IS NULL THEN 'added'
+       WHEN fp_new IS NULL THEN 'gone'
+       WHEN fp_old = fp_new THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  fp_old, fp_new
+FROM old FULL JOIN new ON old.doc_id = new.doc_id
+"""
+
+
+_TOPIC_LEXICON = [
+    ("storage", "table"), ("storage", "row"), ("storage", "scan"),
+    ("compute", "agg"), ("compute", "join"), ("compute", "window"),
+    ("rare", "dup"),
+]
+
+
+def q_topic_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon topic tagging (operators/topics.topic_tag): per-doc winning
+    topic by total lexicon-term occurrences, tie-break topic asc; docs
+    with doc_id%13==0 have their text replaced by out-of-lexicon tokens so
+    the 'none' branch fires in-corpus; the 'rare' single-term topic only
+    wins where 'dup' outnumbers both common topics — all three outcomes
+    planted."""
+    from api_ocr_spark.operators import topics
+    lex = spark.createDataFrame(_TOPIC_LEXICON, "topic string, term string")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("zzz yyy zzz"))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return topics.topic_tag(docs, lex)
+
+
+ORACLE_TOPIC_TAG = rf"""
+WITH lex(topic, term) AS (VALUES
+  ('storage', 'table'), ('storage', 'row'), ('storage', 'scan'),
+  ('compute', 'agg'), ('compute', 'join'), ('compute', 'window'),
+  ('rare', 'dup')),
+d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'zzz yyy zzz' ELSE {_NORM_SQL}
+         END AS t
+  FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM d),
+hits AS (
+  SELECT doc_id, topic, count(*) AS n_hits
+  FROM tok JOIN lex USING (term) GROUP BY doc_id, topic),
+best AS (
+  SELECT doc_id, topic, n_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, topic) AS rn
+  FROM hits)
+SELECT d.doc_id,
+       coalesce(b.topic, 'none') AS topic,
+       CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
+FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 PMI bigram collocations (operators/keywords
     .collocations_topk, Church & Hanks 1990): exact-rational score
@@ -2323,6 +2410,58 @@ SELECT p.doc_id, p.host, p.path,
            FALSE) AS blocked
 FROM pages p LEFT JOIN rules r USING (host)
 """
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier (functions/url.crawl_schedule):
+    per-host md5-ordered fetch ranks spaced by the host's robots
+    Crawl-delay (synthesized 1-4 s, md5-gated ~75% host coverage; the rest
+    default to 10 s — both branches planted). offset_s = (rank-1)*delay.
+    Broadcast delay table; ONE host-keyed exchange (the per-host total
+    order is the politeness semantic)."""
+    from api_ocr_spark.functions import url as U
+
+    urls = _url_fixture(_docs(spark, sf_dir))
+    hosts = urls.select(U.url_host(F.col("url")).alias("host")).distinct()
+    h = F.col("host")
+    delay = (F.conv(F.substring(F.md5(F.concat(F.lit("cd:"), h)), 1, 1),
+                    16, 10).cast("long") % 4 + 1)
+    robots = hosts.filter(
+        ~F.substring(F.md5(F.concat(F.lit("hascd:"), h)), 1, 1)
+        .isin("0", "1", "2", "3")
+    ).select("host", F.concat(
+        F.lit("User-agent: *\n"),
+        F.lit("Crawl-delay: "), delay.cast("string"),
+        F.lit("\nDisallow: /private")).alias("robots_txt"))
+    return U.crawl_schedule(urls, robots, default_delay_s=10)
+
+
+ORACLE_CRAWL_SCHEDULE = """
+WITH u AS ({_URL_FIXTURE_SQL}),
+pages AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+  FROM u
+),
+hosts AS (SELECT DISTINCT host FROM pages),
+delays AS (
+  SELECT host,
+    CAST(('0x' || substring(md5('cd:' || host), 1, 1)) AS BIGINT) % 4 + 1
+      AS delay_s
+  FROM hosts
+  WHERE substring(md5('hascd:' || host), 1, 1) NOT IN ('0', '1', '2', '3')
+),
+ranked AS (
+  SELECT doc_id, host,
+    CAST(row_number() OVER (PARTITION BY host
+         ORDER BY md5('sched:' || url), url) AS BIGINT) AS fetch_rank
+  FROM pages
+)
+SELECT r.doc_id, r.host, r.fetch_rank,
+  CAST(coalesce(d.delay_s, 10) AS BIGINT) AS delay_s,
+  CAST((r.fetch_rank - 1) * coalesce(d.delay_s, 10) AS BIGINT) AS offset_s
+FROM ranked r LEFT JOIN delays d USING (host)
+""".format(_URL_FIXTURE_SQL=_URL_FIXTURE_SQL)
 
 
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3197,6 +3336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "collocations": q_collocations,
         "bm25_topk": q_bm25,
+        "snapshot_diff": q_snapshot_diff,
+        "topic_tag": q_topic_tag,
+        "crawl_schedule": q_crawl_schedule,
         "redact_pii": q_redact_pii,
         "url_domain_cap": q_url_domain_cap,
         "url_host_stats": q_url_host_stats,
@@ -3261,6 +3403,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": ORACLE_VOCAB_TOPK,
         "collocations": ORACLE_COLLOCATIONS,
         "bm25_topk": ORACLE_BM25,
+        "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+        "topic_tag": ORACLE_TOPIC_TAG,
+        "crawl_schedule": ORACLE_CRAWL_SCHEDULE,
         "redact_pii": ORACLE_REDACT_PII,
         "url_domain_cap": ORACLE_URL_DOMAIN_CAP,
         "url_host_stats": ORACLE_URL_HOST_STATS,

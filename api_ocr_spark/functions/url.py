@@ -259,3 +259,57 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
                      lambda p: F.col("path").startswith(p)),
             F.lit(False)).alias("blocked"),
     )
+
+
+def parse_crawl_delay(robots: DataFrame, host_col: str = "host",
+                      content_col: str = "robots_txt") -> DataFrame:
+    """robots.txt → (host, delay_s): the first 'Crawl-delay: N' line
+    (seconds, integer). Hosts whose file carries no such line are absent
+    from the result (callers coalesce their default). Same single-agent
+    simplification as parse_robots."""
+    delay = F.regexp_extract(F.col(content_col),
+                             r"(?m)^Crawl-delay: ([0-9]+)$", 1)
+    return (robots
+            .select(F.col(host_col).alias("host"), delay.alias("d"))
+            .filter(F.col("d") != "")
+            .select("host", F.col("d").cast("long").alias("delay_s")))
+
+
+def crawl_schedule(pages: DataFrame, robots: DataFrame,
+                   default_delay_s: int = 10, url_col: str = "url",
+                   id_col: str = "doc_id", host_col: str = "host",
+                   content_col: str = "robots_txt") -> DataFrame:
+    """Politeness-scheduled crawl frontier: per host, URLs are fetched one
+    per Crawl-delay window, so fetch k (1-based, deterministic md5 order —
+    reproducible without an engine-private RNG) is scheduled at
+    offset_s = (k-1) * delay_s. Returns
+    (doc_id, host, fetch_rank, delay_s, offset_s).
+
+    Shape at 100 TB: the delay table is per-host-tiny and BROADCAST; the
+    frontier shuffles ONCE on host and sorts within the partition for the
+    rank — irreducible, because per-host sequencing IS the politeness
+    semantic (a host's queue must be totally ordered somewhere). Hot hosts
+    make long partitions, not hot shuffle keys under AQE skew-split; the
+    rank window carries no group limit by design (every URL gets a slot).
+    """
+    delays = parse_crawl_delay(robots, host_col, content_col)
+    parsed = pages.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        url_host(F.col(url_col)).alias("host"),
+        F.col(url_col).alias("_url"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.concat(F.lit("sched:"), F.col("_url"))), F.col("_url"))
+    ranked = parsed.withColumn("fetch_rank",
+                               F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(delays), "host", "left")
+        .select(
+            "doc_id", "host", "fetch_rank",
+            F.coalesce(F.col("delay_s"), F.lit(default_delay_s))
+            .cast("long").alias("delay_s"),
+            ((F.col("fetch_rank") - 1)
+             * F.coalesce(F.col("delay_s"), F.lit(default_delay_s)))
+            .cast("long").alias("offset_s"),
+        )
+    )

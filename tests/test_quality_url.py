@@ -393,3 +393,59 @@ def test_bm25_integer_score_matches_reference_formula(spark):
     assert rows[0].score == term_score(0, "alpha") + term_score(0, "beta")
     assert rows[1].score == term_score(1, "beta")
     assert rows[2].score == term_score(2, "alpha")
+
+
+def test_snapshot_diff_statuses(spark):
+    from api_ocr_spark.operators.snapshot import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "brand new")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in snapshot_diff(old, new).collect()}
+    assert len(out) == 4
+    assert out[1].status == "unchanged" and out[1].fp_old == out[1].fp_new
+    assert out[2].status == "changed" and out[2].fp_old != out[2].fp_new
+    assert out[3].status == "gone" and out[3].fp_new is None
+    assert out[4].status == "added" and out[4].fp_old is None
+
+
+def test_topic_tag_argmax_tiebreak_none(spark):
+    from api_ocr_spark.operators.topics import topic_tag
+    lex = spark.createDataFrame(
+        [("a", "apple"), ("a", "avocado"), ("b", "banana")],
+        "topic string, term string")
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"),     # a wins 2-1
+         (1, "apple banana"),           # tie -> 'a' (topic asc)
+         (2, "banana banana avocado"),  # b wins 2-1
+         (3, "cherry mango")],          # no hits -> none
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in topic_tag(docs, lex).collect()}
+    assert (out[0].topic, out[0].n_hits) == ("a", 2)
+    assert (out[1].topic, out[1].n_hits) == ("a", 1)
+    assert (out[2].topic, out[2].n_hits) == ("b", 2)
+    assert (out[3].topic, out[3].n_hits) == ("none", 0)
+
+
+def test_crawl_schedule_spacing_and_default(spark):
+    """Ranks are 1..n per host, offsets spaced by the host's delay;
+    hosts without a Crawl-delay line fall back to the default."""
+    from api_ocr_spark.functions.url import crawl_schedule
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, "https://a.com/y"),
+         (3, "https://a.com/z"), (4, "https://b.com/only")],
+        "doc_id long, url string")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 3\nDisallow: /p"),
+         ("b.com", "User-agent: *\nDisallow: /p")],  # no delay line
+        "host string, robots_txt string")
+    out = crawl_schedule(pages, robots, default_delay_s=7).collect()
+    a = sorted([r for r in out if r.host == "a.com"],
+               key=lambda r: r.fetch_rank)
+    assert [r.fetch_rank for r in a] == [1, 2, 3]
+    assert [r.offset_s for r in a] == [0, 3, 6]
+    assert all(r.delay_s == 3 for r in a)
+    b = [r for r in out if r.host == "b.com"][0]
+    assert (b.fetch_rank, b.delay_s, b.offset_s) == (1, 7, 0)

@@ -262,6 +262,27 @@ CHECKS = {
          r"BroadcastExchange"),
         ("no cartesian", ("absent", r"CartesianProduct")),
     ],
+    "snapshot_diff": [
+        ("exact full outer join on the key (fingerprints computed "
+         "map-side)", r"FullOuter"),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
+    "topic_tag": [
+        ("lexicon BROADCAST (corpus never shuffles to meet it)",
+         r"BroadcastHashJoin"),
+        ("per-doc argmax absorbed before the shuffle", r"WindowGroupLimit"),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
+    "crawl_schedule": [
+        ("delay table BROADCAST", r"BroadcastHashJoin"),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "bm25_topk": [
         ("query-term set BROADCAST (corpus never shuffles to meet it)",
          r"BroadcastHashJoin"),
