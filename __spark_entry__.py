@@ -2464,6 +2464,56 @@ FROM ranked r LEFT JOIN delays d USING (host)
 """.format(_URL_FIXTURE_SQL=_URL_FIXTURE_SQL)
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sequence packing (operators/packing.pack_sequences):
+    the GPT-style concatenate-and-slice manifest at cap=256 tokens, global
+    order = doc_id asc via a two-level distributed exclusive prefix sum
+    (block DIV 64 — small enough that sf0.01's 500 docs exercise the
+    block-offset path with ~8 blocks). Docs with doc_id%17==0 have their
+    text repeated x5 (~500 tokens > cap) so the multi-sequence spanning
+    branch is planted in-corpus; the ragged tail sequence is emitted."""
+    from api_ocr_spark.operators import packing
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0,
+               F.repeat(F.concat(F.col("text"), F.lit(" ")), 5))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return packing.pack_sequences(docs, cap=256, block_size=64)
+
+
+ORACLE_SEQUENCE_PACK = rf"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN repeat(text || ' ', 5)
+              ELSE text END AS text
+  FROM documents),
+lens AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n
+  FROM d),
+pref AS (
+  SELECT doc_id, n,
+    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS s
+  FROM lens WHERE n > 0),
+k AS (
+  SELECT doc_id, n, s,
+         unnest(range(s // 256, (s + n - 1) // 256 + 1)) AS seq_id
+  FROM pref)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+  CAST(greatest(s, seq_id * 256) - s AS BIGINT) AS doc_tok_start,
+  CAST(least(s + n, (seq_id + 1) * 256) - s AS BIGINT) AS doc_tok_end,
+  CAST(greatest(s, seq_id * 256) - seq_id * 256 AS BIGINT)
+    AS seq_tok_start,
+  CAST(least(s + n, (seq_id + 1) * 256)
+       - greatest(s, seq_id * 256) AS BIGINT) AS n_toks
+FROM k
+"""
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling — the reproducible
     down-sampling op a training-data pipeline runs per source/language:
@@ -3339,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "topic_tag": q_topic_tag,
         "crawl_schedule": q_crawl_schedule,
+        "sequence_pack": q_sequence_pack,
         "redact_pii": q_redact_pii,
         "url_domain_cap": q_url_domain_cap,
         "url_host_stats": q_url_host_stats,
@@ -3406,6 +3457,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "topic_tag": ORACLE_TOPIC_TAG,
         "crawl_schedule": ORACLE_CRAWL_SCHEDULE,
+        "sequence_pack": ORACLE_SEQUENCE_PACK,
         "redact_pii": ORACLE_REDACT_PII,
         "url_domain_cap": ORACLE_URL_DOMAIN_CAP,
         "url_host_stats": ORACLE_URL_HOST_STATS,

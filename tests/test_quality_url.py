@@ -449,3 +449,35 @@ def test_crawl_schedule_spacing_and_default(spark):
     assert all(r.delay_s == 3 for r in a)
     b = [r for r in out if r.host == "b.com"][0]
     assert (b.fetch_rank, b.delay_s, b.offset_s) == (1, 7, 0)
+
+
+def test_pack_sequences_manifest_invariants(spark):
+    """Slices tile each document exactly, sequences fill to cap, a doc
+    longer than cap spans sequences, empty docs are skipped, and the
+    two-level prefix sum (tiny blocks) equals the global order."""
+    from api_ocr_spark.operators.packing import pack_sequences
+    docs = spark.createDataFrame(
+        [(0, "w " * 5), (1, ""), (2, "w " * 9), (3, "w " * 3),
+         (4, "w " * 4), (5, "w " * 2)],
+        "doc_id long, text string")
+    out = sorted(pack_sequences(docs, cap=8, block_size=2).collect(),
+                 key=lambda r: (r.seq_id, r.seq_tok_start))
+    assert not [r for r in out if r.doc_id == 1]          # empty skipped
+    # total = 5+9+3+4+2 = 23 tokens -> seqs 0,1 full (8), tail seq 2 = 7
+    per_seq = {}
+    for r in out:
+        per_seq.setdefault(r.seq_id, 0)
+        per_seq[r.seq_id] += r.n_toks
+        assert r.n_toks == r.doc_tok_end - r.doc_tok_start
+    assert per_seq == {0: 8, 1: 8, 2: 7}
+    # doc 2 (len 9, global [5,14)) spans seq 0 and 1
+    d2 = sorted([r for r in out if r.doc_id == 2], key=lambda r: r.seq_id)
+    assert [(r.seq_id, r.doc_tok_start, r.doc_tok_end, r.seq_tok_start)
+            for r in d2] == [(0, 0, 3, 5), (1, 3, 9, 0)]
+    # each doc's slices tile [0, len)
+    for did, ln in [(0, 5), (2, 9), (3, 3), (4, 4), (5, 2)]:
+        sl = sorted([r for r in out if r.doc_id == did],
+                    key=lambda r: r.doc_tok_start)
+        assert sl[0].doc_tok_start == 0 and sl[-1].doc_tok_end == ln
+        for a, b in zip(sl, sl[1:]):
+            assert a.doc_tok_end == b.doc_tok_start

@@ -283,6 +283,15 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "sequence_pack": [
+        ("block-offset table BROADCAST to the within-block frame",
+         r"BroadcastHashJoin"),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("manifest is arithmetic on counts — token payload never moves",
+         ("absent", r"Generate explode.*text|collect_list")),
+    ],
     "bm25_topk": [
         ("query-term set BROADCAST (corpus never shuffles to meet it)",
          r"BroadcastHashJoin"),
