@@ -2454,7 +2454,7 @@ delays AS (
 ranked AS (
   SELECT doc_id, host,
     CAST(row_number() OVER (PARTITION BY host
-         ORDER BY md5('sched:' || url), url) AS BIGINT) AS fetch_rank
+         ORDER BY md5('sched:' || url), url, doc_id) AS BIGINT) AS fetch_rank
   FROM pages
 )
 SELECT r.doc_id, r.host, r.fetch_rank,

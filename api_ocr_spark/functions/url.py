@@ -299,7 +299,8 @@ def crawl_schedule(pages: DataFrame, robots: DataFrame,
         F.col(url_col).alias("_url"),
     )
     w = Window.partitionBy("host").orderBy(
-        F.md5(F.concat(F.lit("sched:"), F.col("_url"))), F.col("_url"))
+        F.md5(F.concat(F.lit("sched:"), F.col("_url"))), F.col("_url"),
+        F.col("doc_id"))
     ranked = parsed.withColumn("fetch_rank",
                                F.row_number().over(w).cast("long"))
     return (
