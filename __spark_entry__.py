@@ -1601,6 +1601,85 @@ FROM counts ORDER BY n_occurrences DESC, term LIMIT 100
 """
 
 
+_BPE_N_MERGES = 6
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """Shared CTE chain replaying operators/bpe.bpe_learn end-to-end:
+    word census → char+'</w>' symbols → n_merges rounds of (adjacent-pair
+    census → (count desc, lhs, rhs) argmax → greedy left-to-right rewrite).
+    The rewrite is DuckDB's reduce() over singleton lists — leftmost
+    non-overlapping fuse, pinned equal to the Spark fold by
+    tests/test_bpe.py (self-pair runs included). Used by BOTH bpe oracles
+    so the learned rules and the rewritten vocabulary are the same
+    definition."""
+    parts = [r"""
+toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+      'g')), ' ')) AS word
+  FROM documents
+),
+census AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY word),
+v0 AS (SELECT cnt, list_append(string_split(word, ''), '</w>') AS symbols
+       FROM census)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+pairs{r} AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, unnest(list_transform(range(1, length(symbols)),
+        i -> [symbols[i], symbols[i + 1]])) AS p FROM v{r - 1})
+  GROUP BY 1, 2
+),
+best{r} AS (SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+            FROM pairs{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+v{r} AS (
+  SELECT cnt, reduce(list_transform(symbols, s -> [s]),
+    (acc, x) -> CASE WHEN acc[-1] = b.lhs AND x[1] = b.rhs
+                THEN list_append(acc[1:length(acc) - 1], b.merged)
+                ELSE list_concat(acc, x) END) AS symbols
+  FROM v{r - 1}, best{r} b
+)""")
+    return "WITH " + ",".join(parts)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.bpe_learn — Sennrich et al.
+    2016): 6 merge rules learned over the word census. Corpus tokens are
+    touched exactly once (the codegen'd census shuffle); every round is
+    one census-sized pair shuffle + a 1-row collect, and the greedy
+    rewrite folds run on DISTINCT words only — vocabulary cardinality is
+    the scale firewall at 10^12 docs."""
+    from api_ocr_spark.operators import bpe
+    return bpe.merge_table(spark, _docs(spark, sf_dir),
+                           n_merges=_BPE_N_MERGES)
+
+
+ORACLE_BPE_MERGES = _bpe_chain_sql(_BPE_N_MERGES) + "\nSELECT * FROM (" + \
+    " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, merged, "
+        f"pair_count FROM best{r}"
+        for r in range(1, _BPE_N_MERGES + 1)) + ") ORDER BY merge_rank"
+
+
+def q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus subword census after the 6 learned BPE merges
+    (operators/bpe.subword_census): top-40 tokens by occurrences
+    (count desc, token asc), token counts derived from the vocab frame
+    weighted by word count — no second corpus pass. sort+limit plans as
+    TakeOrderedAndProject."""
+    from api_ocr_spark.operators import bpe
+    return bpe.subword_census(_docs(spark, sf_dir),
+                              n_merges=_BPE_N_MERGES, k=40)
+
+
+ORACLE_BPE_SUBWORDS = _bpe_chain_sql(_BPE_N_MERGES) + f"""
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM (SELECT cnt, unnest(symbols) AS token FROM v{_BPE_N_MERGES})
+GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 40
+"""
+
+
 _BM25_QUERIES = [
     (1, "fast table scan"),
     (2, "window agg join"),
@@ -3384,6 +3463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_buckets": q_rarity_buckets,
         "tfidf_top_terms": q_tfidf_top_terms,
         "vocab_topk": q_vocab_topk,
+        "bpe_merges": q_bpe_merges,
+        "bpe_subwords": q_bpe_subwords,
         "collocations": q_collocations,
         "bm25_topk": q_bm25,
         "snapshot_diff": q_snapshot_diff,
@@ -3452,6 +3533,8 @@ def oracle_sql() -> dict[str, str]:
         "rarity_buckets": ORACLE_RARITY_BUCKETS,
         "tfidf_top_terms": ORACLE_TFIDF,
         "vocab_topk": ORACLE_VOCAB_TOPK,
+        "bpe_merges": ORACLE_BPE_MERGES,
+        "bpe_subwords": ORACLE_BPE_SUBWORDS,
         "collocations": ORACLE_COLLOCATIONS,
         "bm25_topk": ORACLE_BM25,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,

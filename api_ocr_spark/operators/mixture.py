@@ -1,0 +1,95 @@
+"""Temperature-based source mixture sampling — the data-mixing step of a
+multi-source LLM training corpus (Lample & Conneau 2019 §3.1 / XLM-R's
+alpha-smoothed multinomial; LLaMA-style source re-weighting): big sources
+are down-sampled and small sources up-weighted by sampling sources
+proportionally to n_i^alpha with alpha = 1/2.
+
+The reference service (/root/reference — per-request OCR) has no corpus
+layer; this operator extends the training-data tier this engine targets.
+
+Exactness contract: alpha = 1/2 is computed as isqrt(n_i) =
+floor(sqrt(n_i)) — IEEE sqrt is correctly rounded in both engines, so its
+floor is integer-exact — and quotas use the largest-remainder method in
+pure int64 arithmetic (base_i = T*w_i DIV W, bonus by remainder rank), so
+the DuckDB oracle is an equality check, not a tolerance. Quotas are
+truncated at the source size (least(quota, n) — sampling is without
+replacement; the iterative water-filling redistribution of truncated mass
+is a driver-side refinement, documented not implemented).
+
+Shape at 100 TB: the source census is one map-side-partial shuffle to a
+SOURCES-sized frame (sources are a handful by definition — collected like
+ivf_assign's centroids); quotas come back as a BROADCAST table; selection
+is `row_number() <= quota` over the source window, which plans as
+partial+final WindowGroupLimit — each map task forwards at most
+max-quota rows per source, so a trillion-doc web source contributes
+quota-bounded rows to the selection exchange, not its full size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def mixture_quotas(census: list[tuple[str, int]], frac_num: int,
+                   frac_den: int) -> dict[str, dict]:
+    """Largest-remainder quotas over a collected source census.
+
+    T = total DIV (frac_den/frac_num) docs are distributed proportionally
+    to isqrt(n_i); ties in the remainder rank break by source name asc.
+    Pure-int arithmetic throughout (int64 bounds hold while
+    T * max(weight) < 2^63 — at 10^12 docs T*w ~ 10^18, the edge of
+    int64; the oracle-checked arithmetic would swap to DECIMAL(38,0)
+    there, a type change not a shape change)."""
+    total = sum(n for _, n in census)
+    target = total * frac_num // frac_den
+    weights = {s: math.isqrt(n) for s, n in census}
+    w_sum = sum(weights.values()) or 1
+    base = {s: target * w // w_sum for s, w in weights.items()}
+    rem = {s: target * w % w_sum for s, w in weights.items()}
+    extra = target - sum(base.values())
+    by_rem = sorted(census, key=lambda kv: (-rem[kv[0]], kv[0]))
+    bonus = {s: (1 if i < extra else 0) for i, (s, _) in enumerate(by_rem)}
+    out = {}
+    for s, n in census:
+        quota = min(base[s] + bonus[s], n)
+        out[s] = {"n_source": n, "weight": weights[s], "quota": quota}
+    return out
+
+
+def mixture_sample(df: DataFrame, frac_num: int = 2, frac_den: int = 5,
+                   source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Sample a frac_num/frac_den-of-corpus training mix across sources at
+    temperature alpha = 1/2. Returns the selected docs only:
+    (doc_id, source, n_source, weight, quota, sel_rank), ranked by
+    md5('mix:'||doc_id) within each source (deterministic uniform draw,
+    reproducible across engines and runs)."""
+    spark = df.sparkSession
+    census_rows = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    )
+    census = sorted((r.source, r.n) for r in census_rows)
+    quotas = mixture_quotas(census, frac_num, frac_den)
+    quota_df = spark.createDataFrame(
+        [(s, q["n_source"], q["weight"], q["quota"])
+         for s, q in quotas.items()],
+        "source string, n_source long, weight long, quota long",
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))),
+        id_col)
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(source_col).alias("source"))
+        .join(F.broadcast(quota_df), "source")
+        .withColumn("sel_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sel_rank") <= F.col("quota"))
+        .select("doc_id", "source", "n_source", "weight", "quota",
+                "sel_rank")
+    )

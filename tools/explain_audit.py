@@ -178,6 +178,16 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "bpe_subwords": [
+        ("census + subword counts are partial-agg shuffles",
+         r"HashAggregate"),
+        ("distributed top-k (no global sort materialization)",
+         r"TakeOrderedAndProject"),
+        ("greedy rewrite never pairs frames (fold over the census only)",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "line_dedup": [
         ("keeper via min-AGG (map-side partials; no window sort on the "
          "hot sentence partition)", r"HashAggregate"),
