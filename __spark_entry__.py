@@ -2640,6 +2640,78 @@ WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 ELSE 10 END)
 """
 
 
+_SOURCE_CASE_SQL = """
+    CASE WHEN doc_id % 1000 = 7 THEN 'rare'
+         WHEN doc_id % 10 < 6 THEN 'web'
+         WHEN doc_id % 10 < 8 THEN 'news'
+         WHEN doc_id % 10 = 8 THEN 'books'
+         ELSE 'wiki' END"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature alpha=1/2 source mixture sampling
+    (operators/mixture.mixture_sample): a 5-source census with planted
+    skew — web 60% / news ~20% / books 10% / wiki 10% / rare ~0.1% by
+    doc_id residue — resampled to a 2/5-of-corpus training mix with
+    isqrt weights + integer largest-remainder quotas; 'rare' is small
+    enough that its quota truncates at the source size, planting the
+    least(quota, n) branch in-corpus. Census collect is sources-sized;
+    quota table broadcast; rank<=quota plans as partial+final
+    WindowGroupLimit."""
+    from api_ocr_spark.operators import mixture
+
+    d = F.col("doc_id").cast("long")
+    src = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.when(d % 1000 == 7, "rare")
+        .when(d % 10 < 6, "web")
+        .when(d % 10 < 8, "news")
+        .when(d % 10 == 8, "books")
+        .otherwise("wiki").alias("source"),
+    )
+    return mixture.mixture_sample(src, frac_num=2, frac_den=5)
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH src AS (
+  SELECT doc_id, {_SOURCE_CASE_SQL} AS source
+  FROM documents
+),
+census AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM src GROUP BY source),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM census),
+tgt AS (SELECT CAST(total * 2 // 5 AS BIGINT) AS target FROM tot),
+wts AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS weight
+        FROM census),
+ws AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM wts),
+parts AS (
+  SELECT source, n, weight,
+    CAST(target * weight // wsum AS BIGINT) AS base,
+    CAST(target * weight % wsum AS BIGINT) AS rem
+  FROM wts, tgt, ws
+),
+quot AS (
+  SELECT source, n, weight,
+    least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                      <= (SELECT target FROM tgt) - (SELECT SUM(base)
+                                                     FROM parts)
+                 THEN 1 ELSE 0 END, n) AS quota
+  FROM parts
+),
+ranked AS (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (PARTITION BY source
+         ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id)
+         AS BIGINT) AS sel_rank
+  FROM src
+)
+SELECT r.doc_id, r.source, q.n AS n_source, q.weight,
+  CAST(q.quota AS BIGINT) AS quota, r.sel_rank
+FROM ranked r JOIN quot q USING (source)
+WHERE r.sel_rank <= q.quota
+"""
+
+
 def q_tier_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-tier extraction + per-tier quota sampling
     (operators/tiering.tier_extract): histogram-quantile tiers over the
@@ -3478,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "corpus_sample": q_corpus_sample,
         "tier_extract": q_tier_extract,
+        "mixture_sample": q_mixture_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
@@ -3548,6 +3621,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": ORACLE_ROBOTS_FILTER,
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "tier_extract": ORACLE_TIER_EXTRACT,
+        "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
         "simhash64_neardup": ORACLE_SIMHASH64_NEARDUP,

@@ -84,11 +84,17 @@ def mixture_sample(df: DataFrame, frac_num: int = 2, frac_den: int = 5,
     w = Window.partitionBy("source").orderBy(
         F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))),
         id_col)
+    # rank <= LITERAL max quota plans as partial+final WindowGroupLimit
+    # (a per-source column bound would not); the exact per-source quota is
+    # the broadcast refinement after the group limit — the tier_extract
+    # two-step.
+    max_quota = max((q["quota"] for q in quotas.values()), default=0)
     return (
         df.select(F.col(id_col).cast("long").alias("doc_id"),
                   F.col(source_col).alias("source"))
         .join(F.broadcast(quota_df), "source")
         .withColumn("sel_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sel_rank") <= F.lit(max_quota))
         .where(F.col("sel_rank") <= F.col("quota"))
         .select("doc_id", "source", "n_source", "weight", "quota",
                 "sel_rank")

@@ -1,0 +1,60 @@
+"""Temperature mixture sampling (operators/mixture) — quota arithmetic and
+selection semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from api_ocr_spark.operators import mixture
+
+
+def test_largest_remainder_sums_to_target_without_truncation():
+    census = [("a", 900), ("b", 400), ("c", 200)]
+    q = mixture.mixture_quotas(census, 1, 2)  # T = 750
+    assert sum(v["quota"] for v in q.values()) == 750
+    # alpha=1/2 weights
+    assert [q[s]["weight"] for s, _ in census] == [30, 20, 14]
+    # sqrt temperature boosts the small source's share above proportional
+    assert q["c"]["quota"] / 750 > 200 / 1500
+
+
+def test_truncation_caps_at_source_size():
+    census = [("big", 10000), ("tiny", 4)]
+    q = mixture.mixture_quotas(census, 1, 2)
+    # tiny's sqrt weight would grant far more than its 4 docs
+    assert q["tiny"]["quota"] == 4
+    assert q["big"]["quota"] <= 10000
+
+
+def test_bonus_goes_to_largest_remainder_ties_by_name():
+    # weights 1,1,1; T=2: base 0 each (2*1//3=0), rem 2 each -> bonus to
+    # the two lexicographically first sources
+    census = [("x", 1), ("y", 1), ("z", 1)]
+    q = mixture.mixture_quotas(census, 2, 3)
+    assert (q["x"]["quota"], q["y"]["quota"], q["z"]["quota"]) == (1, 1, 0)
+
+
+def test_quotas_match_python_isqrt():
+    for n in [0, 1, 2, 3, 4, 48, 49, 50, 14999, 10**12]:
+        assert math.isqrt(n) == int(math.floor(math.sqrt(n))) or n > 2**52
+
+
+def test_mixture_sample_selects_exactly_quota_rows(spark):
+    rows = [(i, "big" if i % 10 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture.mixture_sample(df, 1, 2).toPandas()
+    census = [("big", 900), ("small", 100)]
+    q = mixture.mixture_quotas(census, 1, 2)
+    got = out.groupby("source").size().to_dict()
+    assert got == {s: v["quota"] for s, v in q.items() if v["quota"]}
+    # ranks are 1..quota within each source
+    for s, v in q.items():
+        ranks = sorted(out[out.source == s].sel_rank)
+        assert ranks == list(range(1, v["quota"] + 1))
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

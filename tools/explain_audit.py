@@ -178,6 +178,14 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "mixture_sample": [
+        ("quota table broadcast onto the corpus",
+         r"BroadcastHashJoin|BroadcastExchange"),
+        ("rank<=quota absorbs source skew before the wire",
+         r"WindowGroupLimit"),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "bpe_subwords": [
         ("census + subword counts are partial-agg shuffles",
          r"HashAggregate"),
