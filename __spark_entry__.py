@@ -1361,6 +1361,93 @@ FROM fields
 """
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (functions/html.extract_tables): <table> →
+    (doc_id, table_idx, row_idx, col_idx, is_header, cell_text) in
+    document order, pure codegen'd map + three posexplodes, zero shuffle.
+    The fixture plants every branch: a header row (<th>), an inner-tag
+    cell (<b>), an EMPTY cell, a ragged third column on even docs, a
+    second table on odd docs, and a decoy table quoted inside <script>
+    that strip_noise must remove."""
+    from api_ocr_spark.functions import html as H
+
+    d = F.col("doc_id").cast("long")
+    first_word = F.regexp_extract(F.col("text"), r"^([^ ]+)", 1)
+    page = F.concat(
+        F.lit('<html><head><title>t</title><script>var x="<table><tr>'
+              '<td>ghost</td></tr></table>";</script></head><body>'
+              '<table class="data"><tr><th>item</th><th class="n">qty'
+              '</th></tr><tr><td>'),
+        first_word, F.lit("</td><td>"), d.cast("string"),
+        F.lit("</td></tr><tr><td><b>"), first_word,
+        F.lit("</b> units</td><td></td>"),
+        F.when(d % 2 == 0, F.lit("<td>extra</td>")).otherwise(F.lit("")),
+        F.lit("</tr></table>"),
+        F.when(d % 2 == 1,
+               F.concat(F.lit("<table><tr><td>total</td><td>"),
+                        (d * 3).cast("string"),
+                        F.lit("</td></tr></table>"))).otherwise(F.lit("")),
+        F.lit("<footer>terms</footer></body></html>"),
+    )
+    docs = _docs(spark, sf_dir).select(d.alias("doc_id"),
+                                       page.alias("html"))
+    return H.extract_tables(docs)
+
+
+_TABLE_RE = r"'(?is)<table(?:\s[^>]*)?>(.*?)</table>'"
+_TR_RE = r"'(?is)<tr(?:\s[^>]*)?>(.*?)</tr>'"
+_CELL_RE = r"'(?is)<t([dh])(?:\s[^>]*)?>(.*?)</t[dh]>'"
+
+ORACLE_HTML_TABLES = f"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>t</title><script>var x="<table><tr><td>ghost</td>'
+    || '</tr></table>";</script></head><body>'
+    || '<table class="data"><tr><th>item</th><th class="n">qty</th></tr>'
+    || '<tr><td>' || regexp_extract(text, '^([^ ]+)', 1) || '</td><td>'
+    || CAST(doc_id AS VARCHAR) || '</td></tr><tr><td><b>'
+    || regexp_extract(text, '^([^ ]+)', 1) || '</b> units</td><td></td>'
+    || CASE WHEN doc_id % 2 = 0 THEN '<td>extra</td>' ELSE '' END
+    || '</tr></table>'
+    || CASE WHEN doc_id % 2 = 1
+       THEN '<table><tr><td>total</td><td>' || CAST(doc_id * 3 AS VARCHAR)
+            || '</td></tr></table>' ELSE '' END
+    || '<footer>terms</footer></body></html>' AS html
+  FROM documents
+),
+noise AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<!--.*?-->', ' ', 'g'),
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS hh
+  FROM h
+),
+t AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS table_idx, tbls[i] AS tbl
+  FROM (SELECT doc_id, regexp_extract_all(hh, {_TABLE_RE}, 1) AS tbls
+        FROM noise), unnest(range(1, len(tbls) + 1)) AS tt(i)
+),
+r AS (
+  SELECT doc_id, table_idx, CAST(i - 1 AS BIGINT) AS row_idx, rws[i] AS rowhtml
+  FROM (SELECT doc_id, table_idx,
+          regexp_extract_all(tbl, {_TR_RE}, 1) AS rws FROM t),
+       unnest(range(1, len(rws) + 1)) AS tt(i)
+),
+c AS (
+  SELECT doc_id, table_idx, row_idx, CAST(i - 1 AS BIGINT) AS col_idx,
+    lower(kinds[i]) = 'h' AS is_header, bodies[i] AS body
+  FROM (SELECT doc_id, table_idx, row_idx,
+          regexp_extract_all(rowhtml, {_CELL_RE}, 1) AS kinds,
+          regexp_extract_all(rowhtml, {_CELL_RE}, 2) AS bodies FROM r),
+       unnest(range(1, len(kinds) + 1)) AS tt(i)
+)
+SELECT doc_id, table_idx, row_idx, col_idx, is_header,
+  {_vis_sql('body')} AS cell_text
+FROM c
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation + context-window chunk packing
     (functions/text.split_sentences + chunk_pack): the sequence-packing op
@@ -3527,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerpipe_extract": q_boilerpipe_extract,
         "html_links": q_html_links,
         "html_metadata": q_html_metadata,
+        "html_tables": q_html_tables,
         "chunk_documents": q_chunk_documents,
         "repetition_filter": q_repetition_filter,
         "line_dedup": q_line_dedup,
@@ -3598,6 +3686,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerpipe_extract": ORACLE_BOILERPIPE,
         "html_links": ORACLE_HTML_LINKS,
         "html_metadata": ORACLE_HTML_METADATA,
+        "html_tables": ORACLE_HTML_TABLES,
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "repetition_filter": ORACLE_REPETITION,
         "line_dedup": ORACLE_LINE_DEDUP,

@@ -484,3 +484,60 @@ def synthesize_html(text_col: Column, doc_id_col: Column,
               "<footer>terms &amp; legal</footer>"
               "</body></html>"),
     )
+
+
+# --- HTML table extraction (DOM-heuristic structured data) -----------------
+
+# optional attributes must start with whitespace, so <thead>/<track> cannot
+# leak through the <t[dh]>/<tr> shapes; lazy bodies keep each match inside
+# one element pair. Non-nested tables only (a nested <table> would end the
+# outer match at the inner </table>) — the standard regex-extractor
+# contract, documented here and in the oracle.
+TABLE_PATTERN = r"(?is)<table(?:\s[^>]*)?>(.*?)</table>"
+TR_PATTERN = r"(?is)<tr(?:\s[^>]*)?>(.*?)</tr>"
+CELL_PATTERN = r"(?is)<t([dh])(?:\s[^>]*)?>(.*?)</t[dh]>"
+
+
+def extract_tables(df: DataFrame, html_col: str = "html",
+                   id_col: str = "doc_id") -> DataFrame:
+    """HTML <table> → structured cells: one row per cell,
+    (doc_id, table_idx, row_idx, col_idx, is_header, cell_text) in
+    document order. Header cells are <th>; cell text is the visible-text
+    rule (tags stripped, entities unescaped, whitespace collapsed), so
+    inline markup inside cells is flattened and empty cells come out ''.
+    Comments and <script>/<style> are removed FIRST — markup quoted inside
+    scripts cannot fabricate tables.
+
+    Shape at 100 TB: a pure codegen'd map over the scan — three
+    posexplode stages (tables → rows → cells; the cell stage extracts the
+    tag-kind and body arrays once and indexes them position-aligned, the
+    html_links pattern), ZERO shuffles end to end. Ragged rows are
+    preserved as-is (col_idx is per-row); downstream pivoting chooses its
+    own rectangularization."""
+    h = strip_noise(F.col(html_col))
+    t = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.regexp_extract_all(h, F.lit(TABLE_PATTERN), 1))
+        .alias("table_idx", "tbl"),
+    )
+    r = t.select(
+        "doc_id", F.col("table_idx").cast("long").alias("table_idx"),
+        F.posexplode(F.regexp_extract_all(F.col("tbl"), F.lit(TR_PATTERN), 1))
+        .alias("row_idx", "rowhtml"),
+    )
+    c = r.select(
+        "doc_id", "table_idx",
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("rowhtml"), F.lit(CELL_PATTERN), 1)
+        ).alias("col_idx", "kind"),
+        F.regexp_extract_all(F.col("rowhtml"), F.lit(CELL_PATTERN), 2)
+        .alias("bodies"),
+    )
+    return c.select(
+        "doc_id", "table_idx", "row_idx",
+        F.col("col_idx").cast("long").alias("col_idx"),
+        (F.lower(F.col("kind")) == "h").alias("is_header"),
+        visible_text(F.element_at(F.col("bodies"), F.col("col_idx") + 1))
+        .alias("cell_text"),
+    )

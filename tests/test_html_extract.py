@@ -312,3 +312,37 @@ def test_synthesized_wrapper_recovers_text(spark):
         "doc_id", H.synthesize_html(F.col("text"), F.col("doc_id")).alias("html"))
     out = {r.doc_id: r.main_text for r in H.html_main_content(wrapped).collect()}
     assert out == {i: t.strip() for i, t in rows}
+
+
+def test_extract_tables_structure_and_edge_shapes(spark):
+    html = (
+        '<body>'
+        # decoy inside a script must not be extracted
+        '<script>var x="<table><tr><td>ghost</td></tr></table>";</script>'
+        # thead/tbody wrappers are transparent (attrs must start with
+        # whitespace, so <thead> cannot match the <t[dh]> cell shape)
+        '<table id="a"><thead><tr><th>H1</th><th scope="col">H2</th></tr>'
+        '</thead><tbody>'
+        '<tr><td><b>bold</b> tail</td><td></td><td>c &amp; d</td></tr>'
+        '</tbody></table>'
+        '<TABLE><TR><TD>upper</TD></TR></TABLE>'
+        '</body>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = sorted(
+        ((r.table_idx, r.row_idx, r.col_idx, r.is_header, r.cell_text)
+         for r in H.extract_tables(df).collect()))
+    assert rows == [
+        (0, 0, 0, True, "H1"),
+        (0, 0, 1, True, "H2"),
+        (0, 1, 0, False, "bold tail"),   # inline tag flattened
+        (0, 1, 1, False, ""),            # empty cell
+        (0, 1, 2, False, "c & d"),       # entity unescaped; ragged row
+        (1, 0, 0, False, "upper"),       # case-insensitive tags
+    ]
+
+
+def test_extract_tables_no_tables_yields_no_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "<body><p>tableau, not a table tag</p></body>")],
+        "doc_id long, html string")
+    assert H.extract_tables(df).count() == 0

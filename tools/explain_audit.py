@@ -178,6 +178,12 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "html_tables": [
+        ("pure map + posexplodes: zero exchanges",
+         ("absent", r"Exchange")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "mixture_sample": [
         ("quota table broadcast onto the corpus",
          r"BroadcastHashJoin|BroadcastExchange"),
