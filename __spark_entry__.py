@@ -2799,6 +2799,41 @@ WHERE r.sel_rank <= q.quota
 """
 
 
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe grouped train/val/test holdout
+    (operators/mixture.grouped_split): split is a pure function of the
+    registered domain (md5 first hex digit, 12/2/2 of 16), so a domain
+    can never straddle splits; ZERO shuffles (plan-asserted) — split
+    assignment at 10^12 docs needs no coordination at all."""
+    from api_ocr_spark.functions import url as U
+    from api_ocr_spark.operators import mixture
+
+    urls = _url_fixture(_docs(spark, sf_dir)).select(
+        "doc_id",
+        U.registered_domain(F.col("url")).alias("registered_domain"))
+    return mixture.grouped_split(urls)
+
+
+ORACLE_GROUPED_SPLIT = rf"""
+WITH u AS ({_URL_FIXTURE_SQL}),
+g AS (
+  SELECT doc_id,
+    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   '([^.]+\.[^.]+)$', 1) AS grp
+  FROM u
+),
+hx AS (
+  SELECT doc_id, grp,
+    CAST(('0x' || substring(md5('split:' || grp), 1, 1)) AS BIGINT) AS v
+  FROM g
+)
+SELECT doc_id, grp AS "group",
+  CASE WHEN v < 12 THEN 'train' WHEN v < 14 THEN 'val'
+       ELSE 'test' END AS split
+FROM hx
+"""
+
+
 def q_tier_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-tier extraction + per-tier quota sampling
     (operators/tiering.tier_extract): histogram-quantile tiers over the
@@ -3639,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "tier_extract": q_tier_extract,
         "mixture_sample": q_mixture_sample,
+        "grouped_split": q_grouped_split,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
@@ -3711,6 +3747,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "tier_extract": ORACLE_TIER_EXTRACT,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+        "grouped_split": ORACLE_GROUPED_SPLIT,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
         "simhash64_neardup": ORACLE_SIMHASH64_NEARDUP,

@@ -99,3 +99,30 @@ def mixture_sample(df: DataFrame, frac_num: int = 2, frac_den: int = 5,
         .select("doc_id", "source", "n_source", "weight", "quota",
                 "sel_rank")
     )
+
+
+def grouped_split(df: DataFrame, group_col: str = "registered_domain",
+                  id_col: str = "doc_id", train_slots: int = 12,
+                  val_slots: int = 2) -> DataFrame:
+    """Leakage-safe train/val/test holdout: the split is a pure function
+    of the GROUP key (md5('split:'||group) first hex digit: < train_slots
+    of 16 → train, next val_slots → val, rest → test), so no group — a
+    registered domain, an author, a dedup cluster — can ever straddle
+    splits (the eval-contamination guarantee grouped holdouts exist for;
+    cf. the decontaminate operator for the n-gram complement).
+
+    Returns (doc_id, group, split) per doc. Shape at 100 TB: a pure
+    codegen'd map over the scan — assignment needs no census, no shuffle,
+    and no coordination; expected fractions are train_slots/16 etc. of
+    GROUPS (docs follow their group's mass). Exact doc-level ratios are a
+    sampling refinement (mixture_sample), not a split property."""
+    g = F.col(group_col)
+    hexv = F.conv(F.substring(
+        F.md5(F.concat(F.lit("split:"), g)), 1, 1), 16, 10).cast("long")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        g.alias("group"),
+        F.when(hexv < train_slots, "train")
+        .when(hexv < train_slots + val_slots, "val")
+        .otherwise("test").alias("split"),
+    )

@@ -55,6 +55,18 @@ def test_mixture_sample_selects_exactly_quota_rows(spark):
         assert ranks == list(range(1, v["quota"] + 1))
 
 
+
+def test_grouped_split_no_group_straddles_splits(spark):
+    rows = [(i, f"dom{i % 37}.com") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, registered_domain string")
+    out = mixture.grouped_split(df).toPandas()
+    per_group = out.groupby("group")["split"].nunique()
+    assert (per_group == 1).all()          # the leakage guarantee
+    assert set(out["split"]) == {"train", "val", "test"}
+    # every doc assigned, exactly once
+    assert len(out) == 500 and out["doc_id"].is_unique
+
+
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-x", "-q"]))

@@ -178,6 +178,12 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "grouped_split": [
+        ("split assignment is a pure map: zero exchanges",
+         ("absent", r"Exchange")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "html_tables": [
         ("pure map + posexplodes: zero exchanges",
          ("absent", r"Exchange")),
