@@ -1448,6 +1448,105 @@ FROM c
 """
 
 
+def q_doc_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document outline extraction (functions/html.extract_outline):
+    h1–h6 → hierarchical section numbers ('1.2.1'), visible titles, and
+    per-section body word counts. Numbering is pure window algebra
+    (running per-level counts minus their value at the last lower-level
+    heading) — all six levels share ONE doc-keyed window, so the outline
+    costs a single exchange (plan-asserted). Fixture plants: varying
+    heading sets (h2 on even ids, h3 on %3==0), a counter RESET via a
+    second h1, an entity title, a skipped level (h3 directly after h1 →
+    '2.0.1' convention), and a script-quoted ghost heading."""
+    from api_ocr_spark.functions import html as H
+
+    d = F.col("doc_id").cast("long")
+    first_word = F.regexp_extract(F.col("text"), r"^([^ ]+)", 1)
+    page = F.concat(
+        F.lit('<html><head><title>d</title><script>var h="<h1>ghost'
+              '</h1>";</script></head><body><h1>'),
+        first_word, F.lit(" overview</h1><p>"), F.col("text"),
+        F.lit("</p>"),
+        F.when(d % 2 == 0,
+               F.lit('<h2 class="s">details</h2><p>alpha beta gamma</p>'))
+        .otherwise(F.lit("")),
+        F.lit("<h2>summary &amp; next</h2>notes follow here"),
+        F.when(d % 3 == 0, F.lit("<h3>appendix</h3>fin"))
+        .otherwise(F.lit("")),
+        F.lit("<h1>epilogue</h1>done"),
+        F.when(d % 6 == 5, F.lit("<h3>stray</h3>tail"))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    docs = _docs(spark, sf_dir).select(d.alias("doc_id"),
+                                       page.alias("html"))
+    return H.extract_outline(docs)
+
+
+_HEAD_RE = r"'(?is)<h([1-6])(?:\s[^>]*)?>(.*?)</h[1-6]>'"
+
+ORACLE_DOC_OUTLINE = rf"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>d</title><script>var h="<h1>ghost</h1>";</script>'
+    || '</head><body><h1>' || regexp_extract(text, '^([^ ]+)', 1)
+    || ' overview</h1><p>' || text || '</p>'
+    || CASE WHEN doc_id % 2 = 0
+       THEN '<h2 class="s">details</h2><p>alpha beta gamma</p>' ELSE '' END
+    || '<h2>summary &amp; next</h2>notes follow here'
+    || CASE WHEN doc_id % 3 = 0 THEN '<h3>appendix</h3>fin' ELSE '' END
+    || '<h1>epilogue</h1>done'
+    || CASE WHEN doc_id % 6 = 5 THEN '<h3>stray</h3>tail' ELSE '' END
+    || '</body></html>' AS html
+  FROM documents
+),
+noise AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<!--.*?-->', ' ', 'g'),
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS hh
+  FROM h
+),
+e AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+    CAST(lvls[i] AS BIGINT) AS level,
+    {_vis_sql('titles[i]')} AS title,
+    {_vis_sql('parts[i + 1]')} AS body
+  FROM (SELECT doc_id,
+          regexp_extract_all(hh, {_HEAD_RE}, 1) AS lvls,
+          regexp_extract_all(hh, {_HEAD_RE}, 2) AS titles,
+          str_split_regex(hh, {_HEAD_RE}) AS parts
+        FROM noise),
+       unnest(range(1, len(lvls) + 1)) AS tt(i)
+),
+running AS (
+  SELECT *,
+    {', '.join(
+      f"SUM(CASE WHEN level = {lv} THEN 1 ELSE 0 END) OVER "
+      "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING "
+      f"AND CURRENT ROW) AS s{lv}" for lv in range(1, 7))}
+  FROM e
+),
+counters AS (
+  SELECT *,
+    {', '.join(
+      f"s{lv} - coalesce(MAX(CASE WHEN level < {lv} THEN s{lv} END) OVER "
+      "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING "
+      f"AND CURRENT ROW), 0) AS c{lv}" for lv in range(1, 7))}
+  FROM running
+)
+SELECT doc_id, pos, level,
+  array_to_string(list_transform(
+    ([c1, c2, c3, c4, c5, c6])[1:level], x -> CAST(x AS VARCHAR)), '.')
+    AS section_path,
+  title,
+  CAST(CASE WHEN length(body) = 0 THEN 0
+       ELSE len(string_split(body, ' ')) END AS BIGINT) AS n_body_words
+FROM counters
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation + context-window chunk packing
     (functions/text.split_sentences + chunk_pack): the sequence-packing op
@@ -3650,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": q_html_links,
         "html_metadata": q_html_metadata,
         "html_tables": q_html_tables,
+        "doc_outline": q_doc_outline,
         "chunk_documents": q_chunk_documents,
         "repetition_filter": q_repetition_filter,
         "line_dedup": q_line_dedup,
@@ -3723,6 +3823,7 @@ def oracle_sql() -> dict[str, str]:
         "html_links": ORACLE_HTML_LINKS,
         "html_metadata": ORACLE_HTML_METADATA,
         "html_tables": ORACLE_HTML_TABLES,
+        "doc_outline": ORACLE_DOC_OUTLINE,
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "repetition_filter": ORACLE_REPETITION,
         "line_dedup": ORACLE_LINE_DEDUP,

@@ -346,3 +346,23 @@ def test_extract_tables_no_tables_yields_no_rows(spark):
         [(1, "<body><p>tableau, not a table tag</p></body>")],
         "doc_id long, html string")
     assert H.extract_tables(df).count() == 0
+
+
+def test_extract_outline_numbering_resets_and_skips(spark):
+    html = ("<body><h1>One</h1><p>a b c</p>"
+            "<h2>One-A</h2><p>d e</p>"
+            "<h3>One-A-i</h3>x"
+            "<h2>One-B</h2>y z"
+            "<h1>Two</h1><p>fin</p>"
+            "<h3>Two-skip</h3>tail</body>")
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = [(r.pos, r.level, r.section_path, r.title, r.n_body_words)
+            for r in H.extract_outline(df).orderBy("pos").collect()]
+    assert rows == [
+        (0, 1, "1", "One", 3),
+        (1, 2, "1.1", "One-A", 2),
+        (2, 3, "1.1.1", "One-A-i", 1),
+        (3, 2, "1.2", "One-B", 2),      # h3 above does not break h2 numbering
+        (4, 1, "2", "Two", 1),          # second h1 resets h2/h3 counters
+        (5, 3, "2.0.1", "Two-skip", 1),  # skipped level -> 0 placeholder
+    ]

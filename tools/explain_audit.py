@@ -178,6 +178,14 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "doc_outline": [
+        ("all six level counters share one doc-keyed window sort",
+         r"Window"),
+        ("no cartesian / nested-loop anywhere",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "grouped_split": [
         ("split assignment is a pure map: zero exchanges",
          ("absent", r"Exchange")),
