@@ -2898,6 +2898,53 @@ WHERE r.sel_rank <= q.quota
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/dedup.winnow_fingerprints —
+    Schleimer et al. 2003, MOSS): 4-gram 40-bit hashes, window w=4,
+    min-hash-rightmost-tie selection encoded as ONE integer windowed MIN
+    (key = h*2^20 + (2^20-1-pos)); selection + distinct share a single
+    doc-keyed exchange."""
+    from api_ocr_spark.operators import dedup
+
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+
+
+ORACLE_WINNOW = r"""
+WITH toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+      AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+    CAST(('0x' || substring(md5(array_to_string(t[i:i + 3], ' ')), 1, 10))
+         AS BIGINT) AS h
+  FROM toks, unnest(range(1, CASE WHEN len(t) >= 4
+                                  THEN len(t) - 4 + 2 ELSE 1 END)) AS tt(i)
+),
+keyed AS (
+  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM g
+),
+wmin AS (
+  SELECT doc_id, pos, n_grams,
+    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wkey
+  FROM keyed
+),
+sel AS (
+  SELECT DISTINCT doc_id, wkey FROM wmin
+  WHERE pos >= least(3, n_grams - 1)
+)
+SELECT doc_id,
+  CAST(1048575 - (wkey % 1048576) AS BIGINT) AS pos,
+  CAST(wkey // 1048576 AS BIGINT) AS gram_hash
+FROM sel
+"""
+
+
 def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe grouped train/val/test holdout
     (operators/mixture.grouped_split): split is a pure function of the
@@ -3775,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_extract": q_tier_extract,
         "mixture_sample": q_mixture_sample,
         "grouped_split": q_grouped_split,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
@@ -3849,6 +3897,7 @@ def oracle_sql() -> dict[str, str]:
         "tier_extract": ORACLE_TIER_EXTRACT,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "grouped_split": ORACLE_GROUPED_SPLIT,
+        "winnow_fingerprints": ORACLE_WINNOW,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
         "simhash64_neardup": ORACLE_SIMHASH64_NEARDUP,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import fingerprint_md5, normalize_ws
 
@@ -800,4 +801,75 @@ def bloom_history_dedup(new_docs: DataFrame, history_docs: DataFrame,
             F.coalesce(F.col("exact"), F.lit(0)).cast("long")
             .alias("in_history"),
         )
+    )
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    k-token gram, slide a w-gram window, and in each window select the
+    minimum hash, breaking ties by the RIGHTMOST position; the distinct
+    selections are the document's fingerprints. Guarantees: any shared
+    run of w+k-1 tokens between two documents yields at least one shared
+    fingerprint (the paper's coverage property) at an expected density of
+    2/(w+1) — position-robust near-dup evidence that survives insertions,
+    unlike global MinHash sketches.
+
+    Engine-exact trick: the (min hash, rightmost pos) argmin is encoded as
+    ONE integer key = h * 2^20 + (2^20-1-pos) so the whole selection is a
+    windowed integer MIN — no struct ordering semantics to align between
+    engines (positions per doc bounded < 2^20 by contract; documents
+    longer than a million grams would shard first). Hashes are 40-bit
+    md5 prefixes (oracle-replayable; xxhash64 is the at-scale swap, which
+    would downgrade the oracle — same contract as bloom_history_dedup).
+
+    Returns (doc_id, pos, gram_hash) — the selected fingerprints.
+    Documents with fewer than w grams select their single overall min
+    (the least(w-1, n_grams-1) window-start rule), so every document with
+    at least k tokens fingerprints; shorter documents have no k-grams and
+    emit nothing.
+
+    Shape at 100 TB: gram hashing is a pure codegen map; the windowed min
+    + distinct share ONE doc-keyed exchange (the window sort and the
+    distinct's partial aggregation both run under it) — per-doc work,
+    embarrassingly parallel over documents."""
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # guard: Spark's sequence(1, 0) DESCENDS, so short docs need an
+    # explicit empty-array branch, not a clamped bound
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+    g = _fan_out(documents).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(grams).alias("pos", "gram"),
+    ).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10)
+        .cast("long").alias("h"),
+    )
+    key = F.col("h") * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(-(w - 1), 0))
+    doc_win = Window.partitionBy("doc_id")
+    sel = (
+        g.select("doc_id", "pos", key.alias("key"),
+                 F.count("*").over(doc_win).alias("n_grams"))
+        .select("doc_id", "pos", "n_grams",
+                F.min("key").over(win).alias("wkey"))
+        .where(F.col("pos") >= F.least(F.lit(w - 1), F.col("n_grams") - 1))
+        .select("doc_id", F.col("wkey").alias("key"))
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit((1 << 20) - 1) - F.col("key") % F.lit(1 << 20))
+        .cast("long").alias("pos"),
+        F.shiftrightunsigned(F.col("key"), 20).cast("long")
+        .alias("gram_hash"),
     )

@@ -75,6 +75,14 @@ HEADLINE = [
     "warc_extract",
     "quality_filter",
     "host_pagerank",
+    "substring_dedup",
+    "c4_filter",
+    "bm25_topk",
+    "sequence_pack",
+    "html_tables",
+    "doc_outline",
+    "bpe_subwords",
+    "mixture_sample",
 ]
 
 

@@ -468,3 +468,56 @@ def test_substring_dedup_exact_spans(spark):
     assert out[3].clean_text == "m n o w"
     assert (out[3].n_removed, out[3].n_dup_spans) == (3, 1)
     assert out[4].clean_text == "hi there"
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    """Pin the windowed-argmin encoding against a direct implementation of
+    Schleimer et al.'s winnowing (min hash per window, rightmost tie)."""
+    import hashlib
+
+    from api_ocr_spark.operators.dedup import winnow_fingerprints
+
+    texts = {
+        1: "a b c d e f g h i j",
+        2: "a b c d",                 # exactly one gram
+        3: "x y z",                   # shorter than k: no grams
+        4: "r r r r r r r r",         # all-equal hashes: rightmost ties
+    }
+    k, w = 4, 4
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.doc_id, r.pos, r.gram_hash)
+           for r in winnow_fingerprints(df, k=k, w=w).collect()}
+
+    expect = set()
+    for doc, text in texts.items():
+        toks = text.split()
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:10], 16)
+              for g in grams]
+        if not hs:
+            continue
+        sel = set()
+        for end in range(min(w, len(hs)) - 1, len(hs)):
+            window = hs[max(0, end - w + 1):end + 1]
+            m = min(window)
+            # rightmost occurrence of the min within the window
+            off = max(i for i, v in enumerate(window) if v == m)
+            sel.add((max(0, end - w + 1) + off, m))
+        expect |= {(doc, p, h) for p, h in sel}
+    assert got == expect
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Coverage property: documents sharing a run of >= w+k-1 tokens share
+    at least one fingerprint."""
+    from api_ocr_spark.operators.dedup import winnow_fingerprints
+
+    shared = "uno dos tres cuatro cinco seis siete"  # 7 = w+k-1 tokens
+    df = spark.createDataFrame(
+        [(1, "p q " + shared + " r s"), (2, shared + " m n o")],
+        "doc_id long, text string")
+    out = winnow_fingerprints(df, k=4, w=4).collect()
+    fp = {d: set() for d in (1, 2)}
+    for r in out:
+        fp[r.doc_id].add(r.gram_hash)
+    assert fp[1] & fp[2]

@@ -178,6 +178,14 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "winnow_fingerprints": [
+        ("windowed min + distinct share the doc-keyed exchange",
+         r"Window"),
+        ("no cartesian / nested-loop anywhere",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "doc_outline": [
         ("all six level counters share one doc-keyed window sort",
          r"Window"),
