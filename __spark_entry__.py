@@ -3482,6 +3482,73 @@ LEFT JOIN inw i ON i.dst = n.node
 """)
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.hits_int — Kleinberg 1999)
+    over the SAME host-pair fixture as host_pagerank: two I-then-O rounds
+    with exact-integer floor-rescale normalization (ranking-equivalent to
+    the paper's L2 — pinned vs a float reference in tests), so the oracle
+    is an exact-equality unroll like pagerank's."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+
+    def tld(x: Column) -> Column:
+        return (F.when(x % 3 == 0, "com").when(x % 3 == 1, "org")
+                .otherwise("net"))
+
+    pairs = docs.select(
+        F.concat(F.lit("dom"), (d % 23).cast("string"), F.lit("."),
+                 tld(d)).alias("src"),
+        F.concat(F.lit("dom"), ((d * 7 + 3) % 23).cast("string"), F.lit("."),
+                 tld(d + 1)).alias("dst"),
+    )
+    return graph.hits_int(graph.aggregate_edges(pairs), iters=2)
+
+
+def _hits_round_sql(k: int, scale: int = 1_000_000) -> str:
+    """One unrolled integer-HITS round: authority from hubs (I), rescale,
+    hub from the NEW authorities (O), rescale."""
+    return f"""
+, a{k}raw AS (
+  SELECT n.node, CAST(coalesce(c.s, 0) AS BIGINT) AS a
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(e.w * h.h) AS s
+    FROM edges e JOIN h{k - 1} h ON h.node = e.src GROUP BY e.dst) c
+  ON c.node = n.node
+), a{k} AS (
+  SELECT node, a * {scale} // greatest((SELECT max(a) FROM a{k}raw), 1) AS a
+  FROM a{k}raw
+), h{k}raw AS (
+  SELECT n.node, CAST(coalesce(c.s, 0) AS BIGINT) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, SUM(e.w * a.a) AS s
+    FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src) c
+  ON c.node = n.node
+), h{k} AS (
+  SELECT node, h * {scale} // greatest((SELECT max(h) FROM h{k}raw), 1) AS h
+  FROM h{k}raw
+)"""
+
+
+ORACLE_HOST_HITS = ("""
+WITH pairs AS (
+  SELECT
+    'dom' || CAST(doc_id % 23 AS VARCHAR) || '.' ||
+      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS src,
+    'dom' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) || '.' ||
+      CASE (doc_id + 1) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS dst
+  FROM documents
+), edges AS (SELECT src, dst, count(*) AS w FROM pairs GROUP BY src, dst),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)"""
+    + "".join(_hits_round_sql(k) for k in (1, 2))
+    + """
+SELECT n.node AS host, CAST(a2.a AS BIGINT) AS authority,
+       CAST(h2.h AS BIGINT) AS hub
+FROM nodes n JOIN a2 ON a2.node = n.node JOIN h2 ON h2.node = n.node
+""")
+
+
 def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text index (operators/graph.anchor_text_index): inbound-link
     census per target host with the most frequent anchor term. Fixture
@@ -3833,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "quality_filter": q_quality_filter,
         "host_pagerank": q_host_pagerank,
+        "host_hits": q_host_hits,
         "anchor_index": q_anchor_index,
         "image_metadata": q_image_metadata,
     }
@@ -3912,6 +3980,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract": ORACLE_WARC_EXTRACT,
         "quality_filter": ORACLE_QUALITY_FILTER,
         "host_pagerank": ORACLE_HOST_PAGERANK,
+        "host_hits": ORACLE_HOST_HITS,
         "anchor_index": ORACLE_ANCHOR_INDEX,
         "image_metadata": ORACLE_IMAGE_METADATA,
         # no rows-only entries remain: the Lloyd iteration unrolls into SQL

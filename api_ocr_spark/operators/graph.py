@@ -136,3 +136,67 @@ def anchor_text_index(pages: DataFrame, url_col: str = "url",
         F.coalesce(F.col("m.n"), F.lit(0)).cast("long")
         .alias("top_term_count"),
     )
+
+
+def hits_int(edges: DataFrame, iters: int = 2,
+             scale: int = 1_000_000) -> DataFrame:
+    """Integer HITS (Kleinberg, JACM 1999 — "Authoritative Sources in a
+    Hyperlinked Environment") over a weighted host edge frame
+    (src, dst, w): authority(j) = Σ_{i→j} w·hub(i) (the I operation),
+    then hub(i) = Σ_{i→j} w·authority(j) (the O operation, using the
+    ROUND'S NEW authorities), repeated `iters` rounds. The complement of
+    pagerank_int for crawl prioritization: authorities are where content
+    concentrates, hubs are the directory pages that find it.
+
+    The paper normalizes by L2 after each half-step; this engine
+    floor-rescales to `scale` (v * scale DIV max(v)) — an exact-integer,
+    ranking-equivalent analogue (both are positive scalar multiples
+    modulo the floor; pinned vs a float reference in tests), so the
+    DuckDB oracle is exact equality like pagerank_int's. max(v) is a
+    1-row collect per half-step (centroid pattern). Keep
+    scale * max(w) * max_in_degree below 2^63 — defaults leave ~5 orders
+    of headroom; DuckDB raises on overflow while Spark wraps, so the twin
+    guards the bound.
+
+    Shape at 100 TB: rounds are host-keyed equi-joins + map-side-partial
+    aggregations on the localCheckpointed edge frame — the pagerank_int
+    shuffle story; no per-round corpus pass."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+
+    def rescale(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col)).collect()[0][0] or 1
+        return df.select(
+            "node",
+            F.expr(f"{col} * {scale} DIV {max(mx, 1)}").alias(col))
+
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("h"))
+    auth = nodes.select("node", F.lit(scale).cast("long").alias("a"))
+    for _ in range(iters):
+        a_in = (
+            edges.join(hubs, edges["src"] == hubs["node"])
+            .select(F.col("dst").alias("node"),
+                    (F.col("w") * F.col("h")).alias("x"))
+            .groupBy("node").agg(F.sum("x").alias("s"))
+        )
+        auth = rescale(
+            nodes.join(a_in, "node", "left").select(
+                "node", F.coalesce(F.col("s"), F.lit(0)).cast("long")
+                .alias("a")), "a")
+        h_out = (
+            edges.join(auth, edges["dst"] == auth["node"])
+            .select(F.col("src").alias("node"),
+                    (F.col("w") * F.col("a")).alias("x"))
+            .groupBy("node").agg(F.sum("x").alias("s"))
+        )
+        hubs = rescale(
+            nodes.join(h_out, "node", "left").select(
+                "node", F.coalesce(F.col("s"), F.lit(0)).cast("long")
+                .alias("h")), "h")
+    return (
+        nodes.join(auth, "node").join(hubs, "node")
+        .select(F.col("node").alias("host"),
+                F.col("a").alias("authority"), F.col("h").alias("hub"))
+    )

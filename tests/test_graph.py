@@ -71,3 +71,37 @@ def test_anchor_text_index(spark):
     assert (a.n_links, a.n_src_hosts) == (1, 1)
     # 'alpha' and 'beta' tie at 1 -> max-struct picks the larger term
     assert (a.top_anchor_term, a.top_term_count) == ("beta", 1)
+
+
+def test_hits_int_ranking_matches_float_reference(spark):
+    # star-ish asymmetric graph: p is a pure hub, a/b/c pure authorities
+    # with different in-weights; q a secondary hub
+    edges = [("p", "a", 4), ("p", "b", 2), ("p", "c", 1),
+             ("q", "a", 1), ("q", "b", 1), ("d", "p", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    out = {r.host: (r.authority, r.hub)
+           for r in graph.hits_int(df, iters=2).collect()}
+
+    # float HITS, L2-normalized, same I-then-O schedule
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    h = {n: 1.0 for n in nodes}
+    a = {}
+    for _ in range(2):
+        a = {n: sum(w * h[s] for s, d, w in edges if d == n) for n in nodes}
+        norm = sum(v * v for v in a.values()) ** 0.5 or 1
+        a = {n: v / norm for n, v in a.items()}
+        h = {n: sum(w * a[d] for s, d, w in edges if s == n) for n in nodes}
+        norm = sum(v * v for v in h.values()) ** 0.5 or 1
+        h = {n: v / norm for n, v in h.items()}
+
+    def ranking(scores):
+        return [n for n, _ in sorted(scores.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))]
+
+    assert ranking({n: out[n][0] for n in nodes}) == ranking(a)
+    assert ranking({n: out[n][1] for n in nodes}) == ranking(h)
+    # structural sanity: a node with no in-edges has zero authority;
+    # leaves (no out-edges) have zero hub score
+    assert out["d"][0] == 0 and out["a"][1] == 0
+    # the dominant hub holds the rescale ceiling
+    assert out["p"][1] == 1_000_000

@@ -178,6 +178,12 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "host_hits": [
+        ("rounds are host-keyed hash joins, never cartesian",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "winnow_fingerprints": [
         ("windowed min + distinct share the doc-keyed exchange",
          r"Window"),
