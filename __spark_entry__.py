@@ -1874,6 +1874,58 @@ _BM25_QUERIES = [
 ]
 
 
+_PHRASES = [
+    (1, "fast table scan"),
+    (2, "table table"),          # repeated term: distinct-offset semantics
+    (3, "a a"),
+    (4, "slow zzznotincorpus"),  # absent term: zero matches
+    (5, "value"),                # single-term phrase: every occurrence
+]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase retrieval (operators/retrieval.phrase_match):
+    exact phrase hits via a BROADCAST (term, offset) phrase relation met
+    map-side by positional postings; full match = count(DISTINCT offset)
+    == phrase length per (doc, phrase, start) — ONE corpus shuffle on the
+    match key. Phrase set plants repeated-term, absent-term, and
+    single-term branches."""
+    from api_ocr_spark.operators import retrieval
+    pdf = spark.createDataFrame(_PHRASES, "phrase_id long, phrase string")
+    return retrieval.phrase_match(_docs(spark, sf_dir), pdf)
+
+
+ORACLE_PHRASE_MATCH = r"""
+WITH p(phrase_id, phrase) AS (VALUES
+  (1, 'fast table scan'), (2, 'table table'), (3, 'a a'),
+  (4, 'slow zzznotincorpus'), (5, 'value')),
+toks AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+  FROM (SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS t
+        FROM documents),
+       unnest(range(1, len(t) + 1)) AS tt(i)
+),
+pterms AS (
+  SELECT phrase_id, phrase, CAST(len(pt) AS BIGINT) AS n_terms,
+    CAST(i - 1 AS BIGINT) AS o, pt[i] AS term
+  FROM (SELECT phrase_id, phrase, string_split(phrase, ' ') AS pt FROM p),
+       unnest(range(1, len(pt) + 1)) AS tt(i)
+),
+hits AS (
+  SELECT t.doc_id, pt.phrase_id, pt.phrase, pt.n_terms,
+    t.pos - pt.o AS start, pt.o
+  FROM toks t JOIN pterms pt USING (term)
+  WHERE t.pos - pt.o >= 0
+)
+SELECT doc_id, phrase_id, phrase, CAST(start AS BIGINT) AS start
+FROM hits
+GROUP BY doc_id, phrase_id, phrase, n_terms, start
+HAVING count(DISTINCT o) = n_terms
+"""
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index BM25 top-10 per query (operators/retrieval.bm25_topk,
     Robertson et al. TREC-3): all-integer two-stage floor-division scoring
@@ -3876,6 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_subwords": q_bpe_subwords,
         "collocations": q_collocations,
         "bm25_topk": q_bm25,
+        "phrase_match": q_phrase_match,
         "snapshot_diff": q_snapshot_diff,
         "topic_tag": q_topic_tag,
         "crawl_schedule": q_crawl_schedule,
@@ -3952,6 +4005,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_subwords": ORACLE_BPE_SUBWORDS,
         "collocations": ORACLE_COLLOCATIONS,
         "bm25_topk": ORACLE_BM25,
+        "phrase_match": ORACLE_PHRASE_MATCH,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "topic_tag": ORACLE_TOPIC_TAG,
         "crawl_schedule": ORACLE_CRAWL_SCHEDULE,

@@ -116,3 +116,48 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k: int = 10,
                 F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def phrase_match(documents: DataFrame, phrases: DataFrame,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact positional phrase retrieval over the inverted index — the
+    classic proximity operator (Manning, Raghavan & Schütze, IR ch. 2:
+    positional postings): a phrase of length L matches document d at
+    position `start` iff token(start+o) = phrase[o] for every offset
+    o < L. `phrases` is (phrase_id, phrase), whitespace-tokenized by the
+    corpus tokens() rule.
+
+    Algorithm: explode phrases into a (term, offset, L) relation —
+    query-sized, BROADCAST — and meet the positional postings on the term
+    key MAP-SIDE (the corpus never shuffles to meet the query set, the
+    decontaminate shape); each hit proposes anchor start = pos − offset,
+    and a full match is count(DISTINCT offset) = L per
+    (doc, phrase, start) — one shuffle with map-side partials, grouped on
+    the match key. Repeated terms inside a phrase are handled by the
+    distinct-offset count (each offset must be witnessed at its own
+    position). Returns (doc_id, phrase_id, phrase, start) per match.
+    """
+    toks = tokens(F.col(text_col))
+    postings = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(toks).alias("pos", "term"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
+    pt = tokens(F.col("phrase"))
+    pterms = phrases.select(
+        F.col("phrase_id").cast("long").alias("phrase_id"), "phrase",
+        F.size(pt).cast("long").alias("n_terms"),
+        F.posexplode(pt).alias("o", "term"),
+    ).select("phrase_id", "phrase", "n_terms",
+             F.col("o").cast("long").alias("o"), "term")
+    hits = postings.join(F.broadcast(pterms), "term").select(
+        "doc_id", "phrase_id", "phrase", "n_terms",
+        (F.col("pos") - F.col("o")).alias("start"), "o",
+    ).where(F.col("start") >= 0)
+    return (
+        hits.groupBy("doc_id", "phrase_id", "phrase", "n_terms", "start")
+        .agg(F.countDistinct("o").alias("n_hit"))
+        .where(F.col("n_hit") == F.col("n_terms"))
+        .select("doc_id", "phrase_id", "phrase",
+                F.col("start").cast("long").alias("start"))
+    )

@@ -178,6 +178,14 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "phrase_match": [
+        ("phrase relation broadcast; corpus meets it map-side",
+         r"BroadcastHashJoin|BroadcastExchange"),
+        ("no cartesian / nested-loop anywhere",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "host_hits": [
         ("rounds are host-keyed hash joins, never cartesian",
          ("absent", r"CartesianProduct|BroadcastNestedLoop")),
