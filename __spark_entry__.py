@@ -2950,6 +2950,66 @@ WHERE r.sel_rank <= q.quota
 """
 
 
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs set-similarity join with prefix filtering
+    (operators/dedup.setsim_join — Bayardo et al. WWW 2007): Jaccard >=
+    3/5 over distinct 3-gram shingle sets, candidates pruned to prefix
+    postings under the (df asc, shingle asc) rarity order, verified by
+    cross-multiplied integer Jaccard. Planted pairs: every 50th doc
+    copied at +40M with one appended token (the simhash64 plant at a
+    non-colliding offset)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zyxq")).alias("text"))
+    return dedup.setsim_join(docs.unionByName(planted), t_num=3, t_den=5)
+
+
+ORACLE_SETSIM = rf"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id, text || ' zyxq' AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM base),
+g AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(1, greatest(len(ws) - 2, 1) + 1),
+      i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8))
+           AS BIGINT)))) AS term
+  FROM w
+),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY term),
+pos AS (
+  SELECT doc_id, term,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY df, term)
+         AS BIGINT) AS pos,
+    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM g JOIN dfc USING (term)
+),
+pre AS (SELECT * FROM pos WHERE pos <= n - ((3 * n + 4) // 5) + 1),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM pre x JOIN pre y USING (term) WHERE x.doc_id < y.doc_id
+),
+sets AS (SELECT doc_id, list_sort(list(term)) AS ts,
+                CAST(count(*) AS BIGINT) AS n
+         FROM g GROUP BY doc_id),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_inter,
+    a.n + b.n AS s
+  FROM cand c JOIN sets a ON a.doc_id = c.doc_a
+              JOIN sets b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_inter, CAST(s - n_inter AS BIGINT) AS n_union
+FROM v WHERE 5 * n_inter >= 3 * (s - n_inter)
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/dedup.winnow_fingerprints —
     Schleimer et al. 2003, MOSS): 4-gram 40-bit hashes, window w=4,
@@ -3943,6 +4003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "grouped_split": q_grouped_split,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "setsim_join": q_setsim_join,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
@@ -4020,6 +4081,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "grouped_split": ORACLE_GROUPED_SPLIT,
         "winnow_fingerprints": ORACLE_WINNOW,
+        "setsim_join": ORACLE_SETSIM,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
         "simhash64_neardup": ORACLE_SIMHASH64_NEARDUP,

@@ -873,3 +873,84 @@ def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 4,
         F.shiftrightunsigned(F.col("key"), 20).cast("long")
         .alias("gram_hash"),
     )
+
+
+def setsim_join(documents: DataFrame, t_num: int = 3, t_den: int = 5,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """All-pairs set-similarity join with prefix filtering (Bayardo,
+    Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search" /
+    the PPJoin candidate rule): emit every document pair whose distinct
+    3-gram shingle sets (doc_shingle_hashes — md5-derived 32-bit ids,
+    the MinHash pipeline's base) have Jaccard >= t_num/t_den, EXACTLY —
+    no probabilistic recall gap (the deterministic complement of
+    minhash_lsh_pairs; same guarantees as ngram_jaccard_pairs but
+    without its quadratic shingle join).
+
+    Prefix-filter theorem: under ANY global total order on elements,
+    keeping each set's first L = |d| - ceil(t*|d|) + 1 elements
+    guarantees that every pair with J >= t shares a prefix element. The
+    order used is (df asc, shingle asc) — rarest first, so prefix
+    posting lists are the smallest possible — applied DIRECTLY as a sort
+    key (no dense global rank: a materialized rank would need a
+    single-partition window over the whole shingle vocabulary, a scale
+    killer; the composite key needs only the df join). ceil is exact
+    integer ((t_num*|d| + t_den - 1) DIV t_den) and the verify is
+    cross-multiplied (t_den*|inter| >= t_num*|union|), so the DuckDB
+    oracle is exact equality end to end.
+
+    Shape at 100 TB: df census = one shingle-keyed shuffle with map-side
+    partials; per-doc prefix positions = one doc-keyed window; the
+    candidate self-join shuffles ONLY prefix postings keyed by RARE
+    shingles (the paper's point — boilerplate shingles with huge posting
+    lists are never in a prefix unless the doc is tiny); verification
+    joins candidates back to the per-doc shingle ARRAYS (two doc-keyed
+    equi-joins) and intersects in-row. Quadratic work survives only
+    inside shared-prefix-shingle groups — the algorithm's own bound.
+
+    Returns (doc_a, doc_b, n_inter, n_union) for verified pairs,
+    doc_a < doc_b."""
+    toks = doc_shingle_hashes(documents).withColumnRenamed(
+        "shingle", "term")
+    df_census = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "term")
+    positions = (
+        toks.join(df_census, "term")
+        .select("doc_id", "term", "df",
+                F.row_number().over(pos_w).cast("long").alias("pos"),
+                F.count("*").over(Window.partitionBy("doc_id"))
+                .cast("long").alias("n"))
+    )
+    prefix = positions.where(
+        F.col("pos") <= F.col("n")
+        - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + 1)
+    cand = (
+        prefix.alias("x").join(prefix.alias("y"), "term")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("term")).alias("ts"),
+        F.count("*").cast("long").alias("n"))
+    return (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("ts").alias("ts_a"),
+                              F.col("n").alias("n_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("ts").alias("ts_b"),
+                          F.col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("long")
+            .alias("n_inter"),
+            (F.col("n_a") + F.col("n_b")).alias("_sum"),
+        )
+        .select("doc_a", "doc_b", "n_inter",
+                (F.col("_sum") - F.col("n_inter")).cast("long")
+                .alias("n_union"))
+        .where(F.lit(t_den) * F.col("n_inter")
+               >= F.lit(t_num) * F.col("n_union"))
+    )

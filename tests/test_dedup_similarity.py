@@ -521,3 +521,44 @@ def test_winnow_shared_run_guarantee(spark):
     for r in out:
         fp[r.doc_id].add(r.gram_hash)
     assert fp[1] & fp[2]
+
+
+def test_setsim_join_equals_bruteforce_exact_jaccard(spark):
+    """The prefix filter must be lossless: setsim_join's verified pairs
+    equal brute-force exact Jaccard over the same shingle sets."""
+    import hashlib
+
+    from api_ocr_spark.operators.dedup import setsim_join
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    texts = {
+        1: base,
+        2: base + " extra",                    # near-identical
+        3: "totally different words here now then when why how what who",
+        4: base.replace("gamma", "qqq"),       # mid-edit
+        5: "alpha beta gamma",                 # tiny doc
+        6: base,                               # exact dup of 1
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b, r.n_inter, r.n_union)
+           for r in setsim_join(df, t_num=3, t_den=5).collect()}
+
+    def shingles(text):
+        ws = text.lower().split()
+        n = max(len(ws) - 2, 1)
+        return {int(hashlib.md5(" ".join(ws[i:i + 3]).encode())
+                    .hexdigest()[:8], 16) for i in range(n)}
+
+    expect = set()
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            inter, union = len(sa & sb), len(sa | sb)
+            if 5 * inter >= 3 * union:
+                expect.add((a, b, inter, union))
+    assert got == expect
+    assert (1, 2, 18, 21) in got or any(p[:2] == (1, 2) for p in got)
+    assert any(p[:2] == (1, 6) for p in got)          # exact dup found
+    assert not any(p[:2] == (1, 3) for p in got)      # dissimilar pruned

@@ -178,6 +178,12 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "setsim_join": [
+        ("candidate meet + verify are equi-joins, never cartesian",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "phrase_match": [
         ("phrase relation broadcast; corpus meets it map-side",
          r"BroadcastHashJoin|BroadcastExchange"),
