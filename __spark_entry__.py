@@ -2171,7 +2171,12 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d%5), an unterminated trailing fragment (d%3), and a too-short doc
     (d%13) — every rule fires both ways corpus-wide. Zero-shuffle pure
     map."""
-    docs = _docs(spark, sf_dir)
+    return T.c4_doc_stats(_c4_fixture(_docs(spark, sf_dir)))
+
+
+def _c4_fixture(docs: DataFrame) -> DataFrame:
+    """The c4 planted-enrichment fixture (doc_id, text) — shared by
+    q_c4_filter and q_curation_funnel; mirrored in _C4_FX_SQL."""
     d = F.col("doc_id").cast("long")
     enriched = F.concat(
         F.regexp_replace(F.col("text"), r"((?:[^ ]+ ){7}[^ ]+) ", "$1. "),
@@ -2186,11 +2191,10 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit(" trailing fragment without punct"))
         .otherwise(F.lit("")),
     )
-    marked = docs.select(
+    return docs.select(
         d.alias("doc_id"),
         F.when(d % 13 == 0, F.lit("too short"))
         .otherwise(enriched).alias("text"))
-    return T.c4_doc_stats(marked)
 
 
 _C4_BAD_SQL = ("(contains(lower(t), 'lorem ipsum') OR "
@@ -2198,9 +2202,7 @@ _C4_BAD_SQL = ("(contains(lower(t), 'lorem ipsum') OR "
                "contains(lower(t), 'cookie policy'))")
 _C4_TERM_SQL = "len(list_filter(sents, s -> regexp_matches(s, '[.!?]$')))"
 
-ORACLE_C4_FILTER = rf"""
-WITH fx AS (
-  SELECT doc_id,
+_C4_FX_SQL = rf"""  SELECT doc_id,
     CASE WHEN doc_id % 13 = 0 THEN 'too short'
     ELSE regexp_replace(text, '((?:[^ ]+ ){{7}}[^ ]+) ', '\1. ', 'g')
       || '.' ||
@@ -2212,7 +2214,12 @@ WITH fx AS (
       CASE WHEN doc_id % 3 = 0
            THEN ' trailing fragment without punct' ELSE '' END
     END AS t
-  FROM documents
+  FROM documents"""
+
+
+ORACLE_C4_FILTER = rf"""
+WITH fx AS (
+{_C4_FX_SQL}
 ),
 sent AS (
   SELECT doc_id, t,
@@ -2232,6 +2239,64 @@ SELECT doc_id,
   (len(sents) >= 3 AND NOT contains(t, '{{') AND NOT {_C4_BAD_SQL}
    AND 2 * {_C4_TERM_SQL} >= len(sents)) AS keep
 FROM sent
+"""
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel with first-failing-stage attribution
+    (operators/funnel.curation_funnel) over the c4 fixture corpus plus
+    +40M exact replicas of every 50th doc: exact_dup → too_short →
+    c4_quality → kept, one fingerprint shuffle + doc-keyed joins, every
+    quality signal codegen. The per-stage drop accounting of a C4/
+    RefinedWeb-style pipeline in one query."""
+    from api_ocr_spark.operators import funnel
+
+    base = _c4_fixture(_docs(spark, sf_dir))
+    planted = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"), "text")
+    return funnel.curation_funnel(base.unionByName(planted), min_tokens=12)
+
+
+ORACLE_CURATION_FUNNEL = rf"""
+WITH fx0 AS (
+{_C4_FX_SQL}
+),
+base AS (
+  SELECT doc_id, t FROM fx0
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id, t FROM fx0 WHERE doc_id % 50 = 0
+),
+fp AS (
+  SELECT doc_id, t,
+    md5(lower(trim(regexp_replace(t, '\s+', ' ', 'g')))) AS f,
+    CAST(len(string_split(trim(regexp_replace(lower(t), '\s+', ' ', 'g')),
+                          ' ')) AS BIGINT) AS n_tokens
+  FROM base
+),
+keepers AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f),
+sent AS (
+  SELECT doc_id, t,
+    list_filter(
+      list_transform(
+        string_split(regexp_replace(t, '([.!?]) ', '\1' || chr(1), 'g'),
+                     chr(1)),
+        s -> trim(s)),
+      s -> length(s) > 0) AS sents
+  FROM base
+),
+stats AS (
+  SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+    (len(sents) >= 3 AND NOT contains(t, '{{') AND NOT {_C4_BAD_SQL}
+     AND 2 * {_C4_TERM_SQL} >= len(sents)) AS keep
+  FROM sent
+)
+SELECT p.doc_id,
+  CASE WHEN p.doc_id != k.keeper THEN 'exact_dup'
+       WHEN p.n_tokens < 12 THEN 'too_short'
+       WHEN NOT s.keep THEN 'c4_quality'
+       ELSE 'kept' END AS stage,
+  p.n_tokens, s.n_sentences
+FROM fp p JOIN keepers k USING (f) JOIN stats s ON s.doc_id = p.doc_id
 """
 
 
@@ -3981,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
         "c4_filter": q_c4_filter,
+        "curation_funnel": q_curation_funnel,
         "rarity_buckets": q_rarity_buckets,
         "tfidf_top_terms": q_tfidf_top_terms,
         "vocab_topk": q_vocab_topk,
@@ -4059,6 +4125,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": ORACLE_LINE_DEDUP,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "c4_filter": ORACLE_C4_FILTER,
+        "curation_funnel": ORACLE_CURATION_FUNNEL,
         "rarity_buckets": ORACLE_RARITY_BUCKETS,
         "tfidf_top_terms": ORACLE_TFIDF,
         "vocab_topk": ORACLE_VOCAB_TOPK,

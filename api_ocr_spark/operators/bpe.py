@@ -33,8 +33,8 @@ firewall (same argument as dedup.substring_dedup's gram census).
 Scale shape per round: ONE shuffle (pair census with map-side partials) +
 a 1-row collect — the merge table is K rows on the driver by
 construction, exactly like similarity.ivf_assign's centroid collects.
-The census frame is cached once and registered in pipeline._PERSISTED
-(release_persisted() reclaims it).
+Round frames are localCheckpointed (vocab-sized; blocks reclaimed by the
+ContextCleaner under the session's periodic-GC config).
 
 The DuckDB oracle in __spark_entry__ replays learning end-to-end with the
 K rounds unrolled as chained CTEs; the greedy rewrite maps to DuckDB's
@@ -50,7 +50,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from .dedup import _fan_out
-from .pipeline import _PERSISTED
 
 END_OF_WORD = "</w>"
 
@@ -120,16 +119,23 @@ def bpe_learn(documents: DataFrame, n_merges: int = 6,
     merges = [(lhs, rhs, merged, pair_count), ...] in learning order;
     vocab = (word, cnt, symbols) with all rules applied.
 
-    Each round rebuilds the symbol expression from rule LITERALS over the
-    cached census (no lineage growth round-over-round — the
-    ivf_assign centroid pattern)."""
-    census = word_census(documents, text_col).cache()
-    _PERSISTED.append(census)
+    Each round applies ONE fold over the previous round's
+    localCheckpointed vocab frame (constant expression depth). The first
+    cut of this operator re-derived the whole fold chain from the census
+    every round — semantically identical, but the Catalyst expression
+    tree grew with the round number and DRIVER planning/codegen time
+    came to dominate wall clock (14 s at sf0.1 for six rounds); per-round
+    checkpointing of the vocab-sized frame makes planning O(1) per round
+    (the pagerank_int lineage-cut lesson applied to expressions)."""
+    vocab = word_census(documents, text_col).select(
+        "word", "cnt", init_symbols(F.col("word")).alias("symbols"),
+    ).localCheckpoint(eager=True)
     merges: list[tuple] = []
     for _ in range(n_merges):
-        sym = apply_merges(init_symbols(F.col("word")), merges)
         best = (
-            census.select("cnt", F.explode(adjacent_pairs(sym)).alias("p"))
+            vocab.select(
+                "cnt",
+                F.explode(adjacent_pairs(F.col("symbols"))).alias("p"))
             .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
             .agg(F.sum("cnt").cast("long").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
@@ -140,10 +146,11 @@ def bpe_learn(documents: DataFrame, n_merges: int = 6,
             break
         b = best[0]
         merges.append((b.lhs, b.rhs, b.lhs + b.rhs, b.pair_count))
-    vocab = census.select(
-        "word", "cnt",
-        apply_merges(init_symbols(F.col("word")), merges).alias("symbols"),
-    )
+        vocab = vocab.select(
+            "word", "cnt",
+            merge_pair(F.col("symbols"), b.lhs, b.rhs, b.lhs + b.rhs)
+            .alias("symbols"),
+        ).localCheckpoint(eager=True)
     return merges, vocab
 
 

@@ -481,3 +481,21 @@ def test_pack_sequences_manifest_invariants(spark):
         assert sl[0].doc_tok_start == 0 and sl[-1].doc_tok_end == ln
         for a, b in zip(sl, sl[1:]):
             assert a.doc_tok_end == b.doc_tok_start
+
+
+def test_curation_funnel_first_failing_stage(spark):
+    from api_ocr_spark.operators.funnel import curation_funnel
+
+    long_good = ("uno dos tres cuatro. cinco seis siete ocho. "
+                 "nueve diez once doce.")
+    docs = spark.createDataFrame(
+        [(1, long_good),
+         (2, long_good),                       # exact dup of 1
+         (3, "too short."),                    # fails token floor
+         (4, long_good + " {config}"),         # fails c4 (brace)
+         (5, "uno dos tres cuatro cinco seis siete ocho nueve "
+             "diez once doce tr")],            # long enough, no sentences
+        "doc_id long, text string")
+    out = {r.doc_id: r.stage for r in curation_funnel(docs).collect()}
+    assert out == {1: "kept", 2: "exact_dup", 3: "too_short",
+                   4: "c4_quality", 5: "c4_quality"}

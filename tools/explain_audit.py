@@ -178,6 +178,14 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "curation_funnel": [
+        ("one fingerprint shuffle with map-side partial min",
+         r"HashAggregate"),
+        ("no cartesian / nested-loop anywhere",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "setsim_join": [
         ("candidate meet + verify are equi-joins, never cartesian",
          ("absent", r"CartesianProduct|BroadcastNestedLoop")),
