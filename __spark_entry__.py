@@ -2300,6 +2300,96 @@ FROM fp p JOIN keepers k USING (f) JOIN stats s ON s.doc_id = p.doc_id
 """
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card corpus statistics (operators/funnel.corpus_datasheet —
+    Gebru et al. 2021): one exact-integer row of doc/token/vocab counts,
+    exact-dup mass, length extremes, and language mix; one corpus pass,
+    two tiny map-side-partial aggregations. Run over the corpus plus +40M
+    replicas of every 100th doc so n_exact_dup_docs is nonzero."""
+    from api_ocr_spark.operators import funnel
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    planted = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"), "text")
+    return funnel.corpus_datasheet(docs.unionByName(planted))
+
+
+ORACLE_CORPUS_DATASHEET = rf"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id, text FROM documents
+  WHERE doc_id % 100 = 0
+),
+d AS (
+  SELECT doc_id, text,
+    string_split({_NORM_SQL}, ' ') AS ws,
+    md5({_NORM_SQL}) AS fp
+  FROM base
+),
+per_doc AS (
+  SELECT CAST(len(ws) AS BIGINT) AS n_tokens, fp,
+    CASE WHEN len(list_filter(ws, x -> x IN ('the','a','of')))
+              > len(list_filter(ws, x -> x IN ('de','la','el'))) THEN 'en'
+         WHEN len(list_filter(ws, x -> x IN ('de','la','el')))
+              > len(list_filter(ws, x -> x IN ('the','a','of'))) THEN 'es'
+         WHEN len(list_filter(ws, x -> x IN ('the','a','of'))) > 0
+              THEN 'en'
+         ELSE 'unknown' END AS lang
+  FROM d
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+    CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
+    CAST(MIN(n_tokens) AS BIGINT) AS min_doc_tokens,
+    CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens,
+    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+    CAST(SUM(CASE WHEN lang NOT IN ('en', 'es') THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_other
+  FROM per_doc
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(ws) AS w FROM d)
+)
+SELECT * FROM agg, vocab
+"""
+
+
+def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two doc-length histogram (operators/funnel
+    .doclen_histogram): bucket index = binary-string length of the token
+    count — exact integer in both engines where float log2 could round
+    differently at bucket edges. Pure map + one tiny bucket shuffle."""
+    from api_ocr_spark.operators import funnel
+
+    return funnel.doclen_histogram(_docs(spark, sf_dir))
+
+
+ORACLE_DOCLEN_HISTOGRAM = rf"""
+WITH d AS (
+  SELECT CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+b AS (
+  SELECT n,
+    CASE WHEN n = 0 THEN 0
+         ELSE 1 << (length(bin(n)) - 1) END AS bucket_lo,
+    CASE WHEN n = 0 THEN 0
+         ELSE 2 * (1 << (length(bin(n)) - 1)) - 1 END AS bucket_hi
+  FROM d
+)
+SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+  CAST(bucket_hi AS BIGINT) AS bucket_hi,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_rarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail corpus split
     (operators/keywords.rarity_buckets): integer unigram-surprisal
@@ -4047,6 +4137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "c4_filter": q_c4_filter,
         "curation_funnel": q_curation_funnel,
+        "corpus_datasheet": q_corpus_datasheet,
+        "doclen_histogram": q_doclen_histogram,
         "rarity_buckets": q_rarity_buckets,
         "tfidf_top_terms": q_tfidf_top_terms,
         "vocab_topk": q_vocab_topk,
@@ -4126,6 +4218,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "c4_filter": ORACLE_C4_FILTER,
         "curation_funnel": ORACLE_CURATION_FUNNEL,
+        "corpus_datasheet": ORACLE_CORPUS_DATASHEET,
+        "doclen_histogram": ORACLE_DOCLEN_HISTOGRAM,
         "rarity_buckets": ORACLE_RARITY_BUCKETS,
         "tfidf_top_terms": ORACLE_TFIDF,
         "vocab_topk": ORACLE_VOCAB_TOPK,

@@ -57,3 +57,69 @@ def curation_funnel(documents: DataFrame, min_tokens: int = 12,
         )
     )
     return flags
+
+
+def corpus_datasheet(documents: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Dataset-card corpus statistics ("Datasheets for Datasets", Gebru et
+    al., CACM 2021 — the composition section's quantitative rows) in one
+    frame: document/token/vocabulary counts, exact-duplicate mass, doc
+    length extremes, and the language mix. All exact integers, so the
+    DuckDB oracle is equality.
+
+    Shape at 100 TB: ONE pass over the corpus feeding two
+    map-side-partial aggregations (the per-doc global aggregate and the
+    vocabulary census), crossed as 1-row frames — the whole datasheet
+    costs a scan plus two tiny shuffles."""
+    from ..functions.text import lang_guess, tokens
+
+    per_doc = documents.select(
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        fingerprint_md5(F.col(text_col)).alias("fp"),
+        lang_guess(F.col(text_col)).alias("lang"),
+    )
+    agg = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.count("*") - F.countDistinct("fp")).cast("long")
+        .alias("n_exact_dup_docs"),
+        F.min("n_tokens").cast("long").alias("min_doc_tokens"),
+        F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long")
+        .alias("n_en"),
+        F.sum(F.when(F.col("lang") == "es", 1).otherwise(0)).cast("long")
+        .alias("n_es"),
+        F.sum(F.when(~F.col("lang").isin("en", "es"), 1).otherwise(0))
+        .cast("long").alias("n_other"),
+    )
+    vocab = (documents
+             .select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .agg(F.countDistinct("w").cast("long").alias("vocab_size")))
+    return agg.crossJoin(vocab)
+
+
+def doclen_histogram(documents: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Power-of-two document-length histogram — the length-distribution
+    row of the datasheet: bucket [2^(k-1), 2^k - 1] per doc by token
+    count, with doc and token mass per bucket. The bucket index is the
+    BINARY-STRING LENGTH of the count (floor(log2)+1) — exact integer in
+    both engines, where a float log2 could round differently at bucket
+    edges. Zero-token docs get the [0, 0] bucket. Pure map + one tiny
+    bucket shuffle."""
+    n = token_count(F.col(text_col)).cast("long")
+    k = F.length(F.conv(n.cast("string"), 10, 2)).cast("int")
+    per_doc = documents.select(
+        n.alias("_n"), k.alias("_k")).select(
+        "_n",
+        F.when(F.col("_n") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("CAST(shiftleft(1L, _k - 1) AS BIGINT)"))
+        .alias("bucket_lo"),
+    ).select(
+        "_n", "bucket_lo",
+        F.when(F.col("_n") == 0, F.lit(0).cast("long"))
+        .otherwise(2 * F.col("bucket_lo") - 1).alias("bucket_hi"),
+    )
+    return (per_doc.groupBy("bucket_lo", "bucket_hi")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_n").cast("long").alias("n_tokens")))

@@ -499,3 +499,30 @@ def test_curation_funnel_first_failing_stage(spark):
     out = {r.doc_id: r.stage for r in curation_funnel(docs).collect()}
     assert out == {1: "kept", 2: "exact_dup", 3: "too_short",
                    4: "c4_quality", 5: "c4_quality"}
+
+
+def test_corpus_datasheet_counts(spark):
+    from api_ocr_spark.operators.funnel import corpus_datasheet
+
+    docs = spark.createDataFrame(
+        [(1, "the a of x"), (2, "de la el y"), (3, "zz qq"),
+         (4, "the a of x")],                  # dup of 1
+        "doc_id long, text string")
+    r = corpus_datasheet(docs).collect()[0]
+    assert (r.n_docs, r.n_tokens, r.n_exact_dup_docs) == (4, 14, 1)
+    assert (r.min_doc_tokens, r.max_doc_tokens) == (2, 4)
+    assert (r.n_en, r.n_es, r.n_other) == (2, 1, 1)
+    assert r.vocab_size == 10  # the a of x de la el y zz qq
+
+
+def test_doclen_histogram_buckets(spark):
+    from api_ocr_spark.operators.funnel import doclen_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "w"), (2, "w w"), (3, "w w w"), (4, "w w w w"),
+         (5, "w w w w w w w w")],
+        "doc_id long, text string")
+    rows = {(r.bucket_lo, r.bucket_hi): (r.n_docs, r.n_tokens)
+            for r in doclen_histogram(docs).collect()}
+    assert rows == {(1, 1): (1, 1), (2, 3): (2, 5), (4, 7): (1, 4),
+                    (8, 15): (1, 8)}

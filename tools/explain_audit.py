@@ -178,6 +178,17 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "corpus_datasheet": [
+        ("two map-side-partial aggregations, 1-row cross",
+         r"HashAggregate"),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
+    "doclen_histogram": [
+        ("pure map + one bucket shuffle", r"HashAggregate"),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "curation_funnel": [
         ("one fingerprint shuffle with map-side partial min",
          r"HashAggregate"),
