@@ -83,6 +83,10 @@ HEADLINE = [
     "doc_outline",
     "bpe_subwords",
     "mixture_sample",
+    "winnow_fingerprints",
+    "setsim_join",
+    "curation_funnel",
+    "phrase_match",
 ]
 
 
