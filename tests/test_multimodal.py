@@ -103,6 +103,72 @@ def test_sample_video_frames_real_mjpeg(spark):
         assert np.array_equal(dec, jpeg.decode_gray_jpeg(frames[r.frame_idx]))
 
 
+def test_image_dhash_compression_invariant(spark):
+    """dHash collides on identical renders, stays within hamming 6 across
+    JPEG re-encodes of the same page, and separates different page text
+    (measured floor 19 bits) — thresholds from the calibration sweep in
+    the operator docstring."""
+    from api_ocr_spark.imaging import jpeg, png
+    from api_ocr_spark.imaging.render import render_text_image
+
+    base = render_text_image("hello perceptual world", "plain", seed=1)
+    other = render_text_image("invoice total due 1234", "plain", seed=1)
+    rows = [
+        ("base_png", bytearray(png.encode_gray(base))),
+        ("base_png_again", bytearray(png.encode_gray(base))),
+        ("base_q90", bytearray(jpeg.encode_gray_jpeg(base, 90))),
+        ("base_q50", bytearray(jpeg.encode_gray_jpeg(base, 50))),
+        ("other_png", bytearray(png.encode_gray(other))),
+        ("junk", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, bytes binary")
+    got = {r.media_ref: r for r in multimodal.image_dhash(df).collect()}
+
+    def ham(a, b):
+        return bin((got[a].dhash ^ got[b].dhash) & ((1 << 64) - 1)).count("1")
+
+    assert got["junk"].decode_ok is False
+    assert all(got[k].decode_ok for k in got if k != "junk")
+    assert got["base_png"].dhash == got["base_png_again"].dhash
+    assert ham("base_png", "base_q90") <= 6
+    assert ham("base_png", "base_q50") <= 6
+    assert ham("base_png", "other_png") >= 19
+    assert ham("base_q90", "other_png") >= 13  # 19 floor minus 6 re-encode
+
+
+def test_image_neardup_pairs_banded(spark):
+    """Banded near-dup join finds every same-page compression twin and no
+    cross-page pair; junk rows are quarantined out of the candidate set."""
+    from api_ocr_spark.imaging import jpeg, png
+    from api_ocr_spark.imaging.render import render_text_image
+
+    a = render_text_image("hello perceptual world", "plain", seed=1)
+    b = render_text_image("completely different content here", "plain", seed=1)
+    rows = [
+        ("a_png", bytearray(png.encode_gray(a))),
+        ("a_q90", bytearray(jpeg.encode_gray_jpeg(a, 90))),
+        ("a_q50", bytearray(jpeg.encode_gray_jpeg(a, 50))),
+        ("b_png", bytearray(png.encode_gray(b))),
+        ("b_q75", bytearray(jpeg.encode_gray_jpeg(b, 75))),
+        ("junk", bytearray(b"never decodes")),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, bytes binary")
+    pairs = {(r.ref_a, r.ref_b): r.hamming
+             for r in multimodal.image_neardup_pairs(df).collect()}
+    a_refs, b_refs = {"a_png", "a_q90", "a_q50"}, {"b_png", "b_q75"}
+    for x, y in pairs:
+        assert x < y
+        assert ({x, y} <= a_refs) or ({x, y} <= b_refs)  # no cross-page pair
+        assert "junk" not in (x, y)
+    # all three a-side pairs and the b-side pair surface (hamming <= 6,
+    # so <= 3 differing bits per side of the worst split still leaves a
+    # clean 16-bit lane for these measured distances)
+    assert ("a_png", "a_q90") in pairs and ("a_png", "a_q50") in pairs
+    assert ("a_q50", "a_q90") in pairs
+    assert ("b_png", "b_q75") in pairs
+    assert all(h <= 6 for h in pairs.values())
+
+
 def test_audio_stub_raises_without_fake(media):
     from py4j.protocol import Py4JJavaError
 
