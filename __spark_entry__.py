@@ -4089,6 +4089,68 @@ FROM geo
 
 
 # --------------------------------------------------------------------------
+# Image-caption pair mining (operators/captions.py)
+# --------------------------------------------------------------------------
+
+
+def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-text pair extraction: every media span is OCR'd by
+    the real pipeline and aligned to its best adjacent text span by EXACT
+    integer token-Jaccard (operators/captions.caption_pairs). The oracle
+    replays the span-synthesis rule, the OCR invariant (ocr_text ==
+    lower(norm(chunk)), already pinned by the roundtrip oracles), the token
+    algebra, and the scaled-integer ranking key in DuckDB."""
+    from api_ocr_spark.operators.captions import caption_pairs
+
+    return caption_pairs(_docs(spark, sf_dir))
+
+
+ORACLE_CAPTION_PAIRS = f"""
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), c AS (
+  SELECT doc_id, ws, unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS off
+  FROM w
+), s AS (
+  SELECT doc_id, off,
+         CASE WHEN (doc_id + off) % 3 = 0 THEN 'media' ELSE 'text' END AS kind,
+         lower(trim(regexp_replace(
+           array_to_string(ws[CAST(off*8+1 AS BIGINT):CAST(off*8+8 AS BIGINT)], ' '),
+           '\\s+', ' ', 'g'))) AS norm_chunk
+  FROM c
+), m AS (
+  SELECT doc_id, off, norm_chunk AS ocr_text FROM s WHERE kind = 'media'
+), cand AS (
+  SELECT m.doc_id, m.off, s.off AS caption_offset, s.norm_chunk AS caption,
+         list_distinct(list_filter(string_split(m.ocr_text, ' '), t -> t <> '')) AS t_ocr,
+         list_distinct(list_filter(string_split(s.norm_chunk, ' '), t -> t <> '')) AS t_cap
+  FROM m JOIN s ON s.doc_id = m.doc_id AND s.kind = 'text'
+                AND (s.off = m.off - 1 OR s.off = m.off + 1)
+), scored AS (
+  SELECT doc_id, off, caption_offset, caption,
+         len(list_intersect(t_ocr, t_cap)) AS score_num,
+         len(list_distinct(list_concat(t_ocr, t_cap))) AS score_den
+  FROM cand
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY doc_id, off
+           ORDER BY CASE WHEN score_den > 0
+                         THEN (score_num * 10000) // score_den
+                         ELSE 0 END DESC,
+                    caption_offset ASC) AS rn
+  FROM scored
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'm-' || CAST(doc_id AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
+       CAST(caption_offset AS INTEGER) AS caption_offset,
+       caption,
+       CAST(score_num AS BIGINT) AS score_num,
+       CAST(score_den AS BIGINT) AS score_den
+FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4175,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "anchor_index": q_anchor_index,
         "image_metadata": q_image_metadata,
+        "caption_pairs": q_caption_pairs,
     }
 
 
@@ -4260,6 +4323,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": ORACLE_HOST_HITS,
         "anchor_index": ORACLE_ANCHOR_INDEX,
         "image_metadata": ORACLE_IMAGE_METADATA,
+        "caption_pairs": ORACLE_CAPTION_PAIRS,
         # no rows-only entries remain: the Lloyd iteration unrolls into SQL
         # once its seeding is md5-derived, and image_metadata's checked
         # projection is pure render-geometry arithmetic

@@ -107,6 +107,13 @@ CHECKS = {
         ("bounded exchanges (build + window)", ("max_exchanges", 2)),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "caption_pairs": [
+        ("Arrow-batched OCR stage", r"MapInPandas"),
+        ("no per-row python", ("absent", r"BatchEvalPython")),
+        ("neighbor discovery + final argmax are windows", r"Window"),
+        ("candidate meet is an equi-join on media_ref, not cartesian",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
     "semantic_dedup": [
         # the corpus x k-row codebook scoring joins are broadcast BNLJ Cross
         # by design (as in ivf_ann_topk); the PAIR MEET must be an equi-join
