@@ -2440,6 +2440,54 @@ FROM pd JOIN buckets b USING (mean_rarity)
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram-LM likelihood ledger
+    (operators/keywords.bigram_lm_score) — the sequence-model upgrade of
+    rarity_buckets' unigram surrogate, exact integer arithmetic end to
+    end (milli = scale*(c_big+1) DIV (c_pre+V)), so the DuckDB twin is an
+    equality check."""
+    return keywords.bigram_lm_score(_docs(spark, sf_dir))
+
+
+ORACLE_BIGRAM_LM = rf"""
+WITH t AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(2, len(ws) + 1),
+                          i -> ws[i-1] || ' ' || ws[i])) AS bigram
+  FROM t
+),
+bc AS (SELECT bigram, count(*) AS c_big FROM bg GROUP BY bigram),
+pc AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, sum(c_big) AS c_pre
+  FROM bc GROUP BY w1
+),
+v AS (
+  SELECT count(DISTINCT tok) AS vv
+  FROM (SELECT unnest(ws) AS tok FROM t)
+),
+milli AS (
+  SELECT bigram,
+    (1000000 * (c_big + 1)) // (c_pre + (SELECT vv FROM v)) AS m
+  FROM bc JOIN pc ON split_part(bc.bigram, ' ', 1) = pc.w1
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(m) AS lm_sum
+  FROM bg JOIN milli USING (bigram) GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(p.lm_sum, 0) AS BIGINT) AS lm_sum,
+  CAST(CASE WHEN coalesce(p.n_bigrams, 0) > 0
+            THEN p.lm_sum // p.n_bigrams ELSE 0 END AS BIGINT)
+    AS lm_mean_milli
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 _SPANDUP_A = "the quick brown fox jumps over lazy dog"
 _SPANDUP_B = "pack my box with five dozen liquor jugs"
 
@@ -4202,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet": q_corpus_datasheet,
         "doclen_histogram": q_doclen_histogram,
         "rarity_buckets": q_rarity_buckets,
+        "bigram_lm": q_bigram_lm,
         "tfidf_top_terms": q_tfidf_top_terms,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
@@ -4284,6 +4333,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datasheet": ORACLE_CORPUS_DATASHEET,
         "doclen_histogram": ORACLE_DOCLEN_HISTOGRAM,
         "rarity_buckets": ORACLE_RARITY_BUCKETS,
+        "bigram_lm": ORACLE_BIGRAM_LM,
         "tfidf_top_terms": ORACLE_TFIDF,
         "vocab_topk": ORACLE_VOCAB_TOPK,
         "bpe_merges": ORACLE_BPE_MERGES,

@@ -202,3 +202,71 @@ def collocations_topk(documents: DataFrame, k: int = 100,
         )
     )
     return scored.orderBy(F.col("score").desc(), "bigram").limit(k)
+
+
+def bigram_lm_score(documents: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Bigram language-model likelihood ledger — the sequence-model
+    upgrade of rarity_buckets' unigram surrogate (CCNet's actual quality
+    signal is a KenLM n-gram LM, Wenzek et al. 2020 §4.3; no KenLM exists
+    in this container, so the model is a corpus-fit add-one-smoothed
+    bigram LM in EXACT integer arithmetic — a KenLM swap-in is the
+    documented production upgrade and would downgrade the oracle to
+    rows-only). Per bigram occurrence (w1, w2):
+
+        milli(w1,w2) = (scale * (c(w1,w2) + 1)) DIV (c(w1,·) + V)
+
+    a floored scaled conditional probability P(w2|w1) with add-one
+    smoothing over the vocabulary V — integer-exact in both engines, and
+    monotone in the true smoothed likelihood per bigram. Per document:
+    n_bigrams, lm_sum = Σ milli, lm_mean_milli = lm_sum DIV n_bigrams
+    (predictable/common text scores high, rare or garbled text low).
+    Docs with fewer than two tokens get an explicit zero row.
+
+    Shape at 100 TB: the bigram census is ONE corpus shuffle with
+    map-side partials; the prefix census c(w1,·) and the per-bigram milli
+    table both derive from the census frame (vocab-sized work, never a
+    second corpus pass); scoring joins corpus bigrams to the milli table
+    on the gram string (stopword grams are the hot keys — AQE skew-split
+    covers it, salting the census is the documented fallback); the
+    per-doc sum is one doc_id-keyed groupBy. V is a single scalar
+    distinct-count (a corpus constant entering the arithmetic, so the
+    HyperLogLog approximation is NOT an admissible swap)."""
+    base = _fan_out(documents).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(F.col(text_col)).alias("ts"),
+    )
+    from ..functions.text import token_ngrams
+
+    bg = base.select(
+        "doc_id", F.explode(token_ngrams(F.col("ts"), 2)).alias("bigram"))
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("c_big"))
+    pc = (bc.select(F.substring_index("bigram", " ", 1).alias("w1"), "c_big")
+          .groupBy("w1").agg(F.sum("c_big").alias("c_pre")))
+    vocab_size = base.select(F.explode("ts").alias("t")).distinct().count()
+    milli = (
+        bc.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(pc, "w1")
+        .select("bigram", F.expr(
+            f"(CAST({int(scale)} AS BIGINT) * (c_big + 1))"
+            f" DIV (c_pre + CAST({int(vocab_size)} AS BIGINT))").alias("m"))
+    )
+    per_doc = (
+        bg.join(milli, "bigram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_bigrams"),
+             F.sum("m").cast("long").alias("lm_sum"))
+    )
+    return (
+        documents.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lm_sum", F.lit(0)).cast("long").alias("lm_sum"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) > 0,
+                   F.expr("lm_sum DIV n_bigrams"))
+            .otherwise(F.lit(0)).cast("long").alias("lm_mean_milli"),
+        )
+    )

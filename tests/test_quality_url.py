@@ -526,3 +526,40 @@ def test_doclen_histogram_buckets(spark):
             for r in doclen_histogram(docs).collect()}
     assert rows == {(1, 1): (1, 1), (2, 3): (2, 5), (4, 7): (1, 4),
                     (8, 15): (1, 8)}
+
+
+def test_bigram_lm_score_exact_arithmetic(spark):
+    """Hand-computed add-one-smoothed bigram milli scores on a 3-doc
+    corpus: census c('a b')=2, c('b a')=1, c('b c')=2; prefixes
+    c_pre(a)=2, c_pre(b)=3; V=3."""
+    from api_ocr_spark.operators.keywords import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a"), (3, "b c")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert len(got) == 3
+    # milli('a b') = 1e6*3 DIV 5 = 600000; 'b a' = 1e6*2 DIV 6 = 333333;
+    # 'b c' = 1e6*3 DIV 6 = 500000
+    d1 = got[1]
+    assert d1.n_bigrams == 4
+    assert d1.lm_sum == 600000 + 333333 + 600000 + 500000
+    assert d1.lm_mean_milli == d1.lm_sum // 4
+    # single-token doc -> explicit zero row
+    assert (got[2].n_bigrams, got[2].lm_sum, got[2].lm_mean_milli) == (0, 0, 0)
+    d3 = got[3]
+    assert (d3.n_bigrams, d3.lm_sum, d3.lm_mean_milli) == (1, 500000, 500000)
+
+
+def test_bigram_lm_predictable_text_scores_higher(spark):
+    """A doc made of the corpus's dominant bigram pattern outscores a doc
+    of one-off bigrams — the CCNet-style quality direction."""
+    from api_ocr_spark.operators.keywords import bigram_lm_score
+
+    common = "the cat sat on the mat"
+    docs = [(i, common) for i in range(10)]
+    docs.append((100, "zq xv wk jn pb md"))  # all singleton bigrams
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: r.lm_mean_milli for r in bigram_lm_score(df).collect()}
+    assert got[0] == got[9]  # identical docs, identical ledger
+    assert got[0] > 2 * got[100]  # measured 456220 vs 166666

@@ -107,6 +107,14 @@ CHECKS = {
         ("bounded exchanges (build + window)", ("max_exchanges", 2)),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "bigram_lm": [
+        ("all-Catalyst token pipeline (no python)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("map-side partial census", r"HashAggregate"),
+        ("column pruning on documents scan",
+         r"ReadSchema: struct<doc_id:bigint,text:string>"),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
     "caption_pairs": [
         ("Arrow-batched OCR stage", r"MapInPandas"),
         ("no per-row python", ("absent", r"BatchEvalPython")),
