@@ -3295,6 +3295,58 @@ FROM hx
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/mixture.dsir_select, Xie et
+    al. 2023): top-100 most target-like raw docs by hashed-unigram
+    importance weight — integer sum-of-ratios surrogate with add-one
+    smoothing and clipped enrichment, md5-derived feature hashing so the
+    oracle replays the buckets exactly. Target slice = doc_id%17==0."""
+    from api_ocr_spark.operators import mixture
+
+    return mixture.dsir_select(_docs(spark, sf_dir))
+
+
+ORACLE_DSIR_SELECT = rf"""
+WITH raw AS (
+  SELECT doc_id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+           ' ')) AS term
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 10000 AS bucket,
+    (doc_id % 17 = 0) AS is_tgt
+  FROM raw
+),
+census AS (
+  SELECT bucket,
+    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt,
+    sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS c_raw
+  FROM toks GROUP BY bucket
+),
+ratio AS (
+  SELECT bucket,
+    least((1000000 * (c_tgt + 1)) // (c_raw + 1),
+          CAST(1000000000 AS BIGINT)) AS ratio
+  FROM census
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(ratio) AS dsir_sum
+  FROM toks JOIN ratio USING (bucket)
+  WHERE NOT is_tgt
+  GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(dsir_sum AS BIGINT) AS dsir_sum,
+  CAST(dsir_sum // n_tokens AS BIGINT) AS dsir_milli
+FROM scored
+ORDER BY dsir_milli DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def q_tier_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-tier extraction + per-tier quota sampling
     (operators/tiering.tier_extract): histogram-quantile tiers over the
@@ -4271,6 +4323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_extract": q_tier_extract,
         "mixture_sample": q_mixture_sample,
         "grouped_split": q_grouped_split,
+        "dsir_select": q_dsir_select,
         "winnow_fingerprints": q_winnow_fingerprints,
         "setsim_join": q_setsim_join,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -4354,6 +4407,7 @@ def oracle_sql() -> dict[str, str]:
         "tier_extract": ORACLE_TIER_EXTRACT,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "grouped_split": ORACLE_GROUPED_SPLIT,
+        "dsir_select": ORACLE_DSIR_SELECT,
         "winnow_fingerprints": ORACLE_WINNOW,
         "setsim_join": ORACLE_SETSIM,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.text import tokens
+
 
 def mixture_quotas(census: list[tuple[str, int]], frac_num: int,
                    frac_den: int) -> dict[str, dict]:
@@ -126,3 +128,72 @@ def grouped_split(df: DataFrame, group_col: str = "registered_domain",
         .when(hexv < train_slots + val_slots, "val")
         .otherwise("test").alias("split"),
     )
+
+
+def dsir_select(documents: DataFrame, k: int = 100,
+                n_buckets: int = 10_000, target_mod: int = 17,
+                clip_mult: int = 1_000, scale: int = 1_000_000,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): pick the k raw-corpus documents whose hashed
+    n-gram feature distribution is most target-like. Features are hashed
+    unigrams — bucket = md5(term) first-8-hex mod n_buckets, the paper's
+    hashing trick with the repo's md5-derived-randomness convention so
+    the DuckDB oracle replays it exactly. The target sample is the
+    deterministic doc_id % target_mod == 0 slice (a stand-in for "quality
+    domain sample" — swapping in a real target table changes one filter).
+
+    Exactness contract: the paper scores log w(x) = sum_f c_f (log p_f -
+    log q_f) — libm logs are not engine-portable, so the weight here is
+    the integer sum-of-ratios surrogate
+
+        ratio(b) = least((scale * (c_tgt_b + 1)) DIV (c_raw_b + 1),
+                         scale * clip_mult)
+
+    per feature occurrence (add-one smoothed, clipped at clip_mult x
+    enrichment — the paper clips importance weights too). The global
+    N_raw/N_tgt normalizer is a corpus constant, dropped because it is
+    ranking-invariant. Monotone per-feature in the true ratio,
+    integer-exact in both engines; the float log-sum is the documented
+    swap-in (downgrades the oracle to rows-only).
+
+    Shape at 100 TB: ONE corpus token shuffle for the census (conditional
+    partial aggs split target/raw in the same pass, n_buckets rows out);
+    the ratio table is n_buckets rows -> BROADCAST to the scoring join
+    (corpus never shuffles to meet it); per-doc sum is one doc_id
+    groupBy; top-k plans as TakeOrderedAndProject (per-partition local
+    top-k). Selection ties break by doc_id ascending."""
+    from .dedup import _fan_out
+
+    toks = _fan_out(documents).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+         % n_buckets).alias("bucket"),
+        (F.col("doc_id") % target_mod == 0).alias("is_tgt"),
+    )
+    census = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("c_tgt"),
+        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).alias("c_raw"),
+    )
+    ratio = census.select(
+        "bucket",
+        F.least(
+            F.expr(f"(CAST({int(scale)} AS BIGINT) * (c_tgt + 1))"
+                   " DIV (c_raw + 1)"),
+            F.lit(int(scale) * int(clip_mult)).cast("long"),
+        ).alias("ratio"),
+    )
+    scored = (
+        toks.where(~F.col("is_tgt"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.sum("ratio").cast("long").alias("dsir_sum"))
+        .select("doc_id", "n_tokens", "dsir_sum",
+                F.expr("dsir_sum DIV n_tokens").alias("dsir_milli"))
+    )
+    return scored.orderBy(
+        F.col("dsir_milli").desc(), F.col("doc_id").asc()).limit(k)

@@ -70,3 +70,35 @@ def test_grouped_split_no_group_straddles_splits(spark):
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_dsir_select_ranks_target_like_docs(spark):
+    """Raw docs sharing the target slice's vocabulary outrank disjoint
+    ones; target docs (doc_id%17==0) never appear in the selection."""
+    from api_ocr_spark.operators.mixture import dsir_select
+
+    tgt = "med clinical trial dose"
+    rows = [(0, tgt), (17, tgt),          # target slice
+            (1, tgt),                      # raw, target-like
+            (2, "xx yy zz ww")]            # raw, disjoint
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dsir_select(df, k=10)
+    got = out.collect()
+    ids = [r.doc_id for r in got]
+    assert ids == [1, 2]  # both raw docs, target-like first
+    by = {r.doc_id: r for r in got}
+    # each target term: c_tgt=2, c_raw=1 -> (1e6*3)//2 = 1_500_000
+    assert by[1].dsir_milli == 1_500_000 and by[1].n_tokens == 4
+    # disjoint terms: c_tgt=0, c_raw=1 -> (1e6*1)//2 = 500_000
+    assert by[2].dsir_milli == 500_000
+
+
+def test_dsir_select_k_truncation_and_tiebreak(spark):
+    from api_ocr_spark.operators.mixture import dsir_select
+
+    rows = [(0, "alpha beta")]  # target
+    rows += [(i, "gamma delta") for i in range(1, 6)]  # 5 identical raw docs
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = dsir_select(df, k=3).collect()
+    assert [r.doc_id for r in got][:3] == [1, 2, 3]  # tie -> doc_id asc
+    assert len(got) == 3

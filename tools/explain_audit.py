@@ -107,6 +107,13 @@ CHECKS = {
         ("bounded exchanges (build + window)", ("max_exchanges", 2)),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "dsir_select": [
+        ("ratio table broadcast to the scoring join", r"Broadcast"),
+        ("top-k plans as TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("all-Catalyst (no python)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
     "bigram_lm": [
         ("all-Catalyst token pipeline (no python)",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
