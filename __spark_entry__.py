@@ -3849,6 +3849,72 @@ LEFT JOIN inw i ON i.dst = n.node
 """)
 
 
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank spam-demotion signal (operators/graph.trustrank_int,
+    Gyongyi et al. VLDB 2004) over the SAME host-pair fixture as
+    host_pagerank: teleport mass lands only on the trusted seed set
+    (the '.org' hosts — a deterministic curated-list stand-in), so trust
+    attenuates with link distance from the seeds. Exact-integer floored
+    recurrence -> the oracle is an equality unroll of all three rounds."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+
+    def tld(x: Column) -> Column:
+        return (F.when(x % 3 == 0, "com").when(x % 3 == 1, "org")
+                .otherwise("net"))
+
+    pairs = docs.select(
+        F.concat(F.lit("dom"), (d % 23).cast("string"), F.lit("."),
+                 tld(d)).alias("src"),
+        F.concat(F.lit("dom"), ((d * 7 + 3) % 23).cast("string"), F.lit("."),
+                 tld(d + 1)).alias("dst"),
+    )
+    edges = graph.aggregate_edges(pairs)
+    seeds = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .where(F.col("node").endswith(".org")).distinct())
+    return graph.trustrank_int(edges, seeds, iters=3)
+
+
+def _tr_round_sql(k: int) -> str:
+    """One unrolled integer-TrustRank round: floored shares as in
+    PageRank, but per-round base mass only on seed nodes."""
+    return f"""
+, tc{k} AS (
+  SELECT e.dst AS node, sum((r.r * 85 * e.w) // (100 * o.out_w)) AS s
+  FROM edges e JOIN t{k - 1} r ON r.node = e.src JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+), t{k} AS (
+  SELECT n.node,
+    CAST((CASE WHEN n.node LIKE '%.org' THEN 150000 ELSE 0 END)
+         + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN tc{k} c ON c.node = n.node
+)"""
+
+
+ORACLE_HOST_TRUSTRANK = ("""
+WITH pairs AS (
+  SELECT
+    'dom' || CAST(doc_id % 23 AS VARCHAR) || '.' ||
+      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS src,
+    'dom' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) || '.' ||
+      CASE (doc_id + 1) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS dst
+  FROM documents
+), edges AS (SELECT src, dst, count(*) AS w FROM pairs GROUP BY src, dst),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+t0 AS (SELECT node,
+       CAST(CASE WHEN node LIKE '%.org' THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       FROM nodes)"""
+    + "".join(_tr_round_sql(k) for k in (1, 2, 3))
+    + """
+SELECT n.node AS host, t3.r AS trustrank,
+       (n.node LIKE '%.org') AS is_seed
+FROM nodes n JOIN t3 ON t3.node = n.node
+""")
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (operators/graph.hits_int — Kleinberg 1999)
     over the SAME host-pair fixture as host_pagerank: two I-then-O rounds
@@ -4336,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "quality_filter": q_quality_filter,
         "host_pagerank": q_host_pagerank,
+        "host_trustrank": q_host_trustrank,
         "host_hits": q_host_hits,
         "anchor_index": q_anchor_index,
         "image_metadata": q_image_metadata,
@@ -4424,6 +4491,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract": ORACLE_WARC_EXTRACT,
         "quality_filter": ORACLE_QUALITY_FILTER,
         "host_pagerank": ORACLE_HOST_PAGERANK,
+        "host_trustrank": ORACLE_HOST_TRUSTRANK,
         "host_hits": ORACLE_HOST_HITS,
         "anchor_index": ORACLE_ANCHOR_INDEX,
         "image_metadata": ORACLE_IMAGE_METADATA,

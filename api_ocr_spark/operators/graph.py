@@ -200,3 +200,63 @@ def hits_int(edges: DataFrame, iters: int = 2,
         .select(F.col("node").alias("host"),
                 F.col("a").alias("authority"), F.col("h").alias("hub"))
     )
+
+
+def trustrank_int(edges: DataFrame, seeds: DataFrame, iters: int = 3,
+                  damping_num: int = 85, damping_den: int = 100,
+                  r0: int = 1_000_000, base: int = 150_000) -> DataFrame:
+    """Integer TrustRank (Gyongyi et al., VLDB 2004): PageRank whose
+    teleport mass lands ONLY on a curated trusted seed set, so trust
+    attenuates with link distance from the seeds — the classic crawl
+    spam-demotion signal (a reputable-looking host that no trusted host
+    reaches transitively scores ~0 regardless of raw in-degree, which
+    plain PageRank cannot express).
+
+    Same exact-integer recurrence as pagerank_int (floored shares, the
+    oracle is an equality unroll); the only deltas are the seed-indicator
+    initial vector (r0 on seeds, 0 elsewhere) and the per-round base mass
+    (base on seeds, 0 elsewhere). The seed table is broadcast — trusted
+    lists are small by definition (ODP-style curation in the paper).
+    Returns (host, trustrank, is_seed)."""
+    edges = edges.localCheckpoint(eager=True)
+    seed_marks = F.broadcast(
+        seeds.select(F.col("node")).distinct()
+        .withColumn("is_seed_m", F.lit(True)))
+    # host-cardinality frame referenced by every round AND the final join:
+    # checkpoint once so the unrolled plan doesn't re-derive the
+    # union+distinct+seed-join subtree per round (82 -> ~40 plan exchanges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(seed_marks, "node", "left")
+        .select("node",
+                F.coalesce("is_seed_m", F.lit(False)).alias("is_seed"))
+    ).localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(r0)).otherwise(F.lit(0))
+        .cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(r * {damping_num} * w) "
+                       f"DIV ({damping_den} * out_w)").alias("share"),
+            )
+            .groupBy("node").agg(F.sum("share").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+             + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long").alias("r"),
+        )
+    return nodes.join(ranks, "node").select(
+        F.col("node").alias("host"),
+        F.col("r").alias("trustrank"),
+        "is_seed",
+    )

@@ -105,3 +105,23 @@ def test_hits_int_ranking_matches_float_reference(spark):
     assert out["d"][0] == 0 and out["a"][1] == 0
     # the dominant hub holds the rescale ceiling
     assert out["p"][1] == 1_000_000
+
+
+def test_trustrank_spam_island_gets_zero(spark):
+    """A heavily self-linked cluster unreachable from the seed set scores
+    exactly 0 (plain PageRank would give it base mass); trust decays along
+    the seed chain with hand-computed floored-integer values."""
+    from api_ocr_spark.operators.graph import trustrank_int
+
+    edges = spark.createDataFrame(
+        [("s", "a", 1), ("a", "b", 1), ("c", "d", 5), ("d", "c", 5)],
+        "src string, dst string, w long")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r.host: r for r in trustrank_int(edges, seeds, iters=3).collect()}
+    assert got["s"].is_seed and not got["a"].is_seed
+    # t3: s keeps only its per-round base; a = (150000*85)//100;
+    # b = (127500*85)//100; the c/d island never receives trust
+    assert got["s"].trustrank == 150000
+    assert got["a"].trustrank == 127500
+    assert got["b"].trustrank == 108375
+    assert got["c"].trustrank == 0 and got["d"].trustrank == 0

@@ -107,6 +107,15 @@ CHECKS = {
         ("bounded exchanges (build + window)", ("max_exchanges", 2)),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "host_trustrank": [
+        ("edge frame materialized once (localCheckpoint feeds all rounds)",
+         r"Scan ExistingRDD|LogicalRDD"),
+        ("seed marks broadcast", r"Broadcast"),
+        ("rank propagation is equi-joins, never cartesian",
+         ("absent", r"CartesianProduct")),
+        ("no python in the loop",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "dsir_select": [
         ("ratio table broadcast to the scoring join", r"Broadcast"),
         ("top-k plans as TakeOrderedAndProject", r"TakeOrderedAndProject"),
