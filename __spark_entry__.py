@@ -4180,6 +4180,70 @@ FROM assign4 a LEFT JOIN drops d ON d.vec_id = a.vec_id
 """)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training
+    (similarity.hard_negatives, DPR recipe): per deterministic query
+    vector, the 5 highest-cosine corpus vectors OUTSIDE the query's own
+    Lloyd cluster (same-cluster = likely positives, the published
+    exclusion). Clustering is the md5-seeded Lloyd shared with
+    ivf_ann_topk/semantic_dedup — the oracle unrolls the identical three
+    rounds over the RAW embeddings table; ranking by 6-dp-rounded cosine
+    with neighbor_id tiebreak; emitted dot is the exact int64 product."""
+    return similarity.hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_HARD_NEGATIVES = ("""
+WITH q0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q0
+), init AS (
+  SELECT qv, row_number() OVER (ORDER BY md5('ivf11_' || CAST(vec_id AS VARCHAR))) - 1 AS centroid_id
+  FROM n ORDER BY md5('ivf11_' || CAST(vec_id AS VARCHAR)) LIMIT 16
+), cents0 AS (
+  SELECT centroid_id, qv AS cvec,
+         CASE WHEN list_dot_product(qv, qv) = 0 THEN 1 ELSE list_dot_product(qv, qv) END AS cnorm2
+  FROM init
+)"""
+    + "".join(_ivf_lloyd_round_sql(r) for r in (1, 2, 3))
+    + """
+, scored4 AS (
+  SELECT n.vec_id, c.centroid_id,
+         list_dot_product(n.qv, c.cvec) / sqrt(n.norm2 * c.cnorm2) AS ccos
+  FROM n CROSS JOIN cents3 c
+), assign4 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+    FROM scored4) WHERE rn = 1
+), q AS (
+  SELECT a.vec_id AS query_id, nn.qv AS q_qv, nn.norm2 AS q_norm2,
+         a.centroid_id AS q_centroid
+  FROM assign4 a JOIN n nn ON nn.vec_id = a.vec_id
+  WHERE a.vec_id % 101 = 0
+), cand AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_dot_product(q.q_qv, nb.qv) AS dp,
+         round(list_dot_product(q.q_qv, nb.qv)
+               / sqrt(q.q_norm2 * nb.norm2), 6) AS c
+  FROM q JOIN assign4 b
+    ON b.centroid_id != q.q_centroid AND b.vec_id != q.query_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, dp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id ASC) AS rn
+  FROM cand
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rn AS INTEGER) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(dp AS BIGINT) AS dot
+FROM ranked WHERE rn <= 5
+""")
+
+
 def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction over the binary media column. The
     decode is real (engine PNG/JPEG codecs); the checked projection is the
@@ -4397,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "semantic_dedup": q_semantic_dedup,
+        "hard_negatives": q_hard_negatives,
         "warc_ingest": q_warc_ingest,
         "bloom_dedup": q_bloom_dedup,
         "warc_extract": q_warc_extract,
@@ -4486,6 +4551,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embedding_neardup": ORACLE_LSH_EMBEDDING_NEARDUP,
         "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+        "hard_negatives": ORACLE_HARD_NEGATIVES,
         "warc_ingest": ORACLE_WARC_INGEST,
         "bloom_dedup": ORACLE_BLOOM_DEDUP,
         "warc_extract": ORACLE_WARC_EXTRACT,

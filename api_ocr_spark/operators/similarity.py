@@ -439,3 +439,67 @@ def semdedup(emb: DataFrame, threshold: float = 0.8, n_centroids: int = 16,
         F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("keep"),
     )
+
+
+def hard_negatives(emb: DataFrame, k: int = 5, n_centroids: int = 16,
+                   iters: int = 3, seed: int = 11,
+                   query_mod: int = 101) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (the DPR /
+    Contriever recipe, Karpukhin et al. 2020 §3.2: negatives that are
+    similar but NOT positives train the encoder hardest). For each query
+    vector (vec_id % query_mod == 0 — a deterministic stand-in for the
+    labeled query set), return the k highest-cosine corpus vectors from
+    OUTSIDE the query's own Lloyd cluster: same-cluster vectors are the
+    likely positives/near-dups (the SemDeDup ball), so excluding the
+    cluster is the published 'filter likely positives' step expressed
+    with the engine's own coarse quantizer.
+
+    Exactness: clustering is the md5-seeded Lloyd of ivf_assign_table
+    (oracle unrolls it); ranking uses the 6-dp-rounded cosine over
+    integer-quantized dots (both engines compute the identical double),
+    ties break by neighbor_id; the emitted `dot` column is the exact
+    int64 inner product.
+
+    Shape at 100 TB: the query side is BROADCAST and the corpus is scored
+    map-side (the brute_force_topk pattern — the corpus never shuffles to
+    meet the queries); the non-equi cluster-exclusion predicate rides the
+    broadcast join as a filter, so the only exchange after assignment is
+    the per-query top-k window, which is query-cardinality-bounded. For
+    query sets too big to broadcast, route per-cluster: IVF-probe the
+    nearest non-own clusters (ivf_topk_table's equi-join shape) — the
+    documented scale fallback."""
+    from pyspark.sql.window import Window
+
+    assigned, _ = ivf_assign_table(emb, n_centroids=n_centroids,
+                                   iters=iters, seed=seed)
+    queries = F.broadcast(
+        assigned.where(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("norm2").alias("q_norm2"),
+            F.col("centroid_id").alias("q_centroid"),
+        )
+    )
+    cand = queries.join(
+        assigned,
+        (F.col("centroid_id") != F.col("q_centroid"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot(F.col("q_qvec"), F.col("qvec")).alias("dp"),
+        "q_norm2", "norm2",
+    ).select(
+        "query_id", "neighbor_id", "dp",
+        cosine(F.col("dp"), F.col("q_norm2"), F.col("norm2")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id",
+                F.col("rank").cast("int").alias("rank"),
+                "neighbor_id",
+                F.col("dp").cast("long").alias("dot"))
+    )

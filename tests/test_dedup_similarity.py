@@ -562,3 +562,42 @@ def test_setsim_join_equals_bruteforce_exact_jaccard(spark):
     assert (1, 2, 18, 21) in got or any(p[:2] == (1, 2) for p in got)
     assert any(p[:2] == (1, 6) for p in got)          # exact dup found
     assert not any(p[:2] == (1, 3) for p in got)      # dissimilar pruned
+
+
+def test_hard_negatives_exclude_own_cluster(spark):
+    """Two well-separated direction groups: each query's negatives all
+    come from the OTHER group (its own cluster holds the likely
+    positives), ranked by cosine with exact integer dots."""
+    from api_ocr_spark.operators.similarity import hard_negatives, ivf_assign_table
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))        # group A
+    for i in range(6, 12):
+        rows.append((i, [0.0, 0.0, 1.0, 0.001 * i]))        # group B
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = hard_negatives(emb, k=3, n_centroids=2, iters=2, query_mod=6)
+    out = got.collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 6}
+    # verify the exclusion against the actual clustering (not just the
+    # intended A/B split): no neighbor shares its query's centroid
+    assigned, _ = ivf_assign_table(emb, n_centroids=2, iters=2)
+    cent = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    for q, rs in by_q.items():
+        assert len(rs) == 3
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == [1, 2, 3]
+        for r in rs:
+            assert cent[r.neighbor_id] != cent[q]
+    # if Lloyd separated the two direction groups (expected for this
+    # geometry), negatives are exactly the other group's members
+    if cent[0] != cent[6]:
+        assert all(r.neighbor_id >= 6 for r in by_q[0])
+        assert all(r.neighbor_id < 6 for r in by_q[6])
+    # exact integer dots: group A query vs group B vectors -> dot == 0
+    for r in by_q[0]:
+        if r.neighbor_id >= 6:
+            assert r.dot == 0

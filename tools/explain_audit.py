@@ -116,6 +116,15 @@ CHECKS = {
         ("no python in the loop",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
+    "hard_negatives": [
+        # corpus x k-row codebook and corpus x broadcast-query scoring are
+        # BNLJ by design (ann brute-force pattern); the corpus itself must
+        # never CartesianProduct
+        ("query side broadcast", r"Broadcast"),
+        ("per-query top-k window", r"Window"),
+        ("no per-row python", ("absent", r"BatchEvalPython")),
+        ("no cartesian product", ("absent", r"CartesianProduct")),
+    ],
     "dsir_select": [
         ("ratio table broadcast to the scoring join", r"Broadcast"),
         ("top-k plans as TakeOrderedAndProject", r"TakeOrderedAndProject"),
