@@ -1398,7 +1398,9 @@ _TABLE_RE = r"'(?is)<table(?:\s[^>]*)?>(.*?)</table>'"
 _TR_RE = r"'(?is)<tr(?:\s[^>]*)?>(.*?)</tr>'"
 _CELL_RE = r"'(?is)<t([dh])(?:\s[^>]*)?>(.*?)</t[dh]>'"
 
-ORACLE_HTML_TABLES = f"""
+# shared cell-extraction CTE chain (fixture build -> noise strip -> three
+# unnest levels), reused by ORACLE_HTML_TABLES and ORACLE_TABLES_MARKDOWN
+_HTML_TABLE_CELLS_PREFIX = f"""
 WITH h AS (
   SELECT doc_id,
     '<html><head><title>t</title><script>var x="<table><tr><td>ghost</td>'
@@ -1442,9 +1444,84 @@ c AS (
           regexp_extract_all(rowhtml, {_CELL_RE}, 2) AS bodies FROM r),
        unnest(range(1, len(kinds) + 1)) AS tt(i)
 )
-SELECT doc_id, table_idx, row_idx, col_idx, is_header,
+"""
+
+ORACLE_HTML_TABLES = _HTML_TABLE_CELLS_PREFIX + f"""SELECT doc_id, table_idx, row_idx, col_idx, is_header,
   {_vis_sql('body')} AS cell_text
 FROM c
+"""
+
+
+def q_tables_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table -> GitHub-markdown linearization
+    (functions/html.tables_to_markdown) over the SAME planted-table
+    fixture as html_tables — header separator, pipe escaping, ragged-row
+    padding and newline row joins all replayed in the oracle, which
+    shares the cell-extraction CTE chain with ORACLE_HTML_TABLES
+    (refactor verified byte-identical)."""
+    from api_ocr_spark.functions import html as H
+
+    d = F.col("doc_id").cast("long")
+    first_word = F.regexp_extract(F.col("text"), r"^([^ ]+)", 1)
+    page = F.concat(
+        F.lit('<html><head><title>t</title><script>var x="<table><tr>'
+              '<td>ghost</td></tr></table>";</script></head><body>'
+              '<table class="data"><tr><th>item</th><th class="n">qty'
+              '</th></tr><tr><td>'),
+        first_word, F.lit("</td><td>"), d.cast("string"),
+        F.lit("</td></tr><tr><td><b>"), first_word,
+        F.lit("</b> units</td><td></td>"),
+        F.when(d % 2 == 0, F.lit("<td>extra</td>")).otherwise(F.lit("")),
+        F.lit("</tr></table>"),
+        F.when(d % 2 == 1,
+               F.concat(F.lit("<table><tr><td>total</td><td>"),
+                        (d * 3).cast("string"),
+                        F.lit("</td></tr></table>"))).otherwise(F.lit("")),
+        F.lit("<footer>terms</footer></body></html>"),
+    )
+    docs = _docs(spark, sf_dir).select(d.alias("doc_id"),
+                                       page.alias("html"))
+    return H.tables_to_markdown(H.extract_tables(docs))
+
+
+ORACLE_TABLES_MARKDOWN = _HTML_TABLE_CELLS_PREFIX + f"""
+, cells AS (
+  SELECT doc_id, table_idx, row_idx, col_idx, is_header,
+    {_vis_sql('body')} AS cell_text
+  FROM c
+), rowagg AS (
+  SELECT doc_id, table_idx, row_idx,
+    list(regexp_replace(cell_text, '\\|', '\\\\|', 'g')
+         ORDER BY col_idx) AS cl
+  FROM cells GROUP BY doc_id, table_idx, row_idx
+), stats AS (
+  SELECT doc_id, table_idx,
+    max(col_idx) + 1 AS n_cols, max(row_idx) + 1 AS n_rows,
+    max(CASE WHEN row_idx = 0 AND is_header THEN 1 ELSE 0 END) AS has_header
+  FROM cells GROUP BY doc_id, table_idx
+), padded AS (
+  SELECT r.doc_id, r.table_idx, r.row_idx, s.n_cols, s.n_rows, s.has_header,
+    '| ' || array_to_string(
+      list_concat(r.cl,
+        list_transform(range(len(r.cl) + 1, CAST(s.n_cols AS BIGINT) + 1),
+                       x -> '')),
+      ' | ') || ' |' AS rowstr
+  FROM rowagg r JOIN stats s USING (doc_id, table_idx)
+), tbl AS (
+  SELECT doc_id, table_idx, n_cols, n_rows, has_header,
+    list(rowstr ORDER BY row_idx) AS ls
+  FROM padded GROUP BY doc_id, table_idx, n_cols, n_rows, has_header
+)
+SELECT doc_id, table_idx,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_cols AS BIGINT) AS n_cols,
+  CASE WHEN has_header = 1 AND n_rows > 1
+       THEN ls[1] || chr(10) || '|' || repeat(' --- |', CAST(n_cols AS INTEGER))
+            || chr(10) || array_to_string(ls[2:], chr(10))
+       WHEN has_header = 1
+       THEN ls[1] || chr(10) || '|' || repeat(' --- |', CAST(n_cols AS INTEGER))
+       ELSE array_to_string(ls, chr(10)) END AS markdown
+FROM tbl
 """
 
 
@@ -4422,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": q_html_links,
         "html_metadata": q_html_metadata,
         "html_tables": q_html_tables,
+        "tables_markdown": q_tables_markdown,
         "doc_outline": q_doc_outline,
         "chunk_documents": q_chunk_documents,
         "repetition_filter": q_repetition_filter,
@@ -4508,6 +4586,7 @@ def oracle_sql() -> dict[str, str]:
         "html_links": ORACLE_HTML_LINKS,
         "html_metadata": ORACLE_HTML_METADATA,
         "html_tables": ORACLE_HTML_TABLES,
+        "tables_markdown": ORACLE_TABLES_MARKDOWN,
         "doc_outline": ORACLE_DOC_OUTLINE,
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "repetition_filter": ORACLE_REPETITION,

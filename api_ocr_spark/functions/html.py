@@ -602,3 +602,91 @@ def extract_outline(df: DataFrame, html_col: str = "html",
     return counters.select(
         "doc_id", "pos", "level", path.alias("section_path"), "title",
         "n_body_words")
+
+
+def tables_to_markdown(cells: DataFrame) -> DataFrame:
+    """extract_tables cells → one GitHub-markdown string per table:
+    (doc_id, table_idx, n_rows, n_cols, markdown). The standard
+    table-linearization step of an LLM training corpus (structured HTML
+    is worth little to a text model until serialized; GFM tables are the
+    de-facto target format).
+
+    Rules (each mirrored verbatim in the DuckDB oracle): cell pipes are
+    escaped to '\\|'; ragged rows are right-padded with empty cells to
+    the table's max column count; a '| --- |...' separator follows row 0
+    iff row 0 contains a header (<th>) cell; rows join with single
+    newlines; every row renders as '| c1 | c2 | ... |'.
+
+    Shape at 100 TB: two keyed aggregations — (doc, table, row) then
+    (doc, table) — over the zero-shuffle cell stream; the per-table stats
+    (n_cols/n_rows/header flag) groupBy shares the (doc, table) key with
+    the row-assembly join, so Catalyst plans one exchange for that key.
+    Cell order inside a row and row order inside a table come from
+    array_sort over collected (idx, payload) structs — never from
+    collect_list arrival order, which is nondeterministic under
+    parallelism."""
+    esc = F.regexp_replace(F.col("cell_text"), r"\|", r"\\\|")
+    rowagg = (
+        cells.select("doc_id", "table_idx", "row_idx", "col_idx",
+                     esc.alias("cell"))
+        .groupBy("doc_id", "table_idx", "row_idx")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("col_idx", "cell"))),
+                lambda s: s["cell"],
+            ).alias("cl"),
+        )
+    )
+    stats = cells.groupBy("doc_id", "table_idx").agg(
+        (F.max("col_idx") + 1).alias("n_cols"),
+        (F.max("row_idx") + 1).alias("n_rows"),
+        F.max(
+            F.when((F.col("row_idx") == 0) & F.col("is_header"), 1)
+            .otherwise(0)
+        ).alias("has_header"),
+    )
+    padded = rowagg.join(stats, ["doc_id", "table_idx"]).select(
+        "doc_id", "table_idx", "row_idx", "n_cols", "n_rows", "has_header",
+        F.concat(
+            F.lit("| "),
+            F.concat_ws(
+                " | ",
+                F.concat(
+                    F.col("cl"),
+                    F.array_repeat(
+                        F.lit(""),
+                        (F.col("n_cols") - F.size("cl")).cast("int")),
+                ),
+            ),
+            F.lit(" |"),
+        ).alias("rowstr"),
+    )
+    tbl = padded.groupBy("doc_id", "table_idx", "n_cols", "n_rows",
+                         "has_header").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("row_idx", "rowstr"))),
+            lambda s: s["rowstr"],
+        ).alias("lines"),
+    )
+    sep = F.expr("concat('|', repeat(' --- |', n_cols))")
+    nl = F.lit("\n")
+    md = (
+        F.when(
+            (F.col("has_header") == 1) & (F.col("n_rows") > 1),
+            F.concat(
+                F.element_at("lines", 1), nl, sep, nl,
+                F.concat_ws(
+                    "\n", F.slice(F.col("lines"), 2,
+                                  (F.col("n_rows") - 1).cast("int"))),
+            ),
+        )
+        .when(F.col("has_header") == 1,
+              F.concat(F.element_at("lines", 1), nl, sep))
+        .otherwise(F.concat_ws("\n", F.col("lines")))
+    )
+    return tbl.select(
+        "doc_id", "table_idx",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_cols").cast("long").alias("n_cols"),
+        md.alias("markdown"),
+    )

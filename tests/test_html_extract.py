@@ -366,3 +366,27 @@ def test_extract_outline_numbering_resets_and_skips(spark):
         (4, 1, "2", "Two", 1),          # second h1 resets h2/h3 counters
         (5, 3, "2.0.1", "Two-skip", 1),  # skipped level -> 0 placeholder
     ]
+
+
+def test_tables_to_markdown_exact(spark):
+    """Exact GFM output: header separator, ragged-row padding to max
+    width, pipe escaping inside cells, and no separator without <th>."""
+    from api_ocr_spark.functions import html as H
+
+    page = ('<table><tr><th>a</th><th>b|c</th></tr>'
+            '<tr><td>1</td></tr>'
+            '<tr><td>x</td><td>y</td><td>z</td></tr></table>'
+            '<table><tr><td>p</td><td>q</td></tr></table>')
+    df = spark.createDataFrame([(7, page)], "doc_id bigint, html string")
+    out = {r.table_idx: r for r in
+           H.tables_to_markdown(H.extract_tables(df)).collect()}
+    t0 = out[0]
+    assert (t0.n_rows, t0.n_cols) == (3, 3)
+    assert t0.markdown == (
+        "| a | b\\|c |  |\n"
+        "| --- | --- | --- |\n"
+        "| 1 |  |  |\n"
+        "| x | y | z |")
+    t1 = out[1]
+    assert (t1.n_rows, t1.n_cols) == (1, 2)
+    assert t1.markdown == "| p | q |"

@@ -107,6 +107,13 @@ CHECKS = {
         ("bounded exchanges (build + window)", ("max_exchanges", 2)),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "tables_markdown": [
+        ("all-Catalyst (no python)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("deterministic assembly via ObjectHashAggregate collect+sort",
+         r"ObjectHashAggregate|SortAggregate"),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
     "host_trustrank": [
         ("edge frame materialized once (localCheckpoint feeds all rounds)",
          r"Scan ExistingRDD|LogicalRDD"),
