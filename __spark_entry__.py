@@ -3372,6 +3372,63 @@ FROM hx
 """
 
 
+def q_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-balanced sampling (operators/mixture.unimax_sample,
+    Chung et al. 2023): per-language epoch-capped uniform budget spread —
+    greedy over languages ascending by size, quota = min(cap*n, R DIV m),
+    exact integer arithmetic. The oracle replays the langid rule, the
+    greedy as a recursive CTE, and the md5-ranked remainder epoch."""
+    from api_ocr_spark.operators import mixture
+
+    return mixture.unimax_sample(_docs(spark, sf_dir))
+
+
+ORACLE_UNIMAX = rf"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+), l AS (
+  SELECT doc_id,
+    CASE WHEN len(list_filter(ws, x -> x IN ('the','a','of')))
+              > len(list_filter(ws, x -> x IN ('de','la','el'))) THEN 'en'
+         WHEN len(list_filter(ws, x -> x IN ('de','la','el')))
+              > len(list_filter(ws, x -> x IN ('the','a','of'))) THEN 'es'
+         WHEN len(list_filter(ws, x -> x IN ('the','a','of'))) > 0 THEN 'en'
+         ELSE 'unknown' END AS lang
+  FROM d
+), census AS (
+  SELECT lang, count(*) AS n FROM l GROUP BY lang
+), ordered AS (
+  SELECT lang, n,
+         row_number() OVER (ORDER BY n ASC, lang ASC) AS i
+  FROM census
+), tot AS (SELECT sum(n) AS t, count(*) AS k FROM census),
+greedy(i, q, r, m) AS (
+  SELECT 0, CAST(0 AS BIGINT),
+         (SELECT (t * 1) // 2 FROM tot), (SELECT k FROM tot)
+  UNION ALL
+  SELECT o.i,
+         least(2 * o.n, g.r // g.m),
+         g.r - least(2 * o.n, g.r // g.m),
+         g.m - 1
+  FROM greedy g JOIN ordered o ON o.i = g.i + 1
+), quotas AS (
+  SELECT o.lang, o.n, g.q FROM greedy g JOIN ordered o USING (i)
+  WHERE g.i >= 1
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('unimax:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM l
+)
+SELECT r.doc_id, r.lang,
+       CAST(qt.q // qt.n
+            + CASE WHEN r.rk <= qt.q % qt.n THEN 1 ELSE 0 END
+            AS BIGINT) AS n_copies
+FROM ranked r JOIN quotas qt USING (lang)
+"""
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/mixture.dsir_select, Xie et
     al. 2023): top-100 most target-like raw docs by hashed-unigram
@@ -3485,7 +3542,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_TOPK = """
 WITH q AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ), n AS (
   SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q
@@ -3530,7 +3587,7 @@ ORACLE_EMBEDDING_NEARDUP = f"""
 WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
 {_AUG_SQL},
 q AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM aug
 ), n AS (
   SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q
@@ -3560,7 +3617,7 @@ ORACLE_LSH_EMBEDDING_NEARDUP = f"""
 WITH base AS (SELECT vec_id, embedding FROM embeddings),
 {_AUG_SQL},
 q AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM aug
 ), n AS (
   SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q
@@ -3645,7 +3702,7 @@ def _ivf_lloyd_round_sql(r: int) -> str:
 # verify, windowed top-5
 ORACLE_IVF_ANN_TOPK = ("""
 WITH q0 AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ), n AS (
   SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q0
@@ -4221,7 +4278,7 @@ ORACLE_SEMANTIC_DEDUP = (f"""
 WITH base AS (SELECT vec_id, embedding FROM embeddings),
 {_AUG_SQL},
 q0 AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM aug
 ), n AS (
   SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q0
@@ -4271,7 +4328,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HARD_NEGATIVES = ("""
 WITH q0 AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ), n AS (
   SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q0
@@ -4532,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "grouped_split": q_grouped_split,
         "dsir_select": q_dsir_select,
+        "unimax_sample": q_unimax,
         "winnow_fingerprints": q_winnow_fingerprints,
         "setsim_join": q_setsim_join,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -4619,6 +4677,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "grouped_split": ORACLE_GROUPED_SPLIT,
         "dsir_select": ORACLE_DSIR_SELECT,
+        "unimax_sample": ORACLE_UNIMAX,
         "winnow_fingerprints": ORACLE_WINNOW,
         "setsim_join": ORACLE_SETSIM,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import tokens
+from ..functions.text import lang_guess, tokens
 
 
 def mixture_quotas(census: list[tuple[str, int]], frac_num: int,
@@ -197,3 +197,72 @@ def dsir_select(documents: DataFrame, k: int = 100,
     )
     return scored.orderBy(
         F.col("dsir_milli").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def unimax_sample(documents: DataFrame, epoch_cap: int = 2,
+                  budget_num: int = 1, budget_den: int = 2,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """UniMax language-balanced sampling (Chung et al. 2023, ICLR —
+    'UniMax: Fairer and More Effective Language Sampling'): spread the
+    doc budget as uniformly as possible across languages, but never take
+    more than `epoch_cap` epochs of any language — the published
+    alternative to temperature sampling (mixture_sample) that avoids
+    both starving tail languages and over-repeating them.
+
+    Greedy allocation, ascending language size (the paper's algorithm,
+    exact integer arithmetic): with R the remaining budget and m the
+    remaining languages, quota_l = min(epoch_cap * n_l, R DIV m). Budget
+    = total_docs * budget_num DIV budget_den. A language's quota maps to
+    doc copies: every doc gets quota DIV n_l full epochs, and the
+    quota % n_l remainder goes to the lowest md5('unimax:'||doc_id)
+    ranks — the mixture_sample draw convention. Returns one row per doc:
+    (doc_id, lang, n_copies), n_copies in [0, epoch_cap].
+
+    Shape at 100 TB: language census is one map-side-partial shuffle to
+    a languages-sized frame (collected like mixture_sample's — the
+    greedy is a driver loop over a handful of rows, mirrored in the
+    oracle as a recursive CTE); quota and remainder tables BROADCAST
+    back; the remainder pick is rank <= rem over the language window
+    (partial+final WindowGroupLimit — map tasks forward at most rem rows
+    per language); full epochs are rank-free map-side arithmetic."""
+    lang = lang_guess(F.col(text_col))
+    base = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"), lang.alias("lang"))
+    census = sorted(
+        ((r["lang"], r["count"]) for r in
+         base.groupBy("lang").count().collect()),
+        key=lambda t: (t[1], t[0]))
+    total = sum(n for _, n in census)
+    remaining = (total * budget_num) // budget_den
+    m = len(census)
+    quotas = []
+    for lng, n in census:
+        q = min(epoch_cap * n, remaining // m)
+        quotas.append((lng, n, q))
+        remaining -= q
+        m -= 1
+    spark = documents.sparkSession
+    qdf = F.broadcast(spark.createDataFrame(
+        [(lng, q // n, q % n) for lng, n, q in quotas],
+        "lang string, full_epochs long, rem long"))
+    rem_rows = [(lng, q % n) for lng, n, q in quotas if q % n > 0]
+    rem_tbl = F.broadcast(
+        spark.createDataFrame(rem_rows, "lang string, rem long"))
+    draw = F.md5(F.concat(F.lit("unimax:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(draw, F.col("doc_id"))
+    extra = (
+        base.join(rem_tbl, "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.col("rem"))
+        .select("doc_id", F.lit(1).cast("long").alias("extra"))
+    )
+    return (
+        base.join(qdf, "lang")
+        .join(extra, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            (F.col("full_epochs") + F.coalesce(F.col("extra"), F.lit(0)))
+            .cast("long").alias("n_copies"),
+        )
+    )

@@ -26,8 +26,20 @@ LSH_SEED = 7
 
 
 def quantized(emb: DataFrame) -> DataFrame:
-    """(vec_id:long, qvec:array<long>, norm2:long)."""
-    qvec = F.transform(F.col("embedding"), lambda x: F.round(x * QUANT, 0).cast("long"))
+    """(vec_id:long, qvec:array<long>, norm2:long).
+
+    The x -> double cast is LOAD-BEARING: the parquet embedding column is
+    float32, and an engine multiplying in float32 sees a different value
+    at the rounding boundary than one multiplying in double (measured:
+    0.3195f * 1000 = 319.5f rounds to 320, while the same bits widened
+    to double give 319.4999992847 -> 319). Spark already widens
+    float*int to double; the explicit cast pins that, and every DuckDB
+    oracle mirrors it with CAST(x AS DOUBLE) * 1000 — DuckDB would
+    otherwise multiply FLOAT * INT in float and diverge (caught by the
+    sf1 sweep on hard_negatives' exact dot column)."""
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * QUANT, 0).cast("long"))
     df = emb.select(F.col("vec_id").cast("long").alias("vec_id"), qvec.alias("qvec"))
     norm2 = F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda acc, v: acc + v * v)
     return df.withColumn("norm2", norm2)

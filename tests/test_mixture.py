@@ -102,3 +102,26 @@ def test_dsir_select_k_truncation_and_tiebreak(spark):
     got = dsir_select(df, k=3).collect()
     assert [r.doc_id for r in got][:3] == [1, 2, 3]  # tie -> doc_id asc
     assert len(got) == 3
+
+
+def test_unimax_greedy_caps_and_epochs(spark):
+    """12-doc corpus, budget 1/2 (=6), cap 2 epochs. Census ascending:
+    es(1), unknown(2), en(9). Greedy: es min(2, 6//3)=2 (hits the epoch
+    cap -> its single doc is UPSAMPLED to 2 copies), unknown min(4,
+    4//2)=2 (one full epoch each), en min(18, 2//1)=2 (remainder epoch:
+    exactly two md5-ranked docs get one copy)."""
+    from api_ocr_spark.operators.mixture import unimax_sample
+
+    rows = [(100, "de la el")]                       # es
+    rows += [(200 + i, "zz xx yy") for i in range(2)]  # unknown
+    rows += [(i, "the a of words") for i in range(9)]  # en
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = unimax_sample(df, epoch_cap=2, budget_num=1, budget_den=2).collect()
+    assert len(got) == 12
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r.n_copies)
+    assert by_lang["es"] == [2]                    # capped upsampling
+    assert sorted(by_lang["unknown"]) == [1, 1]    # one full epoch
+    assert sorted(by_lang["en"]) == [0] * 7 + [1, 1]  # md5 remainder pick
+    assert sum(r.n_copies for r in got) == 6       # exact budget
