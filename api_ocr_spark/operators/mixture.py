@@ -251,9 +251,14 @@ def unimax_sample(documents: DataFrame, epoch_cap: int = 2,
         spark.createDataFrame(rem_rows, "lang string, rem long"))
     draw = F.md5(F.concat(F.lit("unimax:"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("lang").orderBy(draw, F.col("doc_id"))
+    # rank <= LITERAL max rem plans as partial+final WindowGroupLimit (a
+    # per-language column bound would not — the mixture_sample two-step);
+    # the exact per-language remainder is the broadcast refinement after
+    max_rem = max((q % n for _, n, q in quotas), default=0)
     extra = (
         base.join(rem_tbl, "lang")
         .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.lit(max_rem))
         .where(F.col("rk") <= F.col("rem"))
         .select("doc_id", F.lit(1).cast("long").alias("extra"))
     )

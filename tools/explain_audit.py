@@ -132,6 +132,13 @@ CHECKS = {
         ("no per-row python", ("absent", r"BatchEvalPython")),
         ("no cartesian product", ("absent", r"CartesianProduct")),
     ],
+    "unimax_sample": [
+        ("quota + remainder tables broadcast", r"Broadcast"),
+        ("remainder pick plans as WindowGroupLimit", r"WindowGroupLimit"),
+        ("all-Catalyst (no python)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
     "dsir_select": [
         ("ratio table broadcast to the scoring join", r"Broadcast"),
         ("top-k plans as TakeOrderedAndProject", r"TakeOrderedAndProject"),
