@@ -336,3 +336,40 @@ def image_neardup_pairs(media: DataFrame,
             .cast("long").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def image_neardup_clusters(media: DataFrame,
+                           max_hamming: int = 6) -> DataFrame:
+    """Media dedup end-to-end: dHash -> banded near-dup pairs ->
+    connected components -> keeper flag. Returns one row per decodable
+    image: (media_ref, cluster_id, keep) with cluster_id = the
+    lexicographically smallest member ref (min-label components work
+    unchanged on string ids) and keep = True exactly for that
+    representative — the same keeper contract as the document dedup
+    pipeline (dedup.exact_dedup / neardup_clusters), so a media store
+    dedups with the identical downstream anti-join. Singleton images
+    (no near-dup) self-cluster and are kept; undecodable rows are
+    quarantined out by decode_ok upstream.
+
+    Shape: pairs come from the 4x16-bit banded equi-join (see
+    image_neardup_pairs); components from dedup.neardup_clusters
+    (min-label propagation, localCheckpoint per round — near-dup image
+    components are small cliques, so rounds ~ 2-3; swap in
+    neardup_clusters_star for adversarial topologies). pytest tier,
+    like the rest of the dHash family."""
+    from .dedup import neardup_clusters
+
+    pairs = image_neardup_pairs(media, max_hamming=max_hamming).select(
+        F.col("ref_a").alias("doc_a"), F.col("ref_b").alias("doc_b"))
+    clusters = (
+        neardup_clusters(pairs)
+        .select(F.col("doc_id").alias("media_ref"),
+                F.col("cluster_id")))
+    all_refs = (image_dhash(media).where(F.col("decode_ok"))
+                .select("media_ref"))
+    return all_refs.join(clusters, "media_ref", "left").select(
+        "media_ref",
+        F.coalesce("cluster_id", F.col("media_ref")).alias("cluster_id"),
+        (F.coalesce("cluster_id", F.col("media_ref"))
+         == F.col("media_ref")).alias("keep"),
+    )

@@ -201,3 +201,35 @@ def test_video_stub_fake_frames(media):
         idxs = sorted(r.frame_idx for r in rs)
         assert idxs == list(range(len(idxs)))  # dense frame indices
         assert all(abs(r.ts_s - r.frame_idx / 2.0) < 1e-9 for r in rs)
+
+
+def test_image_neardup_clusters_keeper_contract(spark):
+    """Pairs resolve to components with the lexicographic-min ref as
+    cluster_id and exactly one keeper; singletons self-cluster; junk is
+    quarantined out."""
+    from api_ocr_spark.imaging import jpeg, png
+    from api_ocr_spark.imaging.render import render_text_image
+
+    a = render_text_image("hello perceptual world", "plain", seed=1)
+    b = render_text_image("completely different content here", "plain", seed=1)
+    c = render_text_image("a third unrelated page", "plain", seed=2)
+    rows = [
+        ("a_png", bytearray(png.encode_gray(a))),
+        ("a_q90", bytearray(jpeg.encode_gray_jpeg(a, 90))),
+        ("a_q50", bytearray(jpeg.encode_gray_jpeg(a, 50))),
+        ("b_png", bytearray(png.encode_gray(b))),
+        ("b_q75", bytearray(jpeg.encode_gray_jpeg(b, 75))),
+        ("solo", bytearray(png.encode_gray(c))),
+        ("junk", bytearray(b"never decodes")),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, bytes binary")
+    got = {r.media_ref: r for r in
+           multimodal.image_neardup_clusters(df).collect()}
+    assert set(got) == {"a_png", "a_q90", "a_q50", "b_png", "b_q75", "solo"}
+    for ref in ("a_png", "a_q90", "a_q50"):
+        assert got[ref].cluster_id == "a_png"
+    for ref in ("b_png", "b_q75"):
+        assert got[ref].cluster_id == "b_png"
+    assert got["solo"].cluster_id == "solo" and got["solo"].keep
+    keepers = sorted(r.media_ref for r in got.values() if r.keep)
+    assert keepers == ["a_png", "b_png", "solo"]
