@@ -3290,6 +3290,74 @@ FROM v WHERE 5 * n_inter >= 3 * (s - n_inter)
 """
 
 
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join (operators/dedup.containment_join,
+    Broder's containment coefficient): ordered pairs with
+    |A∩B| >= 4/5 * |A| over the shared 3-gram shingle base — the
+    quotation/subsumption detector complementing setsim_join's Jaccard.
+    Planted: every 50th doc's first 12 words copied at +80M (a quote —
+    containment 1.0 toward its source, Jaccard ~0.03: exactly the pair
+    family Jaccard misses)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    quote = F.concat_ws(
+        " ", F.slice(F.split(T.normalize_ws(F.lower(F.col("text"))), " "),
+                     1, 12))
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 80_000_000).alias("doc_id"),
+        quote.alias("text"))
+    return dedup.containment_join(docs.unionByName(planted),
+                                  t_num=4, t_den=5)
+
+
+ORACLE_CONTAINMENT = rf"""
+WITH w0 AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+),
+base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 80000000 AS doc_id,
+         array_to_string(ws[1:12], ' ') AS text
+  FROM w0 WHERE doc_id % 50 = 0
+),
+w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM base),
+g AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(1, greatest(len(ws) - 2, 1) + 1),
+      i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8))
+           AS BIGINT)))) AS term
+  FROM w
+),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY term),
+pos AS (
+  SELECT doc_id, term,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY df, term)
+         AS BIGINT) AS pos,
+    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM g JOIN dfc USING (term)
+),
+pre AS (SELECT * FROM pos WHERE pos <= n - ((4 * n + 4) // 5) + 1),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM pre x JOIN g y USING (term) WHERE x.doc_id != y.doc_id
+),
+sets AS (SELECT doc_id, list_sort(list(term)) AS ts,
+                CAST(count(*) AS BIGINT) AS n
+         FROM g GROUP BY doc_id),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_inter,
+    a.n AS n_a
+  FROM cand c JOIN sets a ON a.doc_id = c.doc_a
+              JOIN sets b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_a
+FROM v WHERE 5 * n_inter >= 4 * n_a
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/dedup.winnow_fingerprints —
     Schleimer et al. 2003, MOSS): 4-gram 40-bit hashes, window w=4,
@@ -4592,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_sample": q_unimax,
         "winnow_fingerprints": q_winnow_fingerprints,
         "setsim_join": q_setsim_join,
+        "containment_join": q_containment_join,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_embedding_neardup": q_lsh_embedding_neardup,
@@ -4680,6 +4749,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_sample": ORACLE_UNIMAX,
         "winnow_fingerprints": ORACLE_WINNOW,
         "setsim_join": ORACLE_SETSIM,
+        "containment_join": ORACLE_CONTAINMENT,
         "minhash_lsh_neardup": ORACLE_MINHASH_LSH,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
         "simhash64_neardup": ORACLE_SIMHASH64_NEARDUP,

@@ -954,3 +954,73 @@ def setsim_join(documents: DataFrame, t_num: int = 3, t_den: int = 5,
         .where(F.lit(t_den) * F.col("n_inter")
                >= F.lit(t_num) * F.col("n_union"))
     )
+
+
+def containment_join(documents: DataFrame, t_num: int = 4, t_den: int = 5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Asymmetric set-CONTAINMENT join (Broder 1997's containment
+    coefficient; the JOSIE/overlap-join family): emit every ORDERED pair
+    (doc_a, doc_b) with |A ∩ B| >= (t_num/t_den) * |A| over distinct
+    3-gram shingle sets — doc_a's content substantially inside doc_b.
+    This is the quotation/subsumption detector that Jaccard misses by
+    construction: a 12-token quote inside a 300-token page has Jaccard
+    ~0.03 but containment 1.0 (setsim_join and this operator are
+    complements, sharing the shingle base and the prefix-filter frame).
+
+    Asymmetric prefix rule: if |A∩B| >= t|A|, then A's first
+    L = |A| - ceil(t*|A|) + 1 elements under ANY global order meet B's
+    FULL set — so only the PROBE side prunes to its prefix; the indexed
+    side keeps every posting. Under the (df asc, shingle asc)
+    rarity-first order the prefix holds each doc's rarest shingles, so
+    candidate volume = rare-shingle posting lists (small by the same
+    df that put them in the prefix) — boilerplate shingles with huge
+    posting lists enter a prefix only for tiny docs, the same bound
+    Bayardo's symmetric filter gives setsim_join. ceil is exact integer
+    and the verify is cross-multiplied (t_den * |A∩B| >= t_num * |A|),
+    so the DuckDB oracle is exact equality end to end.
+
+    Returns (doc_a, doc_b, n_inter, n_a), doc_a != doc_b, both
+    directions evaluated independently (A-in-B and B-in-A are different
+    claims)."""
+    toks = doc_shingle_hashes(documents).withColumnRenamed(
+        "shingle", "term")
+    df_census = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "term")
+    positions = (
+        toks.join(df_census, "term")
+        .select("doc_id", "term", "df",
+                F.row_number().over(pos_w).cast("long").alias("pos"),
+                F.count("*").over(Window.partitionBy("doc_id"))
+                .cast("long").alias("n"))
+    )
+    prefix = positions.where(
+        F.col("pos") <= F.col("n")
+        - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + 1)
+    cand = (
+        prefix.select("doc_id", "term").alias("x")
+        .join(toks.alias("y"), "term")
+        .where(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("term")).alias("ts"),
+        F.count("*").cast("long").alias("n"))
+    return (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("ts").alias("ts_a"),
+                              F.col("n").alias("n_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("ts").alias("ts_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("long")
+            .alias("n_inter"),
+            "n_a",
+        )
+        .where(F.lit(t_den) * F.col("n_inter")
+               >= F.lit(t_num) * F.col("n_a"))
+    )

@@ -601,3 +601,25 @@ def test_hard_negatives_exclude_own_cluster(spark):
     for r in by_q[0]:
         if r.neighbor_id >= 6:
             assert r.dot == 0
+
+
+def test_containment_join_finds_quotes_jaccard_misses(spark):
+    """A 12-token quote inside a 30-token page: containment(Q->A)=1.0
+    (10 of 10 shingles) surfaces the ordered pair; the reverse direction
+    and Jaccard (10/28 < 3/5) both reject it."""
+    from api_ocr_spark.operators.dedup import containment_join, setsim_join
+
+    words = [f"w{i}" for i in range(30)]
+    rows = [(1, " ".join(words)),          # source page: 28 shingles
+            (2, " ".join(words[:12])),     # quote: 10 shingles, all in A
+            (3, "alpha beta gamma delta epsilon")]  # unrelated
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.doc_a, r.doc_b): (r.n_inter, r.n_a)
+             for r in containment_join(df, t_num=4, t_den=5).collect()}
+    assert (2, 1) in pairs and pairs[(2, 1)] == (10, 10)
+    assert (1, 2) not in pairs          # asymmetric: A is not inside Q
+    assert all(3 not in p for p in pairs)
+    # the same pair is invisible to the Jaccard join at its threshold
+    jac = {(r.doc_a, r.doc_b)
+           for r in setsim_join(df, t_num=3, t_den=5).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac

@@ -114,6 +114,13 @@ CHECKS = {
          r"ObjectHashAggregate|SortAggregate"),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "containment_join": [
+        ("candidate meet is an equi-join on the shingle term",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("all-Catalyst (no python)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("prefix-position window", r"Window"),
+    ],
     "host_trustrank": [
         ("edge frame materialized once (localCheckpoint feeds all rounds)",
          r"Scan ExistingRDD|LogicalRDD"),
