@@ -87,6 +87,14 @@ HEADLINE = [
     "setsim_join",
     "curation_funnel",
     "phrase_match",
+    # round-5 session-2 additions (appended — earlier keys keep their
+    # round-over-round comparability)
+    "caption_pairs",
+    "bigram_lm",
+    "containment_join",
+    "dsir_select",
+    "hard_negatives",
+    "tables_markdown",
 ]
 
 
