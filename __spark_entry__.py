@@ -2377,6 +2377,56 @@ FROM fp p JOIN keepers k USING (f) JOIN stats s ON s.doc_id = p.doc_id
 """
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-driven blocklist gate (operators/funnel.blocklist_filter,
+    UT1-list shape): the blocklist RELATION is synthesized from the
+    corpus vocabulary by md5 gate (first hex digit 0 -> ~1/16 of terms,
+    weight = 1 + second-hex mod 3), sized so the weighted blocked
+    fraction straddles the 1/10 keep threshold — both verdicts occur.
+    Broadcast map-side meet, cross-multiplied integer gate."""
+    from api_ocr_spark.operators import funnel
+
+    docs = _docs(spark, sf_dir)
+    vocab = docs.select(
+        F.explode(T.tokens(F.col("text"))).alias("term")).distinct()
+    h = lambda pos: F.conv(  # noqa: E731
+        F.substring(F.md5("term"), pos, 1), 16, 10).cast("long")
+    bl = vocab.where(h(1) < 1).select(
+        "term", (1 + h(2) % 3).alias("weight"))
+    return funnel.blocklist_filter(docs, bl, t_num=1, t_den=10)
+
+
+ORACLE_BLOCKLIST = rf"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+),
+vocab AS (SELECT DISTINCT term FROM toks),
+bl AS (
+  SELECT term,
+    1 + CAST(('0x' || substr(md5(term), 2, 1)) AS BIGINT) % 3 AS w
+  FROM vocab
+  WHERE CAST(('0x' || substr(md5(term), 1, 1)) AS BIGINT) < 1
+),
+hitagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
+         CAST(sum(w) AS BIGINT) AS wh
+  FROM toks JOIN bl USING (term) GROUP BY doc_id
+),
+n AS (
+  SELECT doc_id,
+    CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT n.doc_id, n.n_tokens,
+  coalesce(h.hits, 0) AS hits,
+  coalesce(h.wh, 0) AS weighted_hits,
+  (10 * coalesce(h.wh, 0) < 1 * n.n_tokens) AS keep
+FROM n LEFT JOIN hitagg h USING (doc_id)
+"""
+
+
 def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card corpus statistics (operators/funnel.corpus_datasheet —
     Gebru et al. 2021): one exact-integer row of doc/token/vocab counts,
@@ -4632,6 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "c4_filter": q_c4_filter,
         "curation_funnel": q_curation_funnel,
+        "blocklist_filter": q_blocklist_filter,
         "corpus_datasheet": q_corpus_datasheet,
         "doclen_histogram": q_doclen_histogram,
         "rarity_buckets": q_rarity_buckets,
@@ -4721,6 +4772,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "c4_filter": ORACLE_C4_FILTER,
         "curation_funnel": ORACLE_CURATION_FUNNEL,
+        "blocklist_filter": ORACLE_BLOCKLIST,
         "corpus_datasheet": ORACLE_CORPUS_DATASHEET,
         "doclen_histogram": ORACLE_DOCLEN_HISTOGRAM,
         "rarity_buckets": ORACLE_RARITY_BUCKETS,

@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import c4_doc_stats, fingerprint_md5, token_count
+from ..functions.text import c4_doc_stats, fingerprint_md5, token_count, tokens
+from .dedup import _fan_out as _fan_out_docs
 
 
 def curation_funnel(documents: DataFrame, min_tokens: int = 12,
@@ -123,3 +124,49 @@ def doclen_histogram(documents: DataFrame, text_col: str = "text",
     return (per_doc.groupBy("bucket_lo", "bucket_hi")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("_n").cast("long").alias("n_tokens")))
+
+
+def blocklist_filter(documents: DataFrame, blocklist: DataFrame,
+                     t_num: int = 1, t_den: int = 10,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Table-driven blocklist gate — the UT1-style filter of C4 §2.2 /
+    RefinedWeb (thousands of terms across weighted categories), distinct
+    in shape from c4_doc_stats' three literal snippets: the list is a
+    RELATION (term, category, weight), not expression constants, so
+    policy updates are a data change, not a redeploy.
+
+    Per doc: token occurrences meet the BROADCAST blocklist map-side
+    (the decontaminate eval-gram pattern — the corpus never shuffles for
+    the policy decision; the only exchange is the doc_id partial-agg
+    sum), then
+        hits          = matched occurrences
+        weighted_hits = Σ weight per occurrence
+        keep iff t_den * weighted_hits < t_num * n_tokens
+    — an exact cross-multiplied 'blocked fraction < t_num/t_den' gate,
+    integer end to end. Docs with zero hits keep their row via the
+    left join (keep = true). Returns (doc_id, n_tokens, hits,
+    weighted_hits, keep)."""
+    toks = _fan_out_docs(documents).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    bl = F.broadcast(
+        blocklist.select("term", F.col("weight").cast("long").alias("w")))
+    per_doc = (
+        toks.join(bl, "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("hits"),
+             F.sum("w").cast("long").alias("weighted_hits"))
+    )
+    counts = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"))
+    return counts.join(per_doc, "doc_id", "left").select(
+        "doc_id", "n_tokens",
+        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        F.coalesce("weighted_hits", F.lit(0)).cast("long")
+        .alias("weighted_hits"),
+        (F.lit(t_den) * F.coalesce("weighted_hits", F.lit(0))
+         < F.lit(t_num) * F.col("n_tokens")).alias("keep"),
+    )

@@ -563,3 +563,23 @@ def test_bigram_lm_predictable_text_scores_higher(spark):
     got = {r.doc_id: r.lm_mean_milli for r in bigram_lm_score(df).collect()}
     assert got[0] == got[9]  # identical docs, identical ledger
     assert got[0] > 2 * got[100]  # measured 456220 vs 166666
+
+
+def test_blocklist_filter_weighted_gate(spark):
+    """Weighted hits, zero-hit passthrough, and the strict cross-
+    multiplied boundary (10*weighted < n_tokens)."""
+    from api_ocr_spark.operators.funnel import blocklist_filter
+
+    bl = spark.createDataFrame([("bad", 2), ("worse", 3)],
+                               "term string, weight long")
+    filler = " ".join(f"f{i}" for i in range(29))          # 29 tokens
+    rows = [(1, "bad worse bad good"),                     # wh=7, n=4
+            (2, "clean words only"),                       # no hits
+            (3, "worse " + filler),                        # wh=3, n=30: 30<30 F
+            (4, "worse " + filler + " x30")]               # wh=3, n=31: 30<31 T
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in blocklist_filter(df, bl).collect()}
+    assert (got[1].hits, got[1].weighted_hits, got[1].keep) == (3, 7, False)
+    assert (got[2].hits, got[2].weighted_hits, got[2].keep) == (0, 0, True)
+    assert (got[3].weighted_hits, got[3].keep) == (3, False)  # exact bound
+    assert (got[4].weighted_hits, got[4].keep) == (3, True)

@@ -114,6 +114,13 @@ CHECKS = {
          r"ObjectHashAggregate|SortAggregate"),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "blocklist_filter": [
+        ("blocklist broadcast, corpus never shuffles to meet it",
+         r"Broadcast"),
+        ("all-Catalyst (no python)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+    ],
     "containment_join": [
         ("candidate meet is an equi-join on the shingle term",
          ("absent", r"CartesianProduct|BroadcastNestedLoop")),
