@@ -2427,6 +2427,35 @@ FROM n LEFT JOIN hitagg h USING (doc_id)
 """
 
 
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset integrity manifest (operators/funnel.corpus_manifest):
+    per-md5-shard doc/token counts + commutative BIT_XOR content hash of
+    60-bit md5 ints binding doc_id to the text fingerprint — the
+    checksums artifact a reproducible corpus release ships with."""
+    from api_ocr_spark.operators import funnel
+
+    return funnel.corpus_manifest(_docs(spark, sf_dir))
+
+
+ORACLE_CORPUS_MANIFEST = rf"""
+WITH per_doc AS (
+  SELECT
+    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 16 AS shard,
+    CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_toks,
+    CAST(('0x' || substr(
+        md5(CAST(doc_id AS VARCHAR) || ':' || md5({_NORM_SQL})), 1, 15))
+         AS BIGINT) AS h
+  FROM documents
+)
+SELECT shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+  CAST(bit_xor(h) AS BIGINT) AS content_hash
+FROM per_doc GROUP BY shard
+"""
+
+
 def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card corpus statistics (operators/funnel.corpus_datasheet —
     Gebru et al. 2021): one exact-integer row of doc/token/vocab counts,
@@ -4684,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "blocklist_filter": q_blocklist_filter,
         "corpus_datasheet": q_corpus_datasheet,
+        "corpus_manifest": q_corpus_manifest,
         "doclen_histogram": q_doclen_histogram,
         "rarity_buckets": q_rarity_buckets,
         "bigram_lm": q_bigram_lm,
@@ -4774,6 +4804,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": ORACLE_CURATION_FUNNEL,
         "blocklist_filter": ORACLE_BLOCKLIST,
         "corpus_datasheet": ORACLE_CORPUS_DATASHEET,
+        "corpus_manifest": ORACLE_CORPUS_MANIFEST,
         "doclen_histogram": ORACLE_DOCLEN_HISTOGRAM,
         "rarity_buckets": ORACLE_RARITY_BUCKETS,
         "bigram_lm": ORACLE_BIGRAM_LM,

@@ -170,3 +170,44 @@ def blocklist_filter(documents: DataFrame, blocklist: DataFrame,
         (F.lit(t_den) * F.coalesce("weighted_hits", F.lit(0))
          < F.lit(t_num) * F.col("n_tokens")).alias("keep"),
     )
+
+
+def corpus_manifest(documents: DataFrame, n_shards: int = 16,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Dataset integrity manifest — the reproducibility artifact a corpus
+    ships with (HF datasets' checksums / TFDS splits file, expressed at
+    shard granularity): one row per shard with (n_docs, n_tokens,
+    content_hash) where shard = md5('shard:'||doc_id) bucket and
+
+        content_hash = BIT_XOR over docs of the 60-bit md5 integer of
+                       doc_id || ':' || fingerprint_md5(text)
+
+    XOR is COMMUTATIVE — the hash needs no ordering at any scale (an
+    ordered concat-then-hash would need a per-shard global sort; the
+    neardup-convergence bit_xor lesson), yet any single-doc change,
+    addition, or removal flips its shard's hash. Binding doc_id into the
+    hashed string makes swapped ids detectable even when text is
+    unchanged; 60 bits keeps the integer positive int64 in both engines.
+    One map-side-partial shuffle to n_shards rows; pure Catalyst."""
+    from ..functions.text import fingerprint_md5, md5_bucket
+
+    d = F.col(id_col).cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(d.cast("string"), F.lit(":"),
+                           fingerprint_md5(F.col(text_col)))),
+            1, 15),
+        16, 10).cast("long")
+    return (
+        documents.select(
+            md5_bucket(F.concat(F.lit("shard:"), d.cast("string")),
+                       n_shards).cast("long").alias("shard"),
+            token_count(F.col(text_col)).cast("long").alias("n_toks"),
+            h.alias("h"),
+        )
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_toks").cast("long").alias("n_tokens"),
+             F.bit_xor("h").alias("content_hash"))
+    )

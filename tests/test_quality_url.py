@@ -583,3 +583,38 @@ def test_blocklist_filter_weighted_gate(spark):
     assert (got[2].hits, got[2].weighted_hits, got[2].keep) == (0, 0, True)
     assert (got[3].weighted_hits, got[3].keep) == (3, False)  # exact bound
     assert (got[4].weighted_hits, got[4].keep) == (3, True)
+
+
+def test_corpus_manifest_detects_any_change(spark):
+    """Shard counts + commutative content hash: reordering docs leaves
+    the manifest identical, while editing one doc's text or swapping two
+    ids flips exactly the affected shard hashes."""
+    from api_ocr_spark.operators.funnel import corpus_manifest
+
+    rows = [(i, f"texto numero {i} con palabras") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = {r.shard: r for r in corpus_manifest(df).collect()}
+    assert sum(r.n_docs for r in base.values()) == 40
+
+    # row order is irrelevant (XOR commutes)
+    perm = spark.createDataFrame(list(reversed(rows)),
+                                 "doc_id bigint, text string")
+    again = {r.shard: r for r in corpus_manifest(perm).collect()}
+    assert {(s, r.n_docs, r.content_hash) for s, r in base.items()} == \
+        {(s, r.n_docs, r.content_hash) for s, r in again.items()}
+
+    # one edited doc flips only its shard's hash
+    rows2 = list(rows)
+    rows2[7] = (7, "texto numero 7 EDITADO con palabras")
+    edited = {r.shard: r for r in corpus_manifest(
+        spark.createDataFrame(rows2, "doc_id bigint, text string")).collect()}
+    diff = [s for s in base if base[s].content_hash != edited[s].content_hash]
+    assert len(diff) == 1 and base[diff[0]].n_docs == edited[diff[0]].n_docs
+
+    # swapping two ids (texts unchanged as a multiset) is detected
+    rows3 = list(rows)
+    rows3[3], rows3[5] = (3, rows[5][1]), (5, rows[3][1])
+    swapped = {r.shard: r for r in corpus_manifest(
+        spark.createDataFrame(rows3, "doc_id bigint, text string")).collect()}
+    assert any(base[s].content_hash != swapped[s].content_hash
+               for s in base)

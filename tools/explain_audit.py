@@ -114,6 +114,14 @@ CHECKS = {
          r"ObjectHashAggregate|SortAggregate"),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "corpus_manifest": [
+        ("single map-side-partial shuffle to n_shards rows",
+         r"HashAggregate"),
+        ("all-Catalyst (no python)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+        ("column pruning on documents scan",
+         r"ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
     "blocklist_filter": [
         ("blocklist broadcast, corpus never shuffles to meet it",
          r"Broadcast"),
