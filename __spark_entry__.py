@@ -711,6 +711,46 @@ FROM reach GROUP BY doc_id
 """
 
 
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (operators/dedup.dedup_weights): every doc keeps a row
+    with loss weight 1/cluster_size as an exact integer pair — the
+    down-weight-don't-drop alternative to hard dedup. Same deterministic
+    exact-Jaccard pair source as neardup_clusters; singletons (and docs
+    outside the pair scope) self-cluster at 1/1."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.02, max_doc_id=150)
+    return dedup.dedup_weights(docs, pairs.select("doc_a", "doc_b"))
+
+
+ORACLE_DEDUP_WEIGHTS = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+p AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.02
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(doc_id, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, r.lab FROM e JOIN reach r ON e.b = r.doc_id
+),
+clusters AS (
+  SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY cluster_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+  CAST(1 AS BIGINT) AS weight_num,
+  CAST(coalesce(s.csize, 1) AS BIGINT) AS weight_den
+FROM documents d
+LEFT JOIN clusters c ON c.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+"""
+
+
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup (MinHash+LSH candidates, exact-Jaccard verify) —
     now FULLY oracle-checked: the shingle base hash and the permutation
@@ -4691,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
+        "dedup_weights": q_dedup_weights,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -4786,6 +4827,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
         "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
+        "dedup_weights": ORACLE_DEDUP_WEIGHTS,
         "simhash": ORACLE_SIMHASH,
         "text_stats": ORACLE_TEXT_STATS,
         "html_main_content": ORACLE_HTML_MAIN_CONTENT,

@@ -1024,3 +1024,34 @@ def containment_join(documents: DataFrame, t_num: int = 4, t_den: int = 5,
         .where(F.lit(t_den) * F.col("n_inter")
                >= F.lit(t_num) * F.col("n_a"))
     )
+
+
+def dedup_weights(documents: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Soft dedup: per-doc LOSS WEIGHT 1/cluster_size instead of hard
+    removal — keep every document but down-weight near-dup clusters so
+    a 40x-syndicated article contributes one article's worth of
+    gradient. The practical alternative to drop-based dedup when
+    repeated data still carries value (data-constrained regimes); hard
+    dedup is this ledger with weight_den thresholding at 1.
+
+    Takes any pair generator's output (doc_a, doc_b) — exact, MinHash,
+    SimHash — resolves components with neardup_clusters, and emits one
+    row for EVERY input doc: (doc_id, cluster_id, weight_num,
+    weight_den) with weight = 1/csize as an exact integer pair
+    (never an IEEE division) and singletons self-clustered at weight
+    1/1. Shapes: component resolution as neardup_clusters; the size
+    census is a cluster-keyed map-side-partial groupBy; both joins back
+    to the corpus are doc/cluster equi-joins."""
+    clusters = neardup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("csize"))
+    labeled = clusters.join(sizes, "cluster_id")
+    d = documents.select(F.col(id_col).cast("long").alias("doc_id"))
+    return d.join(labeled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).cast("long")
+        .alias("cluster_id"),
+        F.lit(1).cast("long").alias("weight_num"),
+        F.coalesce("csize", F.lit(1)).cast("long").alias("weight_den"),
+    )

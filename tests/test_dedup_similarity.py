@@ -623,3 +623,22 @@ def test_containment_join_finds_quotes_jaccard_misses(spark):
     jac = {(r.doc_a, r.doc_b)
            for r in setsim_join(df, t_num=3, t_den=5).collect()}
     assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_dedup_weights_soft_ledger(spark):
+    """Every doc keeps a row; clustered docs get 1/csize, singletons 1/1;
+    weight mass per cluster sums to exactly 1 (as a rational)."""
+    from api_ocr_spark.operators.dedup import dedup_weights
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)],
+                                 "doc_id bigint, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)],
+                                  "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: r for r in dedup_weights(docs, pairs).collect()}
+    assert len(got) == 6
+    for i in (0, 1, 2):
+        assert got[i].cluster_id == 0 and got[i].weight_den == 3
+    assert got[3].cluster_id == 3 and got[3].weight_den == 1  # singleton
+    for i in (4, 5):
+        assert got[i].cluster_id == 4 and got[i].weight_den == 2
+    assert all(r.weight_num == 1 for r in got.values())
