@@ -2417,6 +2417,51 @@ FROM fp p JOIN keepers k USING (f) JOIN stats s ON s.doc_id = p.doc_id
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Flesch-Kincaid surrogate (functions/text.readability_stats)
+    over the sentence-injected fixture (the c4 trick: a period every 8
+    words, so the W/S dimension varies) — floored-ratio milligrade,
+    vowel-group syllables, all replayed in SQL."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.col("text"),
+                             r"((?:[^ ]+ ){7}[^ ]+) ", "$1. "),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return T.readability_stats(docs)
+
+
+ORACLE_READABILITY = rf"""
+WITH fx AS (
+  SELECT doc_id,
+    regexp_replace(text, '((?:[^ ]+ ){{7}}[^ ]+) ', '\1. ', 'g') || '.'
+      AS t
+  FROM documents
+),
+staged AS (
+  SELECT doc_id,
+    CAST(len(string_split(trim(regexp_replace(t, '\s+', ' ', 'g')), ' '))
+         AS BIGINT) AS n_words,
+    CAST(greatest(1, len(list_filter(
+      list_transform(
+        string_split(regexp_replace(t, '([.!?]) ', '\1' || chr(1), 'g'),
+                     chr(1)),
+        s -> trim(s)),
+      s -> length(s) > 0))) AS BIGINT) AS n_sentences,
+    CAST(len(regexp_extract_all(
+      lower(trim(regexp_replace(t, '\s+', ' ', 'g'))), '([aeiouy]+)', 1))
+         AS BIGINT) AS n_syllables
+  FROM fx
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CAST((390 * n_words) // n_sentences
+       + (11800 * n_syllables) // n_words - 15590 AS BIGINT) AS fk_milli
+FROM staged
+"""
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-driven blocklist gate (operators/funnel.blocklist_filter,
     UT1-list shape): the blocklist RELATION is synthesized from the
@@ -4751,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
         "c4_filter": q_c4_filter,
+        "readability": q_readability,
         "curation_funnel": q_curation_funnel,
         "blocklist_filter": q_blocklist_filter,
         "corpus_datasheet": q_corpus_datasheet,
@@ -4843,6 +4889,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": ORACLE_LINE_DEDUP,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "c4_filter": ORACLE_C4_FILTER,
+        "readability": ORACLE_READABILITY,
         "curation_funnel": ORACLE_CURATION_FUNNEL,
         "blocklist_filter": ORACLE_BLOCKLIST,
         "corpus_datasheet": ORACLE_CORPUS_DATASHEET,

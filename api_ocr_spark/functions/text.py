@@ -590,3 +590,39 @@ def c4_doc_stats(df, text_col: str = "text", id_col: str = "doc_id",
         ((n_sent >= min_sentences) & ~has_brace & ~has_bad
          & (2 * n_term >= n_sent)).alias("keep"),
     )
+
+
+def readability_stats(df, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Integer Flesch-Kincaid grade surrogate — the classic readability
+    quality feature (Kincaid et al. 1975: 0.39*(W/S) + 11.8*(Syl/W) -
+    15.59), re-expressed so no IEEE division crosses an engine boundary:
+
+        fk_milli = (390 * W) DIV S + (11800 * Syl) DIV W - 15590
+
+    with each ratio floored independently (a documented surrogate:
+    within 2 milligrades of the float form per floor, monotone in both
+    ratios). Syllables are VOWEL-GROUP RUNS over the lowercased
+    normalized text (one regexp pass, whole-stage codegen — spaces break
+    runs so groups never span words); vowel-less tokens contribute 0,
+    the standard heuristic's documented deviation from dictionary
+    syllables. S floors at 1 (unpunctuated docs are one sentence).
+    Pure per-row map, ZERO shuffle. Returns (doc_id, n_words,
+    n_sentences, n_syllables, fk_milli)."""
+    c = F.col(text_col)
+    staged = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_count(c).cast("long").alias("n_words"),
+        F.greatest(F.lit(1).cast("long"),
+                   F.size(split_sentences(c)).cast("long"))
+        .alias("n_sentences"),
+        F.size(F.regexp_extract_all(
+            normalize_ws(F.lower(c)), F.lit("([aeiouy]+)"), 1))
+        .cast("long").alias("n_syllables"),
+    )
+    return staged.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.expr("(390 * n_words) DIV n_sentences"
+               " + (11800 * n_syllables) DIV n_words - 15590")
+        .cast("long").alias("fk_milli"),
+    )

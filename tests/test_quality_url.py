@@ -618,3 +618,22 @@ def test_corpus_manifest_detects_any_change(spark):
         spark.createDataFrame(rows3, "doc_id bigint, text string")).collect()}
     assert any(base[s].content_hash != swapped[s].content_hash
                for s in base)
+
+
+def test_readability_stats_hand_computed(spark):
+    """Hand-computed FK milligrade: 'the cat sat on the mat. it is a
+    hat.' -> W=10, S=2, vowel groups: the(1) cat(1) sat(1) on(1) the(1)
+    mat(1) it(1) is(1) a(1) hat(1) = 10. fk = 390*10//2 + 11800*10//10
+    - 15590 = 1950 + 11800 - 15590 = -1840 (simple text, below grade 0)."""
+    from api_ocr_spark.functions.text import readability_stats
+
+    rows = [(1, "the cat sat on the mat. it is a hat."),
+            (2, "zz bcd fgh")]  # no vowels, no boundary
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in readability_stats(df).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (10, 2, 10)
+    assert r1.fk_milli == 390 * 10 // 2 + 11800 * 10 // 10 - 15590
+    r2 = got[2]
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (3, 1, 0)
+    assert r2.fk_milli == 390 * 3 // 1 + 0 - 15590

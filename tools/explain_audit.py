@@ -114,6 +114,11 @@ CHECKS = {
          r"ObjectHashAggregate|SortAggregate"),
         ("no cartesian", ("absent", r"CartesianProduct|BroadcastNestedLoop")),
     ],
+    "readability": [
+        ("pure per-row map, zero shuffle", ("max_exchanges", 0)),
+        ("all-Catalyst (no python)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "corpus_manifest": [
         ("single map-side-partial shuffle to n_shards rows",
          r"HashAggregate"),
