@@ -4281,6 +4281,44 @@ FROM nodes n JOIN t3 ON t3.node = n.node
 """)
 
 
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link reciprocity (operators/graph.link_reciprocity) over
+    the SAME host-pair fixture as host_pagerank — reciprocated out-mass
+    as an exact integer pair (recip_w, out_w), the link-farm signal
+    complementing TrustRank's propagation view."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+
+    def tld(x: Column) -> Column:
+        return (F.when(x % 3 == 0, "com").when(x % 3 == 1, "org")
+                .otherwise("net"))
+
+    pairs = docs.select(
+        F.concat(F.lit("dom"), (d % 23).cast("string"), F.lit("."),
+                 tld(d)).alias("src"),
+        F.concat(F.lit("dom"), ((d * 7 + 3) % 23).cast("string"), F.lit("."),
+                 tld(d + 1)).alias("dst"),
+    )
+    return graph.link_reciprocity(graph.aggregate_edges(pairs))
+
+
+ORACLE_LINK_RECIPROCITY = """
+WITH pairs AS (
+  SELECT
+    'dom' || CAST(doc_id % 23 AS VARCHAR) || '.' ||
+      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS src,
+    'dom' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) || '.' ||
+      CASE (doc_id + 1) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS dst
+  FROM documents
+), edges AS (SELECT src, dst, count(*) AS w FROM pairs GROUP BY src, dst)
+SELECT e.src AS host,
+  CAST(sum(least(e.w, coalesce(b.w, 0))) AS BIGINT) AS recip_w,
+  CAST(sum(e.w) AS BIGINT) AS out_w
+FROM edges e LEFT JOIN edges b ON b.src = e.dst AND b.dst = e.src
+GROUP BY e.src
+"""
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (operators/graph.hits_int — Kleinberg 1999)
     over the SAME host-pair fixture as host_pagerank: two I-then-O rounds
@@ -4841,6 +4879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "host_pagerank": q_host_pagerank,
         "host_trustrank": q_host_trustrank,
+        "link_reciprocity": q_link_reciprocity,
         "host_hits": q_host_hits,
         "anchor_index": q_anchor_index,
         "image_metadata": q_image_metadata,
@@ -4938,6 +4977,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": ORACLE_QUALITY_FILTER,
         "host_pagerank": ORACLE_HOST_PAGERANK,
         "host_trustrank": ORACLE_HOST_TRUSTRANK,
+        "link_reciprocity": ORACLE_LINK_RECIPROCITY,
         "host_hits": ORACLE_HOST_HITS,
         "anchor_index": ORACLE_ANCHOR_INDEX,
         "image_metadata": ORACLE_IMAGE_METADATA,

@@ -260,3 +260,35 @@ def trustrank_int(edges: DataFrame, seeds: DataFrame, iters: int = 3,
         F.col("r").alias("trustrank"),
         "is_seed",
     )
+
+
+def link_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-host link-reciprocity — the classic link-farm signal (link
+    exchanges reciprocate; editorial links mostly don't — Fetterly et
+    al. 2004 spam statistics family, the degree-side complement of
+    trustrank_int's propagation view). For each host:
+
+        recip_w = Σ over out-edges min(w(u->v), w(v->u))   (0 if no
+                  back-edge), an EXACT integer reciprocated mass
+        out_w   = Σ w(u->v)
+
+    reported as the integer pair (recip_w, out_w) — never an IEEE
+    ratio; flag hosts by cross-multiplying against a policy threshold
+    downstream. ONE self-equi-join on the reversed key pair plus one
+    map-side-partial groupBy; hub hosts are one row per out-edge, so
+    no skew beyond the edge list itself."""
+    rev = edges.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"),
+                       F.col("w").alias("w_back"))
+    return (
+        edges.join(rev, ["src", "dst"], "left")
+        .select(
+            "src",
+            "w",
+            F.least(F.col("w"), F.coalesce("w_back", F.lit(0)))
+            .alias("r"),
+        )
+        .groupBy(F.col("src").alias("host"))
+        .agg(F.sum("r").cast("long").alias("recip_w"),
+             F.sum("w").cast("long").alias("out_w"))
+    )

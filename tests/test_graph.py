@@ -125,3 +125,21 @@ def test_trustrank_spam_island_gets_zero(spark):
     assert got["a"].trustrank == 127500
     assert got["b"].trustrank == 108375
     assert got["c"].trustrank == 0 and got["d"].trustrank == 0
+
+
+def test_link_reciprocity_min_mass(spark):
+    """recip_w = sum of min(w_uv, w_vu): a pure exchange pair is fully
+    reciprocal, an asymmetric pair reciprocates the smaller mass, and
+    one-way links contribute zero."""
+    from api_ocr_spark.operators.graph import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "a", 5),      # full exchange
+         ("a", "c", 4), ("c", "a", 1),      # partial: min = 1
+         ("a", "d", 7)],                     # one-way
+        "src string, dst string, w long")
+    got = {r.host: r for r in link_reciprocity(edges).collect()}
+    assert (got["a"].recip_w, got["a"].out_w) == (5 + 1 + 0, 16)
+    assert (got["b"].recip_w, got["b"].out_w) == (5, 5)
+    assert (got["c"].recip_w, got["c"].out_w) == (1, 1)
+    assert "d" not in got  # no out-edges -> no row
