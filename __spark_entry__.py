@@ -4526,6 +4526,50 @@ FROM wt GROUP BY doc_id
 """
 
 
+def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality prior (operators/tiering.domain_quality_prior):
+    the per-doc hashed-linear classifier signal rolled up to registered
+    domains as exact integer pairs (means deferred to cross-multiplied
+    policy points — signed scores make floored division engine-divergent).
+    URL side = the shared URL fixture."""
+    from api_ocr_spark.operators import tiering
+
+    docs = _docs(spark, sf_dir)
+    fanned = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return tiering.domain_quality_prior(fanned, _url_fixture(docs))
+
+
+ORACLE_DOMAIN_PRIOR = rf"""
+WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM d),
+wt AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('w7_' || CAST(
+      CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024
+    AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+  FROM tok
+),
+sc AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+         CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+  FROM wt GROUP BY doc_id
+),
+u AS ({_URL_FIXTURE_SQL}),
+p AS (
+  SELECT doc_id,
+    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   '([^.]+\.[^.]+)$', 1) AS registered_domain
+  FROM u
+)
+SELECT p.registered_domain,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(sc.score) AS BIGINT) AS score_sum,
+  CAST(sum(sc.keep) AS BIGINT) AS n_keep
+FROM sc JOIN p USING (doc_id)
+GROUP BY p.registered_domain
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (similarity.semdedup) over the
     planted-augmented corpus: md5-seeded Lloyd clusters (same codebook as
@@ -4877,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "warc_extract": q_warc_extract,
         "quality_filter": q_quality_filter,
+        "domain_prior": q_domain_prior,
         "host_pagerank": q_host_pagerank,
         "host_trustrank": q_host_trustrank,
         "link_reciprocity": q_link_reciprocity,
@@ -4975,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": ORACLE_BLOOM_DEDUP,
         "warc_extract": ORACLE_WARC_EXTRACT,
         "quality_filter": ORACLE_QUALITY_FILTER,
+        "domain_prior": ORACLE_DOMAIN_PRIOR,
         "host_pagerank": ORACLE_HOST_PAGERANK,
         "host_trustrank": ORACLE_HOST_TRUSTRANK,
         "link_reciprocity": ORACLE_LINK_RECIPROCITY,

@@ -83,3 +83,34 @@ def tier_extract(documents: DataFrame, text_col: str = "text",
         .where(F.col("tier_rank") <= quota_col)   # exact per-tier cap
         .select("doc_id", "score", "tier", "tier_rank")
     )
+
+
+def domain_quality_prior(documents: DataFrame, urls: DataFrame) -> DataFrame:
+    """Domain-level quality prior — aggregate the per-document classifier
+    signal to its registered domain (the FineWeb/RefinedWeb practice:
+    a domain whose pages consistently score low is demoted wholesale,
+    catching pages the per-doc classifier is unsure about). Emits one
+    row per registered domain:
+
+        (registered_domain, n_docs, score_sum, n_keep)
+
+    score_sum stays an EXACT integer pair with n_docs — never a mean:
+    scores are signed, and floored division diverges between engines on
+    negatives (Spark DIV truncates toward zero, DuckDB // floors), so
+    the ratio is materialized only at the policy point by
+    cross-multiplication. Shape at 100 TB: per-doc scoring is
+    hashed_linear_score's one doc-keyed exchange; the URL join is a
+    doc_id equi-join; the rollup is a domain-keyed map-side-partial
+    groupBy (hot mega-domains collapse per map task)."""
+    from ..functions.text import hashed_linear_score
+    from ..functions.url import parse_urls
+
+    scored = hashed_linear_score(documents).select("doc_id", "score", "keep")
+    dom = parse_urls(urls).select("doc_id", "registered_domain")
+    return (
+        scored.join(dom, "doc_id")
+        .groupBy("registered_domain")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("score").cast("long").alias("score_sum"),
+             F.sum("keep").cast("long").alias("n_keep"))
+    )

@@ -637,3 +637,26 @@ def test_readability_stats_hand_computed(spark):
     r2 = got[2]
     assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (3, 1, 0)
     assert r2.fk_milli == 390 * 3 // 1 + 0 - 15590
+
+
+def test_domain_quality_prior_integer_rollup(spark):
+    """Per-domain rollup keeps exact integer pairs; signed sums survive
+    (the reason no mean is emitted)."""
+    from api_ocr_spark.operators.tiering import domain_quality_prior
+
+    docs = spark.createDataFrame(
+        [(i, f"palabra{i} texto comun") for i in range(6)],
+        "doc_id bigint, text string")
+    urls = spark.createDataFrame(
+        [(i, f"https://www.dom{i % 2}.com/p/{i}") for i in range(6)],
+        "doc_id bigint, url string")
+    got = {r.registered_domain: r
+           for r in domain_quality_prior(docs, urls).collect()}
+    assert set(got) == {"dom0.com", "dom1.com"}
+    assert got["dom0.com"].n_docs == 3 and got["dom1.com"].n_docs == 3
+    # cross-check the rollup against the per-doc scorer
+    from api_ocr_spark.functions.text import hashed_linear_score
+    per_doc = {r.doc_id: r for r in hashed_linear_score(docs).collect()}
+    for dom, ids in (("dom0.com", (0, 2, 4)), ("dom1.com", (1, 3, 5))):
+        assert got[dom].score_sum == sum(per_doc[i].score for i in ids)
+        assert got[dom].n_keep == sum(per_doc[i].keep for i in ids)
