@@ -2279,6 +2279,31 @@ GROUP BY doc_id
 """
 
 
+def q_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-scoped template removal (operators/dedup.template_lines):
+    a sentence on >= 2 distinct pages of the same registered domain is
+    boilerplate and removed from EVERY page of that domain — strictly
+    stronger than line_dedup's keep-first rule (which would keep the
+    first nav/footer occurrence). Fixture: sentence-injected text plus a
+    per-domain legal-notice line ('aviso legal numero <dom#> ...') that
+    appears on every page of its domain."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+    fx = docs.select(
+        d.alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.col("text"),
+                             r"((?:[^ ]+ ){7}[^ ]+) ", "$1. "),
+            F.lit(". aviso legal numero "),
+            (d % 23).cast("string"),
+            F.lit(" derechos reservados."),
+        ).alias("text"),
+    )
+    return dedup.template_lines(fx, _url_fixture(docs), min_pages=2)
+
+
+
+
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 document heuristics (functions/text.c4_doc_stats, Raffel et al.
     2020 §2.2 at document granularity): sentence census, terminal-punct
@@ -2923,6 +2948,62 @@ _URL_PARSED_SQL = r"""
         url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
       s -> length(s) > 0)) AS BIGINT) AS path_depth
   FROM u
+"""
+
+
+ORACLE_TEMPLATE_LINES = rf"""
+WITH fx AS (
+  SELECT doc_id,
+    regexp_replace(text, '((?:[^ ]+ ){{7}}[^ ]+) ', '\1. ', 'g')
+    || '. aviso legal numero ' || CAST(doc_id % 23 AS VARCHAR)
+    || ' derechos reservados.' AS t
+  FROM documents
+),
+u AS ({_URL_FIXTURE_SQL}),
+p AS (
+  SELECT doc_id,
+    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   '([^.]+\.[^.]+)$', 1) AS registered_domain
+  FROM u
+),
+sent_m AS (
+  SELECT doc_id, regexp_replace(t, '([.!?]) ', '\1' || chr(1), 'g') AS m
+  FROM fx
+),
+rawsent AS (
+  SELECT doc_id, i AS i0, trim(parts[i]) AS sent
+  FROM (SELECT doc_id, string_split(m, chr(1)) AS parts FROM sent_m),
+       unnest(range(1, len(parts) + 1)) AS u2(i)
+),
+sents AS (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY doc_id ORDER BY i0) - 1 AS pos, sent
+  FROM rawsent WHERE length(sent) > 0
+),
+sd AS (
+  SELECT s.doc_id, p.registered_domain, s.pos, s.sent
+  FROM sents s JOIN p USING (doc_id)
+),
+census AS (
+  SELECT registered_domain, sent, count(DISTINCT doc_id) AS n_pages
+  FROM sd GROUP BY registered_domain, sent
+),
+boiler AS (
+  SELECT registered_domain, sent FROM census WHERE n_pages >= 2
+),
+fl AS (
+  SELECT sd.doc_id, sd.registered_domain, sd.pos, sd.sent,
+    (b.sent IS NOT NULL) AS tpl
+  FROM sd LEFT JOIN boiler b
+    ON b.registered_domain = sd.registered_domain AND b.sent = sd.sent
+)
+SELECT doc_id, registered_domain,
+  coalesce(string_agg(CASE WHEN NOT tpl THEN sent END, ' ' ORDER BY pos),
+           '') AS clean_text,
+  CAST(sum(CASE WHEN NOT tpl THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN tpl THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM fl
+GROUP BY doc_id, registered_domain
 """
 
 
@@ -4876,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "repetition_filter": q_repetition_filter,
         "line_dedup": q_line_dedup,
+        "template_lines": q_template_lines,
         "substring_dedup": q_substring_dedup,
         "c4_filter": q_c4_filter,
         "readability": q_readability,
@@ -4971,6 +5053,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "repetition_filter": ORACLE_REPETITION,
         "line_dedup": ORACLE_LINE_DEDUP,
+        "template_lines": ORACLE_TEMPLATE_LINES,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "c4_filter": ORACLE_C4_FILTER,
         "readability": ORACLE_READABILITY,

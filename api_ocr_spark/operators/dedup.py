@@ -1055,3 +1055,56 @@ def dedup_weights(documents: DataFrame, pairs: DataFrame,
         F.lit(1).cast("long").alias("weight_num"),
         F.coalesce("csize", F.lit(1)).cast("long").alias("weight_den"),
     )
+
+
+def template_lines(documents: DataFrame, urls: DataFrame,
+                   min_pages: int = 2, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """DOMAIN-scoped template removal — the boilerplate pass CCNet/C4
+    run per SITE, strictly stronger than line_dedup's keep-first rule:
+    a sentence appearing on >= min_pages DISTINCT pages of the SAME
+    registered domain is a template (nav, footer, legal notice) and is
+    removed from EVERY page of that domain — including the first
+    occurrence, which keep-first dedup would preserve. The same
+    sentence on another domain is independent evidence and untouched
+    (cross-domain repetition is line_dedup's job; the two passes
+    compose).
+
+    Returns (doc_id, registered_domain, clean_text, n_kept, n_removed)
+    for every input doc. Shape at 100 TB: sentence explode + URL domain
+    join (doc_id equi-join); the template census is a
+    (domain, sentence)-keyed two-phase distinct-count (partials
+    map-side); the flag join is an equi-join on the same composite key
+    (AQE skew-splittable — a window sort could not be); reassembly is
+    the line_dedup array_sort/collect pattern, arrival-order-free."""
+    from ..functions.text import split_sentences
+    from ..functions.url import parse_urls
+
+    dom = parse_urls(urls).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "registered_domain")
+    sents = _fan_out(documents).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(split_sentences(F.col(text_col))).alias("pos", "sent"),
+    ).join(dom, "doc_id")
+    census = sents.groupBy("registered_domain", "sent").agg(
+        F.countDistinct("doc_id").alias("n_pages"))
+    boiler = census.where(F.col("n_pages") >= min_pages).select(
+        "registered_domain", "sent", F.lit(True).alias("is_template"))
+    flagged = sents.join(boiler, ["registered_domain", "sent"], "left") \
+        .select("doc_id", "registered_domain", "pos", "sent",
+                F.coalesce("is_template", F.lit(False)).alias("tpl"))
+    return (
+        flagged.groupBy("doc_id", "registered_domain")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(~F.col("tpl"), F.struct("pos", "sent")))),
+                    lambda s: s["sent"]),
+                " ").alias("clean_text"),
+            F.sum(F.when(~F.col("tpl"), 1).otherwise(0)).cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("tpl"), 1).otherwise(0)).cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -660,3 +660,32 @@ def test_domain_quality_prior_integer_rollup(spark):
     for dom, ids in (("dom0.com", (0, 2, 4)), ("dom1.com", (1, 3, 5))):
         assert got[dom].score_sum == sum(per_doc[i].score for i in ids)
         assert got[dom].n_keep == sum(per_doc[i].keep for i in ids)
+
+
+def test_template_lines_domain_scoped(spark):
+    """A line on every page of domain A vanishes from ALL of A's pages
+    (including the first — stronger than keep-first), while the same
+    line on a single page of domain B survives there."""
+    from api_ocr_spark.operators.dedup import template_lines
+
+    nav = "inicio productos contacto."
+    docs = spark.createDataFrame(
+        [(0, f"{nav} contenido cero unico."),
+         (1, f"{nav} contenido uno distinto."),
+         (2, f"{nav} contenido dos especial."),   # domain B: nav only here
+         (3, "pagina tres sin plantilla.")],
+        "doc_id bigint, text string")
+    urls = spark.createDataFrame(
+        [(0, "https://www.sitea.com/p0"), (1, "https://www.sitea.com/p1"),
+         (2, "https://siteb.org/p2"), (3, "https://siteb.org/p3")],
+        "doc_id bigint, url string")
+    got = {r.doc_id: r for r in template_lines(docs, urls).collect()}
+    assert got[0].clean_text == "contenido cero unico."
+    assert got[1].clean_text == "contenido uno distinto."
+    assert got[0].n_removed == 1 and got[1].n_removed == 1
+    # domain B sees nav on only one page -> kept there
+    assert got[2].clean_text == f"{nav} contenido dos especial."
+    assert got[2].n_removed == 0
+    assert got[3].clean_text == "pagina tres sin plantilla."
+    assert got[0].registered_domain == "sitea.com"
+    assert got[2].registered_domain == "siteb.org"
