@@ -3603,6 +3603,56 @@ FROM v WHERE 5 * n_inter >= 4 * n_a
 """
 
 
+def q_stitch_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination stitching (operators/dedup.stitch_pages): ordered pairs
+    whose k=6-token seam matches (A's tail == B's head) — the split-
+    article reconstruction evidence. Planted: every 40th doc (with >= 6
+    tokens) gets a 'page 2' at +160M starting with its source's last six
+    words."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ws = F.split(T.normalize_ws(F.lower(F.col("text"))), " ")
+    planted = (
+        docs.where((F.col("doc_id") % 40 == 0) & (F.size(ws) >= 6))
+        .select(
+            (F.col("doc_id") + 160_000_000).alias("doc_id"),
+            F.concat(
+                F.concat_ws(" ", F.slice(ws, -6, 6)),
+                F.lit(" continuacion de la nota numero "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    return dedup.stitch_pages(docs.unionByName(planted), k=6)
+
+
+ORACLE_STITCH_PAGES = rf"""
+WITH w0 AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+),
+base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 160000000 AS doc_id,
+         array_to_string(ws[-6:], ' ')
+         || ' continuacion de la nota numero ' || CAST(doc_id AS VARCHAR)
+           AS text
+  FROM w0 WHERE doc_id % 40 = 0 AND len(ws) >= 6
+),
+t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM base),
+valid AS (SELECT * FROM t WHERE len(ws) >= 6),
+tl AS (
+  SELECT doc_id AS doc_a, array_to_string(ws[-6:], ' ') AS seam FROM valid
+),
+hd AS (
+  SELECT doc_id AS doc_b, array_to_string(ws[1:6], ' ') AS seam FROM valid
+)
+SELECT tl.doc_a, hd.doc_b, tl.seam
+FROM tl JOIN hd USING (seam)
+WHERE tl.doc_a != hd.doc_b
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/dedup.winnow_fingerprints —
     Schleimer et al. 2003, MOSS): 4-gram 40-bit hashes, window w=4,
@@ -4959,6 +5009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "template_lines": q_template_lines,
         "substring_dedup": q_substring_dedup,
+        "stitch_pages": q_stitch_pages,
         "c4_filter": q_c4_filter,
         "readability": q_readability,
         "curation_funnel": q_curation_funnel,
@@ -5055,6 +5106,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": ORACLE_LINE_DEDUP,
         "template_lines": ORACLE_TEMPLATE_LINES,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "stitch_pages": ORACLE_STITCH_PAGES,
         "c4_filter": ORACLE_C4_FILTER,
         "readability": ORACLE_READABILITY,
         "curation_funnel": ORACLE_CURATION_FUNNEL,

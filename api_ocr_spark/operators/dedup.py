@@ -1108,3 +1108,39 @@ def template_lines(documents: DataFrame, urls: DataFrame,
             .alias("n_removed"),
         )
     )
+
+
+def stitch_pages(documents: DataFrame, k: int = 6,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Pagination stitching — find split articles: a crawler stores a
+    multi-page article as separate docs whose text overlaps at the seam
+    (page N ends with the teaser/paragraph page N+1 starts with). Emit
+    every ordered pair (doc_a, doc_b) where doc_a's LAST k tokens equal
+    doc_b's FIRST k tokens (doc_a != doc_b) — the continuation evidence
+    a reconstruction pass chains into full articles (each pair is one
+    edge of the next-page graph; chains follow by the neardup_clusters
+    machinery on demand).
+
+    Shape at 100 TB: head/tail keys are O(1) per doc (slice of the
+    token array — no explode); the meet is ONE equi-join on the seam
+    string keyed map-side by md5 would be overkill: the k-token seam
+    string is already selective. Docs shorter than k tokens emit no
+    keys. Returns (doc_a, doc_b, seam)."""
+    from ..functions.text import tokens
+
+    toks = _fan_out(documents).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(F.col(text_col)).alias("ts"),
+    ).where(F.size("ts") >= k)
+    tail = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.concat_ws(" ", F.slice(F.col("ts"), -k, k)).alias("seam"))
+    head = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.concat_ws(" ", F.slice(F.col("ts"), 1, k)).alias("seam"))
+    return (
+        tail.join(head, "seam")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "seam")
+    )

@@ -642,3 +642,23 @@ def test_dedup_weights_soft_ledger(spark):
     for i in (4, 5):
         assert got[i].cluster_id == 4 and got[i].weight_den == 2
     assert all(r.weight_num == 1 for r in got.values())
+
+
+def test_stitch_pages_seam_match(spark):
+    """Tail-of-A == head-of-B yields the ordered pair (and only that
+    direction); short docs emit no keys; identical docs never self-pair."""
+    from api_ocr_spark.operators.dedup import stitch_pages
+
+    art1 = "uno dos tres cuatro cinco seis siete ocho"      # tail: tres..ocho
+    art2 = "tres cuatro cinco seis siete ocho nueve diez"   # head matches
+    rows = [(1, art1), (2, art2), (3, "corto texto"), (4, art1)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.doc_a, r.doc_b): r.seam
+             for r in stitch_pages(df, k=6).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] == "tres cuatro cinco seis siete ocho"
+    assert (2, 1) not in pairs            # directionality
+    assert all(3 not in p for p in pairs)  # short doc filtered
+    # duplicate docs 1 and 4 share both seams -> cross pairs, no self
+    assert (1, 1) not in pairs and (4, 4) not in pairs
+    assert (4, 2) in pairs
