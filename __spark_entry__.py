@@ -3653,6 +3653,88 @@ WHERE tl.doc_a != hd.doc_b
 """
 
 
+def q_stitch_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain assembly over pagination seams (operators/dedup
+    .stitch_chains): three-page planted articles (source -> +160M page 2
+    -> +320M page 3) reconstruct to (doc_id, chain_id = head page,
+    chain_pos 0..2); two-sided min-matching disambiguation, heads-only
+    walk (cycles emit nothing), hop cap 64 — all mirrored in the
+    recursive-CTE oracle."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ws = F.split(T.normalize_ws(F.lower(F.col("text"))), " ")
+    src = docs.where((F.col("doc_id") % 40 == 0) & (F.size(ws) >= 6))
+    p2 = src.select(
+        (F.col("doc_id") + 160_000_000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(ws, -6, 6)),
+            F.lit(" continuacion de la nota numero "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    p3 = src.select(
+        (F.col("doc_id") + 320_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("continuacion de la nota numero "),
+            F.col("doc_id").cast("string"),
+            F.lit(" segunda parte adicional del texto"),
+        ).alias("text"),
+    )
+    return dedup.stitch_chains(
+        docs.unionByName(p2).unionByName(p3), k=6)
+
+
+ORACLE_STITCH_CHAINS = rf"""
+WITH RECURSIVE w0 AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+),
+base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 160000000 AS doc_id,
+         array_to_string(ws[-6:], ' ')
+         || ' continuacion de la nota numero ' || CAST(doc_id AS VARCHAR)
+           AS text
+  FROM w0 WHERE doc_id % 40 = 0 AND len(ws) >= 6
+  UNION ALL
+  SELECT doc_id + 320000000 AS doc_id,
+         'continuacion de la nota numero ' || CAST(doc_id AS VARCHAR)
+         || ' segunda parte adicional del texto' AS text
+  FROM w0 WHERE doc_id % 40 = 0 AND len(ws) >= 6
+),
+t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM base),
+valid AS (SELECT * FROM t WHERE len(ws) >= 6),
+tl AS (
+  SELECT doc_id AS doc_a, array_to_string(ws[-6:], ' ') AS seam FROM valid
+),
+hd AS (
+  SELECT doc_id AS doc_b, array_to_string(ws[1:6], ' ') AS seam FROM valid
+),
+prs AS (
+  SELECT tl.doc_a, hd.doc_b FROM tl JOIN hd USING (seam)
+  WHERE tl.doc_a != hd.doc_b
+),
+succ0 AS (SELECT doc_a AS a, min(doc_b) AS b FROM prs GROUP BY doc_a),
+predm AS (SELECT b, min(a) AS ma FROM succ0 GROUP BY b),
+succ AS (
+  SELECT s.a, s.b FROM succ0 s JOIN predm p ON p.b = s.b
+  WHERE s.a = p.ma
+),
+heads AS (SELECT a FROM succ WHERE a NOT IN (SELECT b FROM succ)),
+walk(doc_id, chain_id, chain_pos) AS (
+  SELECT a, a, CAST(0 AS BIGINT) FROM heads
+  UNION ALL
+  SELECT s.b, w.chain_id, w.chain_pos + 1
+  FROM walk w JOIN succ s ON s.a = w.doc_id
+  WHERE w.chain_pos < 64
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chain_id AS BIGINT) AS chain_id,
+       CAST(chain_pos AS BIGINT) AS chain_pos
+FROM walk
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/dedup.winnow_fingerprints —
     Schleimer et al. 2003, MOSS): 4-gram 40-bit hashes, window w=4,
@@ -5010,6 +5092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_lines": q_template_lines,
         "substring_dedup": q_substring_dedup,
         "stitch_pages": q_stitch_pages,
+        "stitch_chains": q_stitch_chains,
         "c4_filter": q_c4_filter,
         "readability": q_readability,
         "curation_funnel": q_curation_funnel,
@@ -5107,6 +5190,7 @@ def oracle_sql() -> dict[str, str]:
         "template_lines": ORACLE_TEMPLATE_LINES,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "stitch_pages": ORACLE_STITCH_PAGES,
+        "stitch_chains": ORACLE_STITCH_CHAINS,
         "c4_filter": ORACLE_C4_FILTER,
         "readability": ORACLE_READABILITY,
         "curation_funnel": ORACLE_CURATION_FUNNEL,

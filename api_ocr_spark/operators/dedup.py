@@ -1144,3 +1144,54 @@ def stitch_pages(documents: DataFrame, k: int = 6,
         .where(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "seam")
     )
+
+
+def stitch_chains(documents: DataFrame, k: int = 6,
+                  max_chain: int = 64,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Assemble stitch_pages seams into ordered article CHAINS: each
+    reconstructed multi-page article becomes rows (doc_id, chain_id =
+    the head page's doc_id, chain_pos = 0,1,2,...). Disambiguation is
+    deterministic two-sided min-matching — a page's successor is its
+    MIN-id seam match, kept only if the page is that successor's MIN-id
+    predecessor — so the next-page relation is a partial bijection in
+    both engines. Chains start at heads (pages that are nobody's
+    successor) and walk forward; pure seam CYCLES have no head and are
+    deliberately emitted as nothing (pathological boilerplate seams),
+    and the walk caps at max_chain hops so a rho-shaped graph cannot
+    recurse unboundedly — both rules mirrored in the recursive-CTE
+    oracle. Iterative frontier join, localCheckpoint per hop (the
+    neardup_clusters discipline); chains are short, so rounds ~ article
+    page counts, not diameter of anything corpus-sized."""
+    pairs = stitch_pages(documents, k=k,
+                         text_col=text_col, id_col=id_col)
+    succ0 = pairs.groupBy("doc_a").agg(F.min("doc_b").alias("doc_b"))
+    pred_min = succ0.groupBy("doc_b").agg(F.min("doc_a").alias("min_a"))
+    succ = (succ0.join(pred_min, "doc_b")
+            .where(F.col("doc_a") == F.col("min_a"))
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True))
+    heads = (succ.select(F.col("doc_a").alias("doc_id"))
+             .join(succ.select(F.col("doc_b").alias("doc_id")),
+                   "doc_id", "left_anti"))
+    labels = heads.select(
+        "doc_id", F.col("doc_id").alias("chain_id"),
+        F.lit(0).cast("long").alias("chain_pos"))
+    frontier = labels.localCheckpoint(eager=True)
+    out = [frontier]
+    for _ in range(max_chain):
+        nxt = (
+            frontier.join(succ, frontier["doc_id"] == succ["doc_a"])
+            .select(F.col("doc_b").alias("doc_id"), "chain_id",
+                    (F.col("chain_pos") + 1).alias("chain_pos"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out.append(nxt)
+        frontier = nxt
+    acc = out[0]
+    for f in out[1:]:
+        acc = acc.unionByName(f)
+    return acc

@@ -662,3 +662,22 @@ def test_stitch_pages_seam_match(spark):
     # duplicate docs 1 and 4 share both seams -> cross pairs, no self
     assert (1, 1) not in pairs and (4, 4) not in pairs
     assert (4, 2) in pairs
+
+
+def test_stitch_chains_walk_and_cycle(spark):
+    """A 3-page article reconstructs with positions 0..2 under the head
+    page's id; a pure 2-cycle has no head and emits nothing."""
+    from api_ocr_spark.operators.dedup import stitch_chains
+
+    p1 = "a1 a2 a3 a4 a5 a6 s1 s2 s3 s4 s5 s6"
+    p2 = "s1 s2 s3 s4 s5 s6 t1 t2 t3 t4 t5 t6"
+    p3 = "t1 t2 t3 t4 t5 t6 fin del articulo aqui mismo ya"
+    # pure cycle: C tail == D head and D tail == C head
+    c = "x1 x2 x3 x4 x5 x6 y1 y2 y3 y4 y5 y6"
+    d = "y1 y2 y3 y4 y5 y6 x1 x2 x3 x4 x5 x6"
+    rows = [(10, p1), (11, p2), (12, p3), (20, c), (21, d),
+            (30, "pagina suelta sin relacion alguna con nada")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.doc_id): (r.chain_id, r.chain_pos)
+           for r in stitch_chains(df, k=6).collect()}
+    assert got == {10: (10, 0), 11: (10, 1), 12: (10, 2)}
