@@ -3653,6 +3653,60 @@ WHERE tl.doc_a != hd.doc_b
 """
 
 
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-level novelty vs a history Bloom (operators/dedup
+    .novelty_score): history = doc_id%3==0 slice, new batch = the rest;
+    per-doc novel-gram fraction in exact integers. The oracle derives
+    the identical md5 bit positions, so equality holds at any FPR."""
+    docs = _docs(spark, sf_dir)
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    return dedup.novelty_score(new, hist)
+
+
+ORACLE_NOVELTY = rf"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(1, greatest(len(ws) - 2, 1) + 1),
+      i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 8))
+           AS BIGINT)))) AS shingle
+  FROM d
+),
+histg AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 3 = 0),
+ks AS (SELECT unnest(range(3)) AS i),
+bits AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(shingle AS VARCHAR) || '_'
+                             || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 262144 AS pos
+  FROM histg CROSS JOIN ks
+),
+probe AS (
+  SELECT doc_id, shingle,
+    CAST(('0x' || substr(md5(CAST(shingle AS VARCHAR) || '_'
+                             || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 262144 AS pos
+  FROM g CROSS JOIN ks WHERE doc_id % 3 != 0
+),
+per_gram AS (
+  SELECT p.doc_id, p.shingle,
+    min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS known
+  FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY p.doc_id, p.shingle
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(known) AS BIGINT) AS n_known,
+  CAST(((count(*) - sum(known)) * 1000) // count(*) AS BIGINT)
+    AS novelty_milli
+FROM per_gram GROUP BY doc_id
+"""
+
+
 def q_stitch_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chain assembly over pagination seams (operators/dedup
     .stitch_chains): three-page planted articles (source -> +160M page 2
@@ -5135,6 +5189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "warc_ingest": q_warc_ingest,
         "bloom_dedup": q_bloom_dedup,
+        "novelty_score": q_novelty,
         "warc_extract": q_warc_extract,
         "quality_filter": q_quality_filter,
         "domain_prior": q_domain_prior,
@@ -5237,6 +5292,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": ORACLE_HARD_NEGATIVES,
         "warc_ingest": ORACLE_WARC_INGEST,
         "bloom_dedup": ORACLE_BLOOM_DEDUP,
+        "novelty_score": ORACLE_NOVELTY,
         "warc_extract": ORACLE_WARC_EXTRACT,
         "quality_filter": ORACLE_QUALITY_FILTER,
         "domain_prior": ORACLE_DOMAIN_PRIOR,

@@ -1195,3 +1195,58 @@ def stitch_chains(documents: DataFrame, k: int = 6,
     for f in out[1:]:
         acc = acc.unionByName(f)
     return acc
+
+
+def novelty_score(new_docs: DataFrame, history_docs: DataFrame,
+                  m_bits: int = 262_144, k: int = 3) -> DataFrame:
+    """Continual-pretraining NOVELTY scoring: what fraction of each new
+    document's content is genuinely new versus the training history?
+    Per new doc, the fraction of its distinct 3-gram shingles NOT
+    (probably) present in the history corpus — the signal that decides
+    whether a fresh crawl snapshot is worth a training run, and the
+    gram-granular upgrade of bloom_history_dedup's whole-doc test.
+
+    The history is summarized as a Bloom filter over shingle hashes
+    (md5-derived positions, the bloom_history_dedup representation:
+    distinct set-bit positions, BROADCAST; membership = all k positions
+    present). False positives DEFLATE novelty slightly by design (the
+    Bloom trade, sized by m_bits — at the defaults and sf0.01 history
+    load the FPR is well under 1%); false negatives cannot occur, so
+    truly-historical grams never count as new. The oracle derives
+    identical positions, so equality holds at ANY false-positive rate.
+
+    Returns (doc_id, n_grams, n_known, novelty_milli) with
+    novelty_milli = ((n_grams - n_known) * 1000) DIV n_grams — exact
+    integer, n_grams >= 1 by the shingle rule. Shape at 100 TB: history
+    pass = one distinct-gram shuffle + a filter-sized distinct; probe =
+    per-gram broadcast lookups and ONE doc-keyed partial-agg groupBy —
+    the new batch never joins the history corpus itself."""
+    grams_new = doc_shingle_hashes(new_docs)
+    grams_hist = doc_shingle_hashes(history_docs) \
+        .select("shingle").distinct()
+    fp = F.col("shingle").cast("string")
+    bits = (
+        grams_hist.select(F.explode(F.array(
+            *_bloom_positions(fp, k, m_bits))).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = grams_new.select(
+        "doc_id", "shingle",
+        F.explode(F.array(
+            *_bloom_positions(fp, k, m_bits))).alias("pos"))
+    per_gram = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("known"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_grams"),
+             F.sum("known").cast("long").alias("n_known"))
+        .select(
+            "doc_id", "n_grams", "n_known",
+            F.expr("((n_grams - n_known) * 1000) DIV n_grams")
+            .cast("long").alias("novelty_milli"),
+        )
+    )

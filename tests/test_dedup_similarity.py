@@ -681,3 +681,26 @@ def test_stitch_chains_walk_and_cycle(spark):
     got = {(r.doc_id): (r.chain_id, r.chain_pos)
            for r in stitch_chains(df, k=6).collect()}
     assert got == {10: (10, 0), 11: (10, 1), 12: (10, 2)}
+
+
+def test_novelty_score_bloom_fractions(spark):
+    """Identical-to-history docs score 0, disjoint docs 1000, and a half
+    -overlap doc lands in between; no false negatives by construction."""
+    from api_ocr_spark.operators.dedup import novelty_score
+
+    hist = spark.createDataFrame(
+        [(100, "uno dos tres cuatro cinco seis siete ocho")],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, "uno dos tres cuatro cinco seis siete ocho"),   # all known
+         (2, "nueve diez once doce trece catorce quince"),   # all new
+         (3, "uno dos tres cuatro nueve diez once doce")],   # mixed
+        "doc_id bigint, text string")
+    got = {r.doc_id: r for r in novelty_score(new, hist).collect()}
+    assert got[1].novelty_milli == 0
+    assert got[1].n_known == got[1].n_grams
+    assert got[2].novelty_milli == 1000 and got[2].n_known == 0
+    assert 0 < got[3].novelty_milli < 1000
+    # exact ledger arithmetic
+    r3 = got[3]
+    assert r3.novelty_milli == (r3.n_grams - r3.n_known) * 1000 // r3.n_grams
