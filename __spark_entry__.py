@@ -4895,6 +4895,47 @@ FROM assign4 a LEFT JOIN drops d ON d.vec_id = a.vec_id
 """)
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift monitor (similarity.embedding_drift):
+    history slice = vec_id%3==0, new batch = the rest; exact
+    cross-multiplied |mean_new - mean_hist| pairs over integer-quantized
+    coordinates — no IEEE mean ever materializes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.where(F.col("vec_id") % 3 == 0)
+    new = emb.where(F.col("vec_id") % 3 != 0)
+    return similarity.embedding_drift(new, hist)
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH q0 AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+      AS qv
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+h AS (
+  SELECT d.i - 1 AS dim, CAST(sum(q.qv[d.i]) AS BIGINT) AS hist_sum,
+         CAST(count(*) AS BIGINT) AS n_hist
+  FROM q0 q CROSS JOIN dims d WHERE q.vec_id % 3 = 0
+  GROUP BY d.i
+),
+n AS (
+  SELECT d.i - 1 AS dim, CAST(sum(q.qv[d.i]) AS BIGINT) AS new_sum,
+         CAST(count(*) AS BIGINT) AS n_new
+  FROM q0 q CROSS JOIN dims d WHERE q.vec_id % 3 != 0
+  GROUP BY d.i
+)
+SELECT CAST(h.dim AS BIGINT) AS dim, h.hist_sum, n.new_sum,
+       h.n_hist, n.n_new,
+       CAST(abs(h.hist_sum * n.n_new - n.new_sum * h.n_hist) AS BIGINT)
+         AS drift_num,
+       CAST(h.n_hist * n.n_new AS BIGINT) AS drift_den
+FROM h JOIN n USING (dim)
+"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive retrieval training
     (similarity.hard_negatives, DPR recipe): per deterministic query
@@ -5187,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "semantic_dedup": q_semantic_dedup,
         "hard_negatives": q_hard_negatives,
+        "embedding_drift": q_embedding_drift,
         "warc_ingest": q_warc_ingest,
         "bloom_dedup": q_bloom_dedup,
         "novelty_score": q_novelty,
@@ -5290,6 +5332,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "hard_negatives": ORACLE_HARD_NEGATIVES,
+        "embedding_drift": ORACLE_EMBEDDING_DRIFT,
         "warc_ingest": ORACLE_WARC_INGEST,
         "bloom_dedup": ORACLE_BLOOM_DEDUP,
         "novelty_score": ORACLE_NOVELTY,

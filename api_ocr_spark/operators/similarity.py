@@ -515,3 +515,44 @@ def hard_negatives(emb: DataFrame, k: int = 5, n_centroids: int = 16,
                 "neighbor_id",
                 F.col("dp").cast("long").alias("dot"))
     )
+
+
+def embedding_drift(new_emb: DataFrame, hist_emb: DataFrame) -> DataFrame:
+    """Per-dimension embedding-distribution drift between a history
+    corpus and a new batch — the continual-training monitor that decides
+    whether an embedding space (and everything calibrated against it:
+    IVF codebooks, SemDeDup thresholds, ANN recall) is still valid after
+    a crawl refresh. For each dimension d:
+
+        (dim, hist_sum, new_sum, n_hist, n_new, drift_num, drift_den)
+
+    over integer-quantized coordinates, where drift_num/drift_den is the
+    EXACT |mean_new - mean_hist| as a cross-multiplied pair
+    (|hist_sum*n_new - new_sum*n_hist|, n_hist*n_new) — no IEEE mean
+    ever materializes, so the DuckDB twin is an equality check.
+    Thresholding (e.g. re-train the codebook when any dim drifts past
+    epsilon) cross-multiplies downstream.
+
+    Shape at 100 TB: ONE posexplode + dim-keyed map-side-partial
+    groupBy per side (dims are the reduce keys — output is d rows
+    regardless of corpus size), then a d-row join. Nothing corpus-sized
+    shuffles beyond the two dimension censuses."""
+    def dim_sums(emb: DataFrame, sum_name: str, cnt_name: str) -> DataFrame:
+        q = quantized(emb)
+        return (
+            q.select(F.posexplode("qvec").alias("dim", "v"))
+            .groupBy("dim")
+            .agg(F.sum("v").cast("long").alias(sum_name),
+                 F.count("*").cast("long").alias(cnt_name))
+        )
+
+    h = dim_sums(hist_emb, "hist_sum", "n_hist")
+    n = dim_sums(new_emb, "new_sum", "n_new")
+    return h.join(n, "dim").select(
+        F.col("dim").cast("long").alias("dim"),
+        "hist_sum", "new_sum", "n_hist", "n_new",
+        F.abs(F.col("hist_sum") * F.col("n_new")
+              - F.col("new_sum") * F.col("n_hist"))
+        .cast("long").alias("drift_num"),
+        (F.col("n_hist") * F.col("n_new")).cast("long").alias("drift_den"),
+    )

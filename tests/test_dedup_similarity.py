@@ -704,3 +704,30 @@ def test_novelty_score_bloom_fractions(spark):
     # exact ledger arithmetic
     r3 = got[3]
     assert r3.novelty_milli == (r3.n_grams - r3.n_known) * 1000 // r3.n_grams
+
+
+def test_embedding_drift_exact_pairs(spark):
+    """Hand-computed drift pairs on 2-dim vectors; zero drift when the
+    distributions match, exact cross-multiplied diff otherwise."""
+    from api_ocr_spark.operators.similarity import embedding_drift
+
+    hist = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.2])],
+        "vec_id bigint, embedding array<double>")
+    new = spark.createDataFrame(
+        [(10, [0.2, 0.2]), (11, [0.2, 0.2]), (12, [0.2, 0.2])],
+        "vec_id bigint, embedding array<double>")
+    got = {r.dim: r for r in embedding_drift(new, hist).collect()}
+    d0, d1 = got[0], got[1]
+    # dim0: hist_sum=100+300=400 (n=2), new_sum=600 (n=3):
+    # |400*3 - 600*2| = 0 -> identical means
+    assert (d0.hist_sum, d0.new_sum, d0.drift_num, d0.drift_den) == \
+        (400, 600, 0, 6)
+    # dim1: hist 400 over 2 vs new 600 over 3 -> also equal means
+    assert d1.drift_num == 0
+    # shift the new batch -> nonzero exact drift
+    new2 = spark.createDataFrame(
+        [(10, [0.5, 0.2])], "vec_id bigint, embedding array<double>")
+    got2 = {r.dim: r for r in embedding_drift(new2, hist).collect()}
+    # dim0: |400*1 - 500*2| = 600, den = 2 -> mean diff 300 milli-units
+    assert (got2[0].drift_num, got2[0].drift_den) == (600, 2)
