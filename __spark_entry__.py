@@ -119,6 +119,44 @@ FROM c
 """
 
 
+def q_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-corpus composition datasheet — per-document span mix
+    over the north-rule input shape (doc_id, spans array): span counts
+    by kind and the media fraction in exact permille (integer DIV).
+    Multimodal training mixtures budget text vs media tokens from
+    exactly this ledger. Pure Catalyst over the spans frame: size/
+    filter on the array column, zero shuffle beyond the synthesis."""
+    from api_ocr_spark.sources.interleave import build_documents_spans
+
+    spans = build_documents_spans(_docs(spark, sf_dir))
+    n_spans = F.size("spans").cast("long")
+    n_media = F.size(
+        F.filter("spans", lambda s: s["kind"] == "media")).cast("long")
+    return spans.select(
+        F.col("doc_id"),
+        n_spans.alias("n_spans"),
+        n_media.alias("n_media"),
+        (n_spans - n_media).alias("n_text"),
+        F.expr("CAST(size(filter(spans, s -> s.kind = 'media')) AS BIGINT)"
+               " * 1000 DIV size(spans)").alias("media_permille"),
+    )
+
+
+ORACLE_INTERLEAVE_STATS = _SPANS_CTE + """
+, k AS (
+  SELECT doc_id, off,
+    CASE WHEN (doc_id + off) % 3 = 0 THEN 1 ELSE 0 END AS is_media
+  FROM c
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(is_media) AS BIGINT) AS n_media,
+  CAST(count(*) - sum(is_media) AS BIGINT) AS n_text,
+  CAST((sum(is_media) * 1000) // count(*) AS BIGINT) AS media_permille
+FROM k GROUP BY doc_id
+"""
+
+
 def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = build_media(_docs(spark, sf_dir))
     return media.select("media_ref", "fmt", "scenario", "truth_text")
@@ -5148,6 +5186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_from_spans_table": q_ocr_from_spans_table,
         "ocr_from_spans_completo": q_ocr_from_spans_completo,
         "span_synthesis": q_span_synthesis,
+        "interleave_stats": q_interleave_stats,
         "media_manifest": q_media_manifest,
         "estructurar_texto": q_estructurar_texto,
         "limpiar_texto": q_limpiar_texto,
@@ -5254,6 +5293,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_from_spans_table": _ROUNDTRIP_ORACLE,
         "ocr_from_spans_completo": _ROUNDTRIP_ORACLE,
         "span_synthesis": ORACLE_SPAN_SYNTHESIS,
+        "interleave_stats": ORACLE_INTERLEAVE_STATS,
         "media_manifest": ORACLE_MEDIA_MANIFEST,
         "estructurar_texto": ORACLE_ESTRUCTURAR,
         "limpiar_texto": ORACLE_LIMPIAR,

@@ -393,3 +393,21 @@ def test_extraction_strategies_equal(spark, docs, golden):
     for s in ("unified", "auto"):
         assert base.exceptAll(outs[s]).count() == 0
         assert outs[s].count() == N_DOCS
+
+
+def test_interleave_stats_span_mix(spark):
+    """doc_id=3 with 7 chunks has media at offsets 0/3/6 -> 3 of 7 spans,
+    428 permille (floored)."""
+    from api_ocr_spark.sources.interleave import build_documents_spans
+    from pyspark.sql import functions as F
+
+    text = " ".join(f"w{i}" for i in range(56))  # 7 chunks of 8 words
+    docs = spark.createDataFrame([(3, text)], "doc_id bigint, text string")
+    spans = build_documents_spans(docs)
+    n_spans = F.size("spans").cast("long")
+    n_media = F.size(F.filter("spans", lambda s: s["kind"] == "media")).cast("long")
+    r = spans.select(
+        n_spans.alias("n_spans"), n_media.alias("n_media"),
+        F.expr("CAST(size(filter(spans, s -> s.kind = 'media')) AS BIGINT)"
+               " * 1000 DIV size(spans)").alias("pm")).first()
+    assert (r.n_spans, r.n_media, r.pm) == (7, 3, 428)
