@@ -588,6 +588,100 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (the ClickHouse windowFunnel /
+    Amplitude-style product query): per user, the deepest
+    view -> click -> purchase chain completed within ONE HOUR of the
+    view, exact semantics: for each distinct view instant t0, step 2 =
+    the MINIMAL click strictly after t0 within (t0, t0+W]; step 3 = the
+    minimal purchase strictly after that click within the SAME window;
+    funnel_depth = max over the user's views (0 for users with events
+    but no views). All epoch-microsecond integer arithmetic
+    (unix_micros <-> epoch_us, the sessionize pair), min-next-step
+    resolution by user-keyed equi-joins with range filters — per-user
+    quadratic only, the sessionization cost model; no window sort over
+    the event stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    win = 3600 * 1_000_000
+    views = ev.where(F.col("event_type") == "view") \
+        .select("user_id", F.col("us").alias("v_us")).distinct()
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("user_id", F.col("us").alias("c_us"))
+    buys = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("us").alias("p_us"))
+    s2 = (views.join(clicks, "user_id")
+          .where((F.col("c_us") > F.col("v_us"))
+                 & (F.col("c_us") <= F.col("v_us") + win))
+          .groupBy("user_id", "v_us")
+          .agg(F.min("c_us").alias("t1")))
+    s3 = (s2.join(buys, "user_id")
+          .where((F.col("p_us") > F.col("t1"))
+                 & (F.col("p_us") <= F.col("v_us") + win))
+          .groupBy("user_id", "v_us")
+          .agg(F.min("p_us").alias("t2")))
+    depth = (
+        views.join(s2.select("user_id", "v_us", F.lit(1).alias("has2")),
+                   ["user_id", "v_us"], "left")
+        .join(s3.select("user_id", "v_us", F.lit(1).alias("has3")),
+              ["user_id", "v_us"], "left")
+        .select("user_id",
+                (F.lit(1) + F.coalesce("has2", F.lit(0))
+                 + F.coalesce("has3", F.lit(0))).alias("d"))
+        .groupBy("user_id")
+        .agg(F.max("d").alias("fd"), F.count("*").alias("nv"))
+    )
+    return (
+        ev.select("user_id").distinct()
+        .join(depth, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("nv", F.lit(0)).cast("long").alias("n_views"),
+            F.coalesce("fd", F.lit(0)).cast("long").alias("funnel_depth"),
+        )
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+views AS (
+  SELECT DISTINCT user_id, us AS v_us FROM ev WHERE event_type = 'view'
+),
+clicks AS (SELECT user_id, us AS c_us FROM ev WHERE event_type = 'click'),
+buys AS (SELECT user_id, us AS p_us FROM ev WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT v.user_id, v.v_us, min(c.c_us) AS t1
+  FROM views v JOIN clicks c ON c.user_id = v.user_id
+  WHERE c.c_us > v.v_us AND c.c_us <= v.v_us + 3600000000
+  GROUP BY v.user_id, v.v_us
+),
+s3 AS (
+  SELECT s.user_id, s.v_us, min(b.p_us) AS t2
+  FROM s2 s JOIN buys b ON b.user_id = s.user_id
+  WHERE b.p_us > s.t1 AND b.p_us <= s.v_us + 3600000000
+  GROUP BY s.user_id, s.v_us
+),
+depth AS (
+  SELECT v.user_id,
+    max(1 + CASE WHEN s2.v_us IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN s3.v_us IS NULL THEN 0 ELSE 1 END) AS fd,
+    count(*) AS nv
+  FROM views v
+  LEFT JOIN s2 ON s2.user_id = v.user_id AND s2.v_us = v.v_us
+  LEFT JOIN s3 ON s3.user_id = v.user_id AND s3.v_us = v.v_us
+  GROUP BY v.user_id
+)
+SELECT u.user_id,
+  CAST(coalesce(d.nv, 0) AS BIGINT) AS n_views,
+  CAST(coalesce(d.fd, 0) AS BIGINT) AS funnel_depth
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN depth d ON d.user_id = u.user_id
+"""
+
+
 ORACLE_SESSIONIZE = """
 SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
@@ -5198,6 +5292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "sessionize_events": q_sessionize_events,
+        "event_funnel": q_event_funnel,
         "nearest_prior_login": q_nearest_prior_login,
         "customers_without_orders": q_customers_without_orders,
         "set_ops_event_types": q_set_ops_event_types,
@@ -5304,6 +5399,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
         "topk_orders_per_customer": ORACLE_TOPK_ORDERS,
         "sessionize_events": ORACLE_SESSIONIZE,
+        "event_funnel": ORACLE_EVENT_FUNNEL,
         "nearest_prior_login": ORACLE_NEAREST_PRIOR,
         "customers_without_orders": ORACLE_CUSTOMERS_WO_ORDERS,
         "set_ops_event_types": ORACLE_SET_OPS,

@@ -411,3 +411,46 @@ def test_interleave_stats_span_mix(spark):
         F.expr("CAST(size(filter(spans, s -> s.kind = 'media')) AS BIGINT)"
                " * 1000 DIV size(spans)").alias("pm")).first()
     assert (r.n_spans, r.n_media, r.pm) == (7, 3, 428)
+
+
+def test_event_funnel_window_semantics(spark):
+    """Depth counts only in-window, in-order chains anchored at a view:
+    the minimal-next-step rule, the strict-after boundary, and the
+    one-hour cutoff are each exercised."""
+    from datetime import datetime
+
+    import __spark_entry__ as entry
+
+    H = 3600
+    def t(s):
+        return datetime(2026, 1, 1, 0, 0, 0).replace(
+            hour=s // 3600 % 24, minute=s // 60 % 60, second=s % 60)
+
+    rows = [
+        # user 1: full chain inside the hour -> depth 3
+        (1, 1, t(0), "view"), (2, 1, t(10), "click"),
+        (3, 1, t(20), "purchase"),
+        # user 2: purchase BEFORE the click -> depth 2 (order matters)
+        (4, 2, t(0), "view"), (5, 2, t(30), "purchase"),
+        (6, 2, t(40), "click"),
+        # user 3: click outside the hour window -> depth 1
+        (7, 3, t(0), "view"), (8, 3, t(H + 1), "click"),
+        # user 4: no view -> depth 0
+        (9, 4, t(0), "click"), (10, 4, t(5), "purchase"),
+        # user 5: second view anchors a complete late chain -> depth 3
+        (11, 5, t(0), "view"), (12, 5, t(2 * H), "view"),
+        (13, 5, t(2 * H + 5), "click"), (14, 5, t(2 * H + 9), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.select("event_id", "ts", "user_id", "event_type").write.mode(
+        "overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.user_id: r for r in
+           entry.queries()["event_funnel"](spark, d).collect()}
+    assert got[1].funnel_depth == 3
+    assert got[2].funnel_depth == 2
+    assert got[3].funnel_depth == 1
+    assert got[4].funnel_depth == 0 and got[4].n_views == 0
+    assert got[5].funnel_depth == 3 and got[5].n_views == 2
