@@ -682,6 +682,56 @@ LEFT JOIN depth d ON d.user_id = u.user_id
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the classic product-analytics rollup:
+    users cohorted by FIRST-signup day; for each (cohort_day,
+    day_offset) the count of distinct cohort users active that many days
+    later (any non-signup event). All integer day arithmetic
+    (epoch-micros DIV 86400e6 — the sessionize micros pair), offsets >= 0
+    only. Shapes: first-signup = one user-keyed min agg; activity days =
+    a distinct on (user, day); the cohort meet is a user_id equi-join;
+    the triangle is a (cohort_day, offset)-keyed two-phase distinct
+    count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+        .cast("long").alias("day"))
+    signup = (ev.where(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("day").alias("cohort_day")))
+    active = (ev.where(F.col("event_type") != "signup")
+              .select("user_id", "day").distinct())
+    return (
+        signup.join(active, "user_id")
+        .where(F.col("day") >= F.col("cohort_day"))
+        .select("cohort_day",
+                (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+                "user_id")
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH ev AS (
+  SELECT user_id, event_type,
+    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+signup AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, day FROM ev WHERE event_type != 'signup'
+)
+SELECT s.cohort_day, a.day - s.cohort_day AS day_offset,
+  CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_active
+FROM signup s JOIN active a ON a.user_id = s.user_id
+WHERE a.day >= s.cohort_day
+GROUP BY s.cohort_day, a.day - s.cohort_day
+"""
+
+
 ORACLE_SESSIONIZE = """
 SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
@@ -5293,6 +5343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "sessionize_events": q_sessionize_events,
         "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "nearest_prior_login": q_nearest_prior_login,
         "customers_without_orders": q_customers_without_orders,
         "set_ops_event_types": q_set_ops_event_types,
@@ -5400,6 +5451,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_per_customer": ORACLE_TOPK_ORDERS,
         "sessionize_events": ORACLE_SESSIONIZE,
         "event_funnel": ORACLE_EVENT_FUNNEL,
+        "retention_cohorts": ORACLE_RETENTION,
         "nearest_prior_login": ORACLE_NEAREST_PRIOR,
         "customers_without_orders": ORACLE_CUSTOMERS_WO_ORDERS,
         "set_ops_event_types": ORACLE_SET_OPS,

@@ -454,3 +454,40 @@ def test_event_funnel_window_semantics(spark):
     assert got[3].funnel_depth == 1
     assert got[4].funnel_depth == 0 and got[4].n_views == 0
     assert got[5].funnel_depth == 3 and got[5].n_views == 2
+
+
+def test_retention_cohorts_triangle(spark):
+    """First-signup cohorting, distinct-day activity, non-negative
+    offsets only, distinct-user counting."""
+    from datetime import datetime
+
+    import __spark_entry__ as entry
+
+    def t(day, hour=0):
+        return datetime(2026, 1, 1 + day, hour, 0, 0)
+
+    rows = [
+        # user 1: signs up day 0, active day 0 (twice) and day 2
+        (1, 1, t(0), "signup"), (2, 1, t(0, 5), "click"),
+        (3, 1, t(0, 9), "view"), (4, 1, t(2), "click"),
+        # user 2: signs up day 0 (duplicate signup day 3 ignored by min),
+        # active day 1; pre-signup activity day never occurs here
+        (5, 2, t(0), "signup"), (6, 2, t(3), "signup"),
+        (7, 2, t(1), "view"),
+        # user 3: never signs up -> excluded entirely
+        (8, 3, t(0), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string")
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    df.select("event_id", "ts", "user_id", "event_type").write.mode(
+        "overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {(r.cohort_day, r.day_offset): r.n_active
+           for r in entry.queries()["retention_cohorts"](spark, d).collect()}
+    day0 = min(cd for cd, _ in got)
+    # offset 0: only user 1 (two same-day events count once)
+    assert got[(day0, 0)] == 1
+    assert got[(day0, 1)] == 1   # user 2
+    assert got[(day0, 2)] == 1   # user 1
+    assert len(got) == 3
