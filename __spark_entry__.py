@@ -732,6 +732,75 @@ GROUP BY s.cohort_day, a.day - s.cohort_day
 """
 
 
+def q_revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution (the ad-tech complement of
+    event_funnel — purchase-anchored instead of view-anchored): each
+    purchase is attributed to the LATEST click in the hour before it;
+    per user, purchase counts and EXACT integer cents split into
+    attributed vs total. Money never exists as a float downstream of
+    the source: cents = round(value * 100) once (identical IEEE double
+    op + half-away rounding in both engines), then all sums are int64.
+    Purchases key by event_id (unique), so same-instant purchases stay
+    distinct; the click meet is a user-keyed equi-join with a range
+    filter (per-user quadratic only, the sessionize cost model)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value")
+    win = 3600 * 1_000_000
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("us").alias("p_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us"))
+    touched = (buys.join(clicks, "user_id")
+               .where((F.col("c_us") < F.col("p_us"))
+                      & (F.col("c_us") >= F.col("p_us") - win))
+               .groupBy("event_id").agg(F.max("c_us").alias("t_click")))
+    return (
+        buys.join(touched, "event_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_attributed"),
+            F.sum(F.when(F.col("t_click").isNotNull(), F.col("cents"))
+                  .otherwise(F.lit(0))).cast("long")
+            .alias("attributed_cents"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORACLE_REVENUE_ATTRIBUTION = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+  FROM events
+),
+buys AS (
+  SELECT event_id, user_id, us AS p_us,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM ev WHERE event_type = 'purchase'
+),
+clicks AS (SELECT user_id, us AS c_us FROM ev WHERE event_type = 'click'),
+touched AS (
+  SELECT b.event_id, max(c.c_us) AS t_click
+  FROM buys b JOIN clicks c ON c.user_id = b.user_id
+  WHERE c.c_us < b.p_us AND c.c_us >= b.p_us - 3600000000
+  GROUP BY b.event_id
+)
+SELECT b.user_id,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(sum(CASE WHEN t.t_click IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_attributed,
+  CAST(sum(CASE WHEN t.t_click IS NULL THEN 0 ELSE b.cents END) AS BIGINT)
+    AS attributed_cents,
+  CAST(sum(b.cents) AS BIGINT) AS total_cents
+FROM buys b LEFT JOIN touched t ON t.event_id = b.event_id
+GROUP BY b.user_id
+"""
+
+
 ORACLE_SESSIONIZE = """
 SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
@@ -5344,6 +5413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
+        "revenue_attribution": q_revenue_attribution,
         "nearest_prior_login": q_nearest_prior_login,
         "customers_without_orders": q_customers_without_orders,
         "set_ops_event_types": q_set_ops_event_types,
@@ -5452,6 +5522,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": ORACLE_SESSIONIZE,
         "event_funnel": ORACLE_EVENT_FUNNEL,
         "retention_cohorts": ORACLE_RETENTION,
+        "revenue_attribution": ORACLE_REVENUE_ATTRIBUTION,
         "nearest_prior_login": ORACLE_NEAREST_PRIOR,
         "customers_without_orders": ORACLE_CUSTOMERS_WO_ORDERS,
         "set_ops_event_types": ORACLE_SET_OPS,

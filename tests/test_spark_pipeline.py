@@ -491,3 +491,42 @@ def test_retention_cohorts_triangle(spark):
     assert got[(day0, 1)] == 1   # user 2
     assert got[(day0, 2)] == 1   # user 1
     assert len(got) == 3
+
+
+def test_revenue_attribution_last_touch(spark):
+    """Cents arithmetic is exact; attribution takes the LATEST in-window
+    click; clicks at or after the purchase never attribute."""
+    from datetime import datetime
+
+    import __spark_entry__ as entry
+
+    def t(s):
+        return datetime(2026, 1, 1, s // 3600, s // 60 % 60, s % 60)
+
+    rows = [
+        # user 1: click 10s and 20s before purchase -> attributed (latest)
+        (1, 1, t(0), "click", 0.0), (2, 1, t(10), "click", 0.0),
+        (3, 1, t(20), "purchase", 12.34),
+        # user 1: second purchase with NO prior click in window (click at
+        # same instant does not count)
+        (4, 1, t(7200), "click", 0.0),  # exactly at purchase instant
+        (5, 1, t(7200), "purchase", 0.99),
+        # user 2: click 2h before purchase -> outside window
+        (6, 2, t(0), "click", 0.0), (7, 2, t(7200), "purchase", 5.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, event_type string,"
+        " value double")
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    df.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+        "overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.user_id: r for r in
+           entry.queries()["revenue_attribution"](spark, d).collect()}
+    u1 = got[1]
+    assert (u1.n_purchases, u1.n_attributed) == (2, 1)
+    assert u1.attributed_cents == 1234 and u1.total_cents == 1234 + 99
+    u2 = got[2]
+    assert (u2.n_purchases, u2.n_attributed) == (1, 0)
+    assert u2.attributed_cents == 0 and u2.total_cents == 500
