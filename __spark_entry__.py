@@ -801,6 +801,73 @@ GROUP BY b.user_id
 """
 
 
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths (the Sankey/flow census): sessions cut by
+    the sessionize 30-min-gap rule, each session rendered as its ordered
+    event-type string ('view>click>purchase'), then the top-20 paths by
+    (count desc, path asc). Order inside a session comes from
+    array_sort over (us, event_id, type) structs — never collect_list
+    arrival order; the census is a path-keyed map-side-partial groupBy
+    and the top-k plans as TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    flagged = ev.select(
+        "user_id", "event_id", "event_type", us.alias("us"),
+        F.when(gap.isNull() | (gap >= 1800 * 1_000_000), F.lit(1))
+        .otherwise(F.lit(0)).alias("new_session"),
+    )
+    w2 = (Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    flagged = flagged.withColumn(
+        "session_no", F.sum("new_session").over(w2))
+    paths = (
+        flagged.groupBy("user_id", "session_no")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("us", "event_id", "event_type"))),
+                lambda s: s["event_type"]),
+            ">").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+ORACLE_USER_PATHS = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)
+            >= 1800 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, event_type, us,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_no,
+    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
 ORACLE_SESSIONIZE = """
 SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
@@ -5414,6 +5481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         "revenue_attribution": q_revenue_attribution,
+        "user_paths": q_user_paths,
         "nearest_prior_login": q_nearest_prior_login,
         "customers_without_orders": q_customers_without_orders,
         "set_ops_event_types": q_set_ops_event_types,
@@ -5523,6 +5591,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": ORACLE_EVENT_FUNNEL,
         "retention_cohorts": ORACLE_RETENTION,
         "revenue_attribution": ORACLE_REVENUE_ATTRIBUTION,
+        "user_paths": ORACLE_USER_PATHS,
         "nearest_prior_login": ORACLE_NEAREST_PRIOR,
         "customers_without_orders": ORACLE_CUSTOMERS_WO_ORDERS,
         "set_ops_event_types": ORACLE_SET_OPS,

@@ -530,3 +530,43 @@ def test_revenue_attribution_last_touch(spark):
     u2 = got[2]
     assert (u2.n_purchases, u2.n_attributed) == (1, 0)
     assert u2.attributed_cents == 0 and u2.total_cents == 500
+
+
+def test_user_paths_session_census(spark):
+    """Paths render in event order within sessions, sessions split at the
+    30-min gap, census ranks by count then path."""
+    from datetime import datetime, timedelta
+
+    import __spark_entry__ as entry
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+
+    def t(mins):
+        return base + timedelta(minutes=mins)
+
+    rows = []
+    eid = 0
+    # three users with the same two-session pattern
+    for u in (1, 2, 3):
+        for ev, m in (("view", 0), ("click", 1)):       # session 1
+            eid += 1
+            rows.append((eid, u, t(m), ev))
+        for ev, m in (("view", 60), ("purchase", 61)):  # session 2 (gap 59m)
+            eid += 1
+            rows.append((eid, u, t(m), ev))
+    # one user with a single long session
+    eid += 1
+    rows.append((eid, 9, t(0), "signup"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string")
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    df.select("event_id", "ts", "user_id", "event_type").write.mode(
+        "overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = entry.queries()["user_paths"](spark, d).collect()
+    census = {r.path: r.n_sessions for r in got}
+    assert census["view>click"] == 3
+    assert census["view>purchase"] == 3
+    assert census["signup"] == 1
+    # ranking: counts desc, then path asc breaks the 3-3 tie
+    assert [r.path for r in got[:2]] == ["view>click", "view>purchase"]
