@@ -78,6 +78,29 @@ def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
+def doc_shingle_sets(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id:long, ts:array<bigint>) — each document's DISTINCT 3-gram
+    shingle-hash set, un-exploded (doc_shingle_hashes is the explode of
+    this). The prefix-filter joins (setsim_join / containment_join) need
+    the shingle relation three ways — df census, prefix postings, verify
+    arrays; materializing the per-doc ARRAY once lets them persist ONE
+    tokenize+md5 pass and derive all three from it instead of re-running
+    the hash transform per branch (guide §1.2 step 1: don't compute things
+    three times)."""
+    documents = _fan_out(documents)
+    words = F.split(normalize_ws(F.lower(F.col("text"))), " ")
+    staged = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("ws") - (n - 1), F.lit(1)))
+    grams = F.transform(
+        starts,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("ws", i, n))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    return staged.select("doc_id", F.array_distinct(grams).alias("ts"))
+
+
 def doc_shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id:long, shingle:bigint) — 3-gram shingles hashed to a 32-bit
     base inside the transform (the MinHash path only needs shingle identity;
@@ -91,17 +114,8 @@ def doc_shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
     the words array is materialized behind a projection so the split isn't
     re-evaluated per shingle, and the exploded column is a bigint, not a
     string (nothing row-size-heavy crosses the explode)."""
-    documents = _fan_out(documents)
-    words = F.split(normalize_ws(F.lower(F.col("text"))), " ")
-    staged = documents.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
-    starts = F.sequence(F.lit(1), F.greatest(F.size("ws") - (n - 1), F.lit(1)))
-    grams = F.transform(
-        starts,
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice("ws", i, n))), 1, 8), 16, 10
-        ).cast("long"),
-    )
-    return staged.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return doc_shingle_sets(documents, n).select(
+        "doc_id", F.explode("ts").alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -875,6 +889,83 @@ def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 4,
     )
 
 
+def _prefix_filter_sets(documents: DataFrame) -> DataFrame:
+    """Persisted (doc_id, ts, n) base relation for the prefix-filter joins:
+    ONE tokenize+md5 pass whose per-doc distinct shingle array feeds the df
+    census, the prefix postings and the verify step. Registered in
+    pipeline._PERSISTED so bench/extract_documents reclaim it."""
+    from pyspark import StorageLevel
+
+    from .pipeline import _PERSISTED
+
+    sets = (
+        doc_shingle_sets(documents)
+        .withColumn("n", F.size("ts").cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(sets)
+    return sets
+
+
+def _sorted_postings(sets: DataFrame) -> DataFrame:
+    """(doc_id, term, pos, n) — every doc's shingles with their 1-based rank
+    under the (df asc, term asc) global rarity order, computed as an in-row
+    sort of the per-doc (df, term) struct array (one groupBy; the
+    row_number-window form this replaces re-shuffled the full relation).
+    `pos` carries the PPJoin positional information the candidate filters
+    need; the prefix relation is just `pos <= L`."""
+    toks = sets.select("doc_id", F.explode("ts").alias("term"))
+    df_census = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    return (
+        toks.join(df_census, "term")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "term"))).alias("dts"))
+        .select(
+            "doc_id", F.size("dts").cast("long").alias("n"),
+            F.posexplode(F.transform("dts", lambda s: s.term))
+            .alias("p0", "term"),
+        )
+        .select("doc_id", "term",
+                (F.col("p0") + 1).cast("long").alias("pos"), "n")
+    )
+
+
+def _prefix_postings(postings: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Per-doc first L = n - ceil(t*n) + 1 postings under the rarity order
+    (the Bayardo prefix): exactly the rows the old row_number-window form
+    kept ((doc, term) is unique, so the (df, term) order is total)."""
+    return postings.where(
+        F.col("pos") <= F.col("n")
+        - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + 1)
+
+
+def _attach_sets(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Attach both docs' shingle arrays to verified-candidate pairs WITHOUT
+    shuffling the arrays per pair (guide §8: move heavy payloads once,
+    decide on light proxies): the (doc_id, ts) relation is broadcast when
+    the corpus is broadcast-size (<= _BROADCAST_SETS_MAX_DOCS docs; the
+    arrays then meet the pair stream map-side), else the original
+    doc-keyed shuffle joins apply. Candidate pruning has already happened
+    on (doc_a, doc_b, n) rows only, so at either size nothing pair-scaled
+    carries an array through an exchange twice."""
+    arrays = sets.select("doc_id", "ts")
+    if sets.count() <= _BROADCAST_SETS_MAX_DOCS:
+        arrays = F.broadcast(arrays)
+    out = cand.join(
+        arrays.select(F.col("doc_id").alias("doc_a"),
+                      F.col("ts").alias("ts_a")), "doc_a").join(
+        arrays.select(F.col("doc_id").alias("doc_b"),
+                      F.col("ts").alias("ts_b")), "doc_b")
+    return out
+
+
+# Above this corpus size the per-doc shingle-array relation stops being
+# broadcastable (~500 B/doc -> ~150 MB at the cap) and the verify joins fall
+# back to doc-keyed shuffles — the same plan the operator always had.
+_BROADCAST_SETS_MAX_DOCS = 300_000
+
+
 def setsim_join(documents: DataFrame, t_num: int = 3, t_den: int = 5,
                 text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -909,39 +1000,51 @@ def setsim_join(documents: DataFrame, t_num: int = 3, t_den: int = 5,
     inside shared-prefix-shingle groups — the algorithm's own bound.
 
     Returns (doc_a, doc_b, n_inter, n_union) for verified pairs,
-    doc_a < doc_b."""
-    toks = doc_shingle_hashes(documents).withColumnRenamed(
-        "shingle", "term")
-    df_census = toks.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"))
-    pos_w = Window.partitionBy("doc_id").orderBy("df", "term")
-    positions = (
-        toks.join(df_census, "term")
-        .select("doc_id", "term", "df",
-                F.row_number().over(pos_w).cast("long").alias("pos"),
-                F.count("*").over(Window.partitionBy("doc_id"))
-                .cast("long").alias("n"))
-    )
-    prefix = positions.where(
-        F.col("pos") <= F.col("n")
-        - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + 1)
-    cand = (
+    doc_a < doc_b.
+
+    One tokenize+md5 pass (doc_shingle_sets, persisted — census, prefix
+    postings and verify arrays all derive from it), plus the two PPJoin
+    candidate filters (Xiao et al., WWW 2008), both result-preserving:
+
+    - LENGTH filter in the join condition: J(A,B) <= min/max sizes, so
+      t_num*max(n_a,n_b) > t_den*min(n_a,n_b) pairs can never pass.
+    - POSITIONAL filter on the grouped matches: both docs' shingle arrays
+      are sorted by the SAME global order, so every shared term <= the
+      largest prefix-prefix match w1 (positions pa1/pb1) is itself a
+      prefix-prefix match (a smaller shared term sits at smaller positions
+      in BOTH prefixes), and shared terms > w1 number at most
+      min(n_a-pa1, n_b-pb1). Hence |A∩B| <= cnt + min(n_a-pa1, n_b-pb1);
+      pairs where that bound, cross-multiplied, misses the required
+      overlap ceil(t*(n_a+n_b)/(1+t)) are pruned BEFORE any array is
+      attached. Only survivors pay the array_intersect verify, and the
+      arrays meet them broadcast (see _attach_sets) — the old plan
+      shuffled both ~n-element arrays per CANDIDATE pair."""
+    sets = _prefix_filter_sets(documents)
+    prefix = _prefix_postings(_sorted_postings(sets), t_num, t_den)
+    tsum = t_num + t_den
+    raw = (
         prefix.alias("x").join(prefix.alias("y"), "term")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .where((F.col("x.doc_id") < F.col("y.doc_id"))
+               & (F.lit(t_num) * F.greatest("x.n", "y.n")
+                  <= F.lit(t_den) * F.least("x.n", "y.n")))
         .select(F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+                F.col("y.doc_id").alias("doc_b"),
+                "term", F.col("x.pos").alias("pa"),
+                F.col("y.pos").alias("pb"),
+                F.col("x.n").alias("n_a"), F.col("y.n").alias("n_b"))
     )
-    sets = toks.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("term")).alias("ts"),
-        F.count("*").cast("long").alias("n"))
+    cand = (
+        raw.groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("cnt"),
+             F.max(F.struct("term", "pa", "pb")).alias("w1"))
+        .where((F.col("cnt")
+                + F.least(F.col("n_a") - F.col("w1.pa"),
+                          F.col("n_b") - F.col("w1.pb"))) * F.lit(tsum)
+               >= F.lit(t_num) * (F.col("n_a") + F.col("n_b")))
+        .select("doc_a", "doc_b", "n_a", "n_b")
+    )
     return (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"),
-                              F.col("ts").alias("ts_a"),
-                              F.col("n").alias("n_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"),
-                          F.col("ts").alias("ts_b"),
-                          F.col("n").alias("n_b")), "doc_b")
+        _attach_sets(cand, sets)
         .select(
             "doc_a", "doc_b",
             F.size(F.array_intersect("ts_a", "ts_b")).cast("long")
@@ -982,39 +1085,44 @@ def containment_join(documents: DataFrame, t_num: int = 4, t_den: int = 5,
 
     Returns (doc_a, doc_b, n_inter, n_a), doc_a != doc_b, both
     directions evaluated independently (A-in-B and B-in-A are different
-    claims)."""
-    toks = doc_shingle_hashes(documents).withColumnRenamed(
-        "shingle", "term")
-    df_census = toks.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"))
-    pos_w = Window.partitionBy("doc_id").orderBy("df", "term")
-    positions = (
-        toks.join(df_census, "term")
-        .select("doc_id", "term", "df",
-                F.row_number().over(pos_w).cast("long").alias("pos"),
-                F.count("*").over(Window.partitionBy("doc_id"))
-                .cast("long").alias("n"))
-    )
-    prefix = positions.where(
-        F.col("pos") <= F.col("n")
-        - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + 1)
-    cand = (
-        prefix.select("doc_id", "term").alias("x")
-        .join(toks.alias("y"), "term")
-        .where(F.col("x.doc_id") != F.col("y.doc_id"))
+    claims).
+
+    Same single-pass restructure as setsim_join, with the asymmetric
+    PPJoin-style filters (both result-preserving): a LENGTH filter in the
+    join condition (|A∩B| <= n_b, so t_num*n_a > t_den*n_b pairs can never
+    reach containment t), and a POSITIONAL filter on the grouped matches —
+    the probe side's prefix meets the indexed side's FULL postings, so
+    every shared term <= the largest match w1 has A-position <= pa1 <= La
+    and is itself matched; shared terms beyond w1 number at most
+    min(n_a-pa1, n_b-pb1), giving |A∩B| <= cnt + min(n_a-pa1, n_b-pb1).
+    Pairs whose bound misses ceil(t*n_a) are pruned before the verify, and
+    the verify arrays meet the survivors broadcast (_attach_sets) instead
+    of shuffling per candidate pair."""
+    sets = _prefix_filter_sets(documents)
+    postings = _sorted_postings(sets)
+    prefix = _prefix_postings(postings, t_num, t_den)
+    raw = (
+        prefix.alias("x").join(postings.alias("y"), "term")
+        .where((F.col("x.doc_id") != F.col("y.doc_id"))
+               & (F.lit(t_num) * F.col("x.n") <= F.lit(t_den) * F.col("y.n")))
         .select(F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+                F.col("y.doc_id").alias("doc_b"),
+                "term", F.col("x.pos").alias("pa"),
+                F.col("y.pos").alias("pb"),
+                F.col("x.n").alias("n_a"), F.col("y.n").alias("n_b"))
     )
-    sets = toks.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("term")).alias("ts"),
-        F.count("*").cast("long").alias("n"))
+    cand = (
+        raw.groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("cnt"),
+             F.max(F.struct("term", "pa", "pb")).alias("w1"))
+        .where((F.col("cnt")
+                + F.least(F.col("n_a") - F.col("w1.pa"),
+                          F.col("n_b") - F.col("w1.pb"))) * F.lit(t_den)
+               >= F.lit(t_num) * F.col("n_a"))
+        .select("doc_a", "doc_b", "n_a")
+    )
     return (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"),
-                              F.col("ts").alias("ts_a"),
-                              F.col("n").alias("n_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"),
-                          F.col("ts").alias("ts_b")), "doc_b")
+        _attach_sets(cand, sets)
         .select(
             "doc_a", "doc_b",
             F.size(F.array_intersect("ts_a", "ts_b")).cast("long")

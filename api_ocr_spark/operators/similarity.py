@@ -15,6 +15,7 @@ JVM-side (zip_with/aggregate folds; the hyperplanes are literal arrays).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -23,6 +24,33 @@ from .pipeline import _PERSISTED
 QUANT = 1000
 LSH_BITS = 8
 LSH_SEED = 7
+
+# Safety margin for Arrow-side candidate pre-pruning against the 6-dp-rounded
+# cosine the JVM ranks/filters by: rounding moves a value by <= 0.5e-6, so two
+# unrounded cosines more than 2e-6 apart can never swap or tie after rounding.
+# Pruning at (local kth best - GEMM_MARGIN) therefore keeps a provable
+# superset of every global winner; the JVM re-verifies with the exact rounded
+# cosine, so results are bit-identical to the unpruned plan.
+GEMM_MARGIN = 5e-6
+
+# All integer dot products in this module are exact in float64 GEMM: the
+# quantized components are |q| <= ~1000 (embeddings are unit-scale floats),
+# so dots are < 64 * 1e6 ~ 2^26 and every partial sum is an integer far below
+# 2^53 — float64 addition of exactly-representable integers with an exactly
+# representable sum is exact regardless of order, so BLAS reordering cannot
+# change a single bit. _DOT_EXACT_BOUND guards the assumption at runtime.
+_DOT_EXACT_BOUND = float(2**52)
+
+
+def _batch_matrix(batch, col: str, n_rows: int) -> np.ndarray:
+    """(n_rows, d) float64 matrix from an Arrow list<int64> column — one
+    flatten + reshape (the list values are contiguous), no per-row Python."""
+    flat = batch.column(col).flatten().to_numpy(zero_copy_only=False)
+    if n_rows == 0:
+        return np.empty((0, 0), np.float64)
+    d = flat.size // n_rows
+    assert flat.size == n_rows * d, "ragged qvec lists"
+    return flat.astype(np.float64).reshape(n_rows, d)
 
 
 def quantized(emb: DataFrame) -> DataFrame:
@@ -255,19 +283,48 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 8, n_centroids: int = 
     )
 
 
+def _bucket_arrow(q: DataFrame, planes: list[list[int]]) -> DataFrame:
+    """(vec_id, qvec, norm2) + sign-LSH bucket via one exact GEMM against
+    the ±1 plane matrix in an Arrow stage (integer projections, so the
+    `> 0` sign test is exact) — bit-identical to lsh_bucket's interpreted
+    per-plane fold, with zero shuffles."""
+    import pyarrow as pa
+
+    pmat = np.asarray(planes, dtype=np.float64)
+    pows = (1 << np.arange(len(planes), dtype=np.int64))
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qm = _batch_matrix(batch, "qvec", n)
+            bucket = (((qm @ pmat.T) > 0) @ pows).astype(np.int32)
+            yield batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in q.schema.fields
+    ) + ", bucket int"
+    return q.mapInArrow(fn, out_schema)
+
+
 def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.9, dim: int = 64) -> DataFrame:
     """Scale path: bucket by sign-LSH, meet within buckets, verify exact
-    cosine. Misses cross-bucket pairs by design (ANN semantics)."""
+    cosine. Misses cross-bucket pairs by design (ANN semantics).
+
+    Both stages run as exact vectorized Arrow passes (guide §4.2): bucketing
+    is one GEMM against the ±1 plane matrix, and the within-bucket meet is a
+    per-bucket gram matrix emitting a margin-pruned candidate superset that
+    the JVM re-filters with the exact 6-dp-rounded cosine — output identical
+    to the bucket-equi-join + interpreted-fold plan this replaces."""
     planes = lsh_hyperplanes(dim)
-    q = quantized(emb).withColumn("bucket", lsh_bucket(F.col("qvec"), planes))
-    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qvec").alias("qa"),
-                 F.col("norm2").alias("na"), "bucket")
-    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qvec").alias("qb"),
-                 F.col("norm2").alias("nb"), "bucket")
-    pairs = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b", cosine(dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cos")
+    bucketed = _bucket_arrow(quantized(emb), planes)
+    return (
+        _group_pair_candidates(bucketed, "bucket", threshold)
+        .select("vec_a", "vec_b",
+                cosine(F.col("dp"), F.col("na"), F.col("nb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
     )
-    return pairs.filter(F.col("cos") >= threshold)
 
 
 def centroid_table(spark, centroids: list[list[int]]) -> DataFrame:
@@ -280,16 +337,57 @@ def centroid_table(spark, centroids: list[list[int]]) -> DataFrame:
         rows, "centroid_id int, cvec array<bigint>, cnorm2 bigint")
 
 
+def _assign_arrow(q: DataFrame, book: list[list[int]]) -> DataFrame:
+    """(vec_id, qvec, norm2) + centroid_id via exact GEMM against the k×d
+    codebook in one Arrow stage — no shuffle at all (the old shape paid a
+    broadcast join + max_by groupBy + re-join per round). Exactness: dots
+    and norm products are integers < 2^53 (asserted), so the float64 GEMM,
+    sqrt and divide are the same IEEE ops the JVM fold computed; argmax
+    returns the FIRST max = smallest centroid_id, identical to
+    max_by(centroid_id, struct(ccos, -cid)) incl. the all-NaN zero-norm
+    row case (both engines then pick centroid 0)."""
+    import pyarrow as pa
+
+    cmat = np.asarray(book, dtype=np.float64)
+    cn = (cmat * cmat).sum(axis=1)
+    cn[cn == 0.0] = 1.0  # centroid_table's zero-norm guard
+    assert float(np.abs(cmat).sum(axis=1).max() ** 2) < _DOT_EXACT_BOUND
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qm = _batch_matrix(batch, "qvec", n)
+            n2 = batch.column("norm2").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (qm @ cmat.T) / np.sqrt(n2[:, None] * cn[None, :])
+            cid = cos.argmax(axis=1).astype(np.int32)
+            yield batch.append_column(
+                "centroid_id", pa.array(cid, pa.int32()))
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in q.schema.fields
+    ) + ", centroid_id int"
+    return q.mapInArrow(fn, out_schema)
+
+
 def ivf_assign_table(emb: DataFrame, n_centroids: int = 16, iters: int = 3,
                      seed: int = 11) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer with the centroid codebook as a broadcast TABLE
     (vs ivf_assign's literal expressions — same math, plan size independent
     of k·d, so it scales to production codebooks of 256-65536 centroids).
 
-    Each Lloyd round: broadcast-join corpus × codebook (k rows) → argmax
-    cosine per vector via max_by (one map-side-partial aggregation) →
-    per-(centroid, dim) mean via posexplode + one groupBy. Returns
-    (assignments(vec_id, qvec, norm2, centroid_id), codebook df).
+    Each Lloyd round: centroid assignment runs as ONE Arrow stage doing an
+    exact float64 GEMM of the batch against the k×d codebook (guide §4.2 —
+    whole batches through native vectorized code; integer dots < 2^53 are
+    exact in float64, so this is bit-identical to the per-pair Catalyst fold
+    it replaced, which evaluated an INTERPRETED zip_with/aggregate per
+    (vector, centroid) pair). argmax-with-min-id tie-break is numpy argmax
+    (first max), matching max_by(centroid_id, struct(ccos, -cid)). The
+    per-(centroid, dim) mean stays a posexplode + one codegen'd groupBy.
+    Returns (assignments(vec_id, qvec, norm2, centroid_id), codebook df).
 
     As in ivf_assign, the cached quantized frame goes into
     pipeline._PERSISTED for reclamation via release_persisted()."""
@@ -302,18 +400,12 @@ def ivf_assign_table(emb: DataFrame, n_centroids: int = 16, iters: int = 3,
     book = [[int(v) for v in r.qvec] for r in seed_rows]
     cents = centroid_table(spark, book)
 
-    def assign(cents_df: DataFrame) -> DataFrame:
-        cos = dot(F.col("qvec"), F.col("cvec")) / F.sqrt(
-            (F.col("norm2") * F.col("cnorm2")).cast("double"))
-        scored = q.crossJoin(F.broadcast(cents_df)).select(
-            "vec_id", "qvec", "norm2", "centroid_id", cos.alias("ccos"))
-        best = scored.groupBy("vec_id").agg(
-            F.max_by("centroid_id", F.struct("ccos", (-F.col("centroid_id")).alias("tb"))).alias("centroid_id"))
-        return q.join(best, "vec_id")
+    def assign(codebook: list[list[int]]) -> DataFrame:
+        return _assign_arrow(q, codebook)
 
     dim = len(seed_rows[0].qvec)
     for _ in range(iters):
-        assigned = assign(cents)
+        assigned = assign(book)
         means = (
             assigned.select("centroid_id", F.posexplode("qvec").alias("d", "v"))
             .groupBy("centroid_id", "d")
@@ -331,7 +423,7 @@ def ivf_assign_table(emb: DataFrame, n_centroids: int = 16, iters: int = 3,
         book = [new.get(i, book[i]) for i in range(n_centroids)]
         cents = centroid_table(spark, book)
         _ = dim
-    return assign(cents), cents
+    return assign(book), cents
 
 
 def ivf_topk_table(emb: DataFrame, k: int = 5, n_queries: int = 8,
@@ -407,6 +499,46 @@ def lsh_buckets_table(emb: DataFrame, dim: int = 64, bits: int = LSH_BITS,
     return q.join(buckets, "vec_id")
 
 
+def _group_pair_candidates(grouped: DataFrame, key_col: str,
+                           threshold: float) -> DataFrame:
+    """Within-group near-dup pair CANDIDATES (vec_a < vec_b) via one exact
+    gram matrix per group (Q @ Qᵀ — guide §4.2), pre-pruned at
+    (threshold - GEMM_MARGIN) on the UNROUNDED cosine: a provable superset
+    of every pair whose 6-dp-rounded cosine passes `threshold` (rounding
+    moves a cosine by <= 0.5e-6 < GEMM_MARGIN). The caller re-applies the
+    exact rounded-cosine filter JVM-side on the emitted exact integer
+    (dp, na, nb), so results are bit-identical to the pairwise-join form
+    this replaces — which evaluated an interpreted 64-element fold per
+    candidate pair, quadratic per group. NaN cosines (zero-norm vectors)
+    are kept: Spark ranks NaN above every double, so they must reach the
+    JVM filter."""
+    import pandas as pd
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        qm = np.stack(pdf["qvec"].to_numpy()[order]).astype(np.float64)
+        n2 = pdf["norm2"].to_numpy()[order].astype(np.float64)
+        gram = qm @ qm.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = gram / np.sqrt(n2[:, None] * n2[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = cos[iu, ju]
+        keep = (c >= threshold - GEMM_MARGIN) | np.isnan(c)
+        iu, ju = iu[keep], ju[keep]
+        return pd.DataFrame({
+            "vec_a": ids[iu], "vec_b": ids[ju],
+            "dp": gram[iu, ju].astype(np.int64),
+            "na": n2[iu].astype(np.int64),
+            "nb": n2[ju].astype(np.int64),
+        })
+
+    return grouped.select("vec_id", "qvec", "norm2", key_col).groupBy(
+        key_col).applyInPandas(
+        pairs, schema="vec_a long, vec_b long, dp long, na long, nb long")
+
+
 def semdedup(emb: DataFrame, threshold: float = 0.8, n_centroids: int = 16,
              iters: int = 3, seed: int = 11) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
@@ -431,17 +563,12 @@ def semdedup(emb: DataFrame, threshold: float = 0.8, n_centroids: int = 16,
     out."""
     assigned, _ = ivf_assign_table(emb, n_centroids=n_centroids, iters=iters,
                                    seed=seed)
-    left = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("qvec").alias("qa"),
-        F.col("norm2").alias("na"), "centroid_id")
-    right = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("qvec").alias("qb"),
-        F.col("norm2").alias("nb"), "centroid_id")
+    # per-cluster gram-matrix candidates (exact superset; see
+    # _group_pair_candidates), then the SAME exact rounded-cosine filter
+    # this operator always applied — on the exact integer (dp, na, nb)
     dropped = (
-        left.join(right, "centroid_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(dot(F.col("qa"), F.col("qb")),
-                       F.col("na"), F.col("nb")) >= threshold)
+        _group_pair_candidates(assigned, "centroid_id", threshold)
+        .filter(cosine(F.col("dp"), F.col("na"), F.col("nb")) >= threshold)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(1))
@@ -472,35 +599,72 @@ def hard_negatives(emb: DataFrame, k: int = 5, n_centroids: int = 16,
     ties break by neighbor_id; the emitted `dot` column is the exact
     int64 inner product.
 
-    Shape at 100 TB: the query side is BROADCAST and the corpus is scored
-    map-side (the brute_force_topk pattern — the corpus never shuffles to
-    meet the queries); the non-equi cluster-exclusion predicate rides the
-    broadcast join as a filter, so the only exchange after assignment is
-    the per-query top-k window, which is query-cardinality-bounded. For
-    query sets too big to broadcast, route per-cluster: IVF-probe the
-    nearest non-own clusters (ivf_topk_table's equi-join shape) — the
-    documented scale fallback."""
+    Shape at 100 TB: the query matrix is SHIPPED INSIDE the Arrow stage's
+    closure (the brute_force_topk pattern — the corpus never shuffles to
+    meet the queries) and each batch is scored with one exact float64 GEMM
+    (guide §4.2; the previous broadcast theta-join evaluated an interpreted
+    64-element fold per (query, corpus) pair). Each batch keeps only a
+    margin-pruned per-query top-k superset (GEMM_MARGIN proof: a candidate
+    beaten by >= k batch-mates whose unrounded cosine exceeds it by more
+    than 2e-6 is beaten strictly after 6-dp rounding too), so the only
+    exchange after assignment is the per-query top-k window over a
+    batch-count × query-count bounded candidate set. The JVM recomputes
+    the exact rounded cosine from the exact integer (dp, norms) and ranks —
+    results bit-identical to the unpruned plan. For query sets too big to
+    ship, route per-cluster: IVF-probe the nearest non-own clusters
+    (ivf_topk_table's equi-join shape) — the documented scale fallback."""
+    import pyarrow as pa
     from pyspark.sql.window import Window
 
     assigned, _ = ivf_assign_table(emb, n_centroids=n_centroids,
                                    iters=iters, seed=seed)
-    queries = F.broadcast(
-        assigned.where(F.col("vec_id") % query_mod == 0).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qvec").alias("q_qvec"),
-            F.col("norm2").alias("q_norm2"),
-            F.col("centroid_id").alias("q_centroid"),
-        )
-    )
-    cand = queries.join(
-        assigned,
-        (F.col("centroid_id") != F.col("q_centroid"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dot(F.col("q_qvec"), F.col("qvec")).alias("dp"),
-        "q_norm2", "norm2",
+    qrows = (
+        assigned.where(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "qvec", "norm2", "centroid_id").collect()
+    )  # query-cardinality-bounded, same contract as the broadcast it replaces
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, dot long")
+    qmat = np.asarray([list(r.qvec) for r in qrows], dtype=np.float64)
+    qn2 = np.asarray([r.norm2 for r in qrows], dtype=np.float64)
+    qcid = np.asarray([r.centroid_id for r in qrows], dtype=np.int64)
+    qids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
+    qn2_long = qn2.astype(np.int64)
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qm = _batch_matrix(batch, "qvec", n)
+            n2 = batch.column("norm2").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            cid = batch.column("centroid_id").to_numpy(zero_copy_only=False)
+            dots = qm @ qmat.T                                   # n × nq
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / np.sqrt(n2[:, None] * qn2[None, :])
+            valid = ((cid[:, None] != qcid[None, :])
+                     & (vid[:, None] != qids[None, :]))
+            cm = np.where(valid, cos, -np.inf)
+            if n > k:
+                kth = np.partition(cm, n - k, axis=0)[n - k, :]
+            else:
+                kth = np.full(cm.shape[1], -np.inf)
+            keep = valid & ((cm >= kth[None, :] - GEMM_MARGIN)
+                            | np.isnan(cm))
+            rows, qcols = np.nonzero(keep)
+            yield pa.record_batch(
+                [pa.array(qids[qcols], pa.int64()),
+                 pa.array(vid[rows].astype(np.int64), pa.int64()),
+                 pa.array(dots[rows, qcols].astype(np.int64), pa.int64()),
+                 pa.array(n2[rows].astype(np.int64), pa.int64()),
+                 pa.array(qn2_long[qcols], pa.int64())],
+                names=["query_id", "neighbor_id", "dp", "norm2", "q_norm2"])
+
+    cand = assigned.mapInArrow(
+        fn,
+        "query_id long, neighbor_id long, dp long, norm2 long, q_norm2 long",
     ).select(
         "query_id", "neighbor_id", "dp",
         cosine(F.col("dp"), F.col("q_norm2"), F.col("norm2")).alias("cos"),
