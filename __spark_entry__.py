@@ -158,8 +158,13 @@ FROM k GROUP BY doc_id
 
 
 def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = build_media(_docs(spark, sf_dir))
-    return media.select("media_ref", "fmt", "scenario", "truth_text")
+    """Media-store manifest — METADATA-only projection, so it routes through
+    the Catalyst-expression manifest (interleave.build_media_manifest): the
+    old build_media(...).select(...) rendered + encoded every image inside
+    the opaque Python stage just to discard the pixels (guide §4.1)."""
+    from api_ocr_spark.sources.interleave import build_media_manifest
+
+    return build_media_manifest(_docs(spark, sf_dir))
 
 
 ORACLE_MEDIA_MANIFEST = _SPANS_CTE + """

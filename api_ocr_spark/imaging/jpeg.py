@@ -162,10 +162,18 @@ def _dht_segment(table_class: int, table_id: int, lengths: dict[int, int]) -> by
 
 _POW2 = 2 ** np.arange(32, dtype=np.int64)  # bit_length via searchsorted (exact)
 
+# bit_length LUT for the common |v| range (quantized baseline coefficients
+# are well under 2^12 on 8-bit inputs); one take() beats searchsorted's
+# binary search per element. Falls back to searchsorted for larger values.
+_CAT_LUT = np.searchsorted(_POW2, np.arange(1 << 12), side="right").astype(np.int64)
+
 
 def _categories(v: np.ndarray) -> np.ndarray:
     """Vectorized JPEG category (bit_length of |v|); 0 for v == 0."""
-    return np.searchsorted(_POW2, np.abs(v), side="right").astype(np.int64)
+    a = np.abs(v)
+    if a.size == 0 or int(a.max()) < len(_CAT_LUT):
+        return _CAT_LUT.take(a)
+    return np.searchsorted(_POW2, a, side="right").astype(np.int64)
 
 
 def _extend(v: np.ndarray, cat: np.ndarray) -> np.ndarray:

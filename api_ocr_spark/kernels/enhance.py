@@ -346,9 +346,26 @@ def _profile_scores(ink: np.ndarray, h: int, w: int) -> dict[float, float] | Non
         return None
     ys32 = ys.astype(np.int32)
     xs32 = xs.astype(np.int32)
-    yy = np.arange(h) - h / 2
     pad = int(np.ceil(np.tan(np.deg2rad(8)) * h / 2)) + 1
     width = w + 2 * pad
+    n_angles = len(SKEW_SEARCH_DEGREES)
+    if ys.size * n_angles <= (1 << 22):
+        # Small-page fast path: ONE gather + ONE bincount across all angles
+        # (per-angle numpy call overhead dominates at fixture page sizes).
+        # The per-height shift matrix is cached — rows are the identical
+        # np.round(tan(-deg)*yy) expression of the loop below, so counts
+        # and scores are bit-identical; the loop stays for big pages where
+        # the (angles x nnz) index matrix would be a bandwidth regression
+        # (see the docstring).
+        shifts2d = _shift_matrix(h)
+        idx2 = shifts2d[:, ys32] + (xs32 + pad)[None, :]
+        idx2 += (np.arange(n_angles, dtype=np.int32) * width)[:, None]
+        prof = np.bincount(idx2.ravel(), minlength=n_angles * width)
+        prof = prof.reshape(n_angles, width)
+        sq = (prof * prof).sum(axis=1)
+        return {float(deg): float(sq[j])
+                for j, deg in enumerate(SKEW_SEARCH_DEGREES)}
+    yy = np.arange(h) - h / 2
     scores: dict[float, float] = {}
     for deg in SKEW_SEARCH_DEGREES:
         shift = np.round(np.tan(np.deg2rad(-deg)) * yy).astype(np.int32)
@@ -358,6 +375,25 @@ def _profile_scores(ink: np.ndarray, h: int, w: int) -> dict[float, float] | Non
         prof = np.bincount(idx, minlength=width)
         scores[float(deg)] = float((prof * prof).sum())
     return scores
+
+
+_SHIFT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _shift_matrix(h: int) -> np.ndarray:
+    """(n_angles, h) int32 per-row shear shifts for every search angle —
+    row j identical to the per-angle loop's shift vector. Cached per image
+    height (render heights come from a small discrete set)."""
+    m = _SHIFT_CACHE.get(h)
+    if m is None:
+        yy = np.arange(h) - h / 2
+        m = np.stack([
+            np.round(np.tan(np.deg2rad(-deg)) * yy).astype(np.int32)
+            for deg in SKEW_SEARCH_DEGREES])
+        if len(_SHIFT_CACHE) > 256:
+            _SHIFT_CACHE.clear()
+        _SHIFT_CACHE[h] = m
+    return m
 
 
 def estimate_skew(binary: np.ndarray) -> float:

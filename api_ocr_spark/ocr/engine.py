@@ -81,11 +81,16 @@ def _line_bands(ink: np.ndarray) -> list[tuple[int, int]]:
     return _runs_with_gap_merge(ink.any(axis=1), LINE_GAP_ROWS)
 
 
-def _char_runs(band: np.ndarray) -> list[list[tuple[int, int]]]:
+def _char_runs(
+    band: np.ndarray, colink: np.ndarray | None = None
+) -> list[list[tuple[int, int]]]:
     """Within a line band: group ink-column runs into words (gap >=
     WORD_GAP_PX) and chars (gap >= CHAR_GAP_PX). Returns [[(x0,x1)...]...].
-    Vectorized run extraction; python loops touch runs, not pixels."""
-    chars = _runs_with_gap_merge(band.any(axis=0), CHAR_GAP_PX)
+    Vectorized run extraction; python loops touch runs, not pixels.
+    `colink` lets a caller that already computed band.any(axis=0) share it."""
+    if colink is None:
+        colink = band.any(axis=0)
+    chars = _runs_with_gap_merge(colink, CHAR_GAP_PX)
     words: list[list[tuple[int, int]]] = []
     for c in chars:
         if words and c[0] - words[-1][-1][1] < WORD_GAP_PX:
@@ -182,13 +187,32 @@ def _extract_words(ink: np.ndarray, binary: np.ndarray) -> list[dict]:
     words_out: list[dict] = []
     for line_no, (y0, y1) in enumerate(_line_bands(ink)):
         band = ink[y0:y1]
-        for word in _char_runs(band):
+        # Per-column ink extents, computed ONCE per band: char/word y-bounds
+        # are then reduceat-mins/maxes over column ranges — the per-char
+        # col.any(axis=1)+nonzero passes this replaces dominated the stage
+        # with small-array numpy call overhead (identical bounds: a char's
+        # tight y-range is the min top / max bottom of its ink columns).
+        hb = band.shape[0]
+        colink = band.any(axis=0)
+        top = np.where(colink, band.argmax(axis=0), hb)
+        bot = np.where(colink, hb - 1 - band[::-1].argmax(axis=0), -1)
+        for word in _char_runs(band, colink):
+            bounds = np.empty(2 * len(word), np.intp)
+            bounds[0::2] = [c[0] for c in word]
+            bounds[1::2] = [c[1] for c in word]
+            # reduceat segments alternate char span / inter-char gap; even
+            # segments are the chars. Non-ink columns carry top=hb / bot=-1
+            # sentinels, so gap columns never move a min/max. When the last
+            # char ends at the band edge its end index == len(top) (not a
+            # valid reduceat index) — drop it; the final segment then ends
+            # at the array edge, which is exactly that char's span.
+            nb = bounds if bounds[-1] < len(top) else bounds[:-1]
+            ctop = np.minimum.reduceat(top, nb)[0::2]
+            cbot = np.maximum.reduceat(bot, nb)[0::2]
             chars = []
             confs = []
-            for (x0, x1) in word:
-                col = band[:, x0:x1]
-                ys = np.nonzero(col.any(axis=1))[0]
-                crop = col[ys.min() : ys.max() + 1]
+            for i, (x0, x1) in enumerate(word):
+                crop = band[int(ctop[i]): int(cbot[i]) + 1, x0:x1]
                 ch, conf = _match_char(crop)
                 chars.append(ch)
                 confs.append(conf)
@@ -198,13 +222,13 @@ def _extract_words(ink: np.ndarray, binary: np.ndarray) -> list[dict]:
                 continue
             x0 = word[0][0]
             x1 = word[-1][1]
-            col = band[:, x0:x1]
-            ys = np.nonzero(col.any(axis=1))[0]
+            wy0 = int(ctop.min())
+            wy1 = int(cbot.max())
             words_out.append(
                 {
                     "text": text,
-                    "bbox": (int(x0), int(y0 + ys.min()),
-                             int(x1 - x0), int(ys.max() - ys.min() + 1)),
+                    "bbox": (int(x0), int(y0 + wy0),
+                             int(x1 - x0), int(wy1 - wy0 + 1)),
                     "conf": round(conf, 2),
                     "line": line_no,
                     "block": 0,

@@ -182,6 +182,40 @@ def build_media(documents: DataFrame, partitions: int | None = None) -> DataFram
     return fs.mapInPandas(_render_batches, schema=MEDIA_SCHEMA)
 
 
+def build_media_manifest(documents: DataFrame) -> DataFrame:
+    """(media_ref, fmt, scenario, truth_text) — the media store's METADATA
+    projection, computed with pure Catalyst expressions from the span rule
+    (guide §4.1: an opaque Python stage defeats column pruning, so
+    `build_media(...).select(metadata)` still rendered and encoded every
+    image; every one of these columns is a deterministic function of
+    (doc_num, offset, chunk) that never needed pixels). Emits exactly what
+    _render_batches emits for these columns: the same fmt rule (including
+    the bench-only APIOCR_PNG_ONLY override, read at plan time like
+    media_fmt reads it at render time), the same scenario index, and
+    truth_text = lower(chunk)."""
+    import os
+
+    from ..config import JPEG_FMT_MOD, JPEG_FMT_MULT, SCENARIO_MULT
+    from ..imaging.render import SCENARIOS
+
+    fs = flat_spans(documents).filter(F.col("kind") == "media")
+    if os.environ.get("APIOCR_PNG_ONLY"):
+        fmt = F.lit("png")
+    else:
+        fmt = F.when(
+            (F.col("doc_num") * JPEG_FMT_MULT + F.col("offset"))
+            % JPEG_FMT_MOD == 0, F.lit("jpeg")).otherwise(F.lit("png"))
+    scenario = F.element_at(
+        F.array(*[F.lit(s) for s in SCENARIOS]),
+        ((F.col("doc_num") * SCENARIO_MULT + F.col("offset"))
+         % len(SCENARIOS)).cast("int") + 1,
+    )
+    return fs.select(
+        "media_ref", fmt.alias("fmt"), scenario.alias("scenario"),
+        F.lower(F.col("chunk")).alias("truth_text"),
+    )
+
+
 MEDIA_SPAN_SCHEMA = StructType(
     [StructField("doc_id", StringType()), StructField("offset", IntegerType())]
     + MEDIA_SCHEMA.fields
