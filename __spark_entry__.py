@@ -602,10 +602,19 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimal purchase strictly after that click within the SAME window;
     funnel_depth = max over the user's views (0 for users with events
     but no views). All epoch-microsecond integer arithmetic
-    (unix_micros <-> epoch_us, the sessionize pair), min-next-step
-    resolution by user-keyed equi-joins with range filters — per-user
-    quadratic only, the sessionization cost model; no window sort over
-    the event stream."""
+    (unix_micros <-> epoch_us, the sessionize pair); min-next-step
+    resolution by (user_id, hour_bucket) EQUI-joins — the window W equals
+    the bucket width, so a step-2/3 event in (t0, t0+W] lives in the
+    anchor's own bucket or the next one; each view row is exploded to
+    those two bucket keys and every qualifying pair meets EXACTLY once
+    (the event's bucket is a single value), making the bucketed join +
+    the unchanged range filter result-identical to the plain user-keyed
+    join while bounding candidates to events-per-2-bucket-window. A bot
+    user with 1e5 views and 1e5 clicks spread over a month meets per
+    co-bucket pairs instead of 1e10 row combinations, and the bucket
+    rides the shuffle key so AQE can split what remains
+    (guide §2.5: salt the hot key — here the salt is the time bucket
+    the semantics already provide)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
@@ -616,12 +625,22 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("us").alias("c_us"))
     buys = ev.where(F.col("event_type") == "purchase") \
         .select("user_id", F.col("us").alias("p_us"))
-    s2 = (views.join(clicks, "user_id")
+    vb = views.select(
+        "user_id", "v_us",
+        F.explode(F.array(F.expr(f"v_us DIV {win}"),
+                          F.expr(f"v_us DIV {win}") + 1)).alias("jb"))
+    s2 = (vb.join(clicks.withColumn("jb", F.expr(f"c_us DIV {win}")),
+                  ["user_id", "jb"])
           .where((F.col("c_us") > F.col("v_us"))
                  & (F.col("c_us") <= F.col("v_us") + win))
           .groupBy("user_id", "v_us")
           .agg(F.min("c_us").alias("t1")))
-    s3 = (s2.join(buys, "user_id")
+    s2b = s2.select(
+        "user_id", "v_us", "t1",
+        F.explode(F.array(F.expr(f"v_us DIV {win}"),
+                          F.expr(f"v_us DIV {win}") + 1)).alias("jb"))
+    s3 = (s2b.join(buys.withColumn("jb", F.expr(f"p_us DIV {win}")),
+                   ["user_id", "jb"])
           .where((F.col("p_us") > F.col("t1"))
                  & (F.col("p_us") <= F.col("v_us") + win))
           .groupBy("user_id", "v_us")
@@ -746,8 +765,13 @@ def q_revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source: cents = round(value * 100) once (identical IEEE double
     op + half-away rounding in both engines), then all sums are int64.
     Purchases key by event_id (unique), so same-instant purchases stay
-    distinct; the click meet is a user-keyed equi-join with a range
-    filter (per-user quadratic only, the sessionize cost model)."""
+    distinct; the click meet is a (user_id, hour_bucket) EQUI-join with
+    the unchanged range filter — a click in [p_us - W, p_us) lives in the
+    purchase's own bucket or the previous one (W = bucket width), each
+    purchase row is exploded to those two keys, and every qualifying pair
+    meets exactly once — result-identical to the plain user-keyed join
+    while bounding candidates to events-per-2-bucket-window (the
+    event_funnel bucket fix, purchase-anchored)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
@@ -758,7 +782,12 @@ def q_revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", F.col("us").alias("c_us"))
-    touched = (buys.join(clicks, "user_id")
+    pb = buys.select(
+        "event_id", "user_id", "p_us",
+        F.explode(F.array(F.expr(f"p_us DIV {win}"),
+                          F.expr(f"p_us DIV {win}") - 1)).alias("jb"))
+    touched = (pb.join(clicks.withColumn("jb", F.expr(f"c_us DIV {win}")),
+                       ["user_id", "jb"])
                .where((F.col("c_us") < F.col("p_us"))
                       & (F.col("c_us") >= F.col("p_us") - win))
                .groupBy("event_id").agg(F.max("c_us").alias("t_click")))

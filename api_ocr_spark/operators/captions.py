@@ -36,8 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..sources.interleave import build_media, flat_spans
-from .pipeline import _norm, ocr_media_spans
+from ..sources.interleave import flat_spans
+from .pipeline import _norm
 
 # Perfect discriminator for rationals with denominator <= MAX_UNION (=16):
 # min gap between distinct such fractions is 1/(16*15) = 1/240 > 1/10000.
@@ -61,6 +61,7 @@ def caption_pairs(docs: DataFrame, mode: str = "basico") -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("offset")
     neighbored = fs.select(
         "doc_id",
+        "doc_num",
         "offset",
         "kind",
         "chunk",
@@ -112,14 +113,24 @@ def caption_pairs(docs: DataFrame, mode: str = "basico") -> DataFrame:
             F.lower(_norm(F.col("c.cap_text"))).alias("caption"),
         )
     )
-    media = build_media(docs)
-    # one OCR row per media span: feed the pre-explode frame (media_ref is
-    # unique per span) — no distinct shuffle needed
-    ocr = ocr_media_spans(
-        neighbored.select("doc_id", "offset", "media_ref"),
-        media,
-        mode=mode,
-    ).select("media_ref", _tokens(F.col("ocr_text")).alias("ocr_tokens"))
+    # one OCR row per media span via the FUSED render→encode→decode→OCR
+    # stage (pipeline._make_render_ocr_udf): byte-identical to building the
+    # media store and joining it back (same encode_media bytes feed the
+    # same decoder), but the synthesized PNG/JPEG payloads live and die
+    # inside one Python worker instead of crossing the media join's two
+    # byte-carrying exchanges (guide §8: don't shuffle heavy payloads to
+    # make light decisions).
+    from .pipeline import _make_render_ocr_udf
+    from .pipeline import OCR_SCHEMA as _OCR_SCHEMA
+
+    media_rows = neighbored.select(
+        "doc_id", "doc_num", "offset", "chunk", "media_ref")
+    n_parts = 2 * media_rows.sparkSession.sparkContext.defaultParallelism
+    ocr = (
+        media_rows.repartition(n_parts, F.xxhash64("media_ref"))
+        .mapInPandas(_make_render_ocr_udf(mode), schema=_OCR_SCHEMA)
+        .select("media_ref", _tokens(F.col("ocr_text")).alias("ocr_tokens"))
+    )
 
     scored = (
         candidates.join(ocr, "media_ref")

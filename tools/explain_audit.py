@@ -64,6 +64,25 @@ CHECKS = {
          r"(Broadcast|Shuffled)HashJoin\nLeft keys \[1\]: \[centroid_id"),
         ("window top-k", r"Window"),
     ],
+    "event_funnel": [
+        # round-6: the step-2/3 meets are (user_id, hour_bucket) equi-joins
+        # (window == bucket width, anchor exploded to its two covering
+        # buckets) — the round-5 verdict's per-user-quadratic shape is gone
+        ("step joins keyed by (user_id, hour bucket)",
+         r"keys \[2\]: \[user_id#\d+L?, jb#\d+"),
+        ("no cartesian / nested-loop meet",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("all-Catalyst (no python)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
+    "revenue_attribution": [
+        ("click meet keyed by (user_id, hour bucket)",
+         r"keys \[2\]: \[user_id#\d+L?, jb#\d+"),
+        ("no cartesian / nested-loop meet",
+         ("absent", r"CartesianProduct|BroadcastNestedLoop")),
+        ("all-Catalyst (no python)",
+         ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
+    ],
     "host_pagerank": [
         ("edge frame materialized once (localCheckpoint feeds all rounds)",
          r"Scan ExistingRDD|LogicalRDD"),
