@@ -571,7 +571,18 @@ def c4_doc_stats(df, text_col: str = "text", id_col: str = "doc_id",
     Pure codegen'd Catalyst map, ZERO shuffle — every signal is per-row.
     Returns (doc_id, n_sentences, n_terminal, has_brace, has_bad_snippet,
     keep)."""
-    c = F.col(text_col)
+    cols = c4_stat_cols(F.col(text_col), min_sentences)
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *cols,
+    )
+
+
+def c4_stat_cols(c: Column, min_sentences: int = 3) -> list[Column]:
+    """The c4_doc_stats signal COLUMNS (n_sentences, n_terminal, has_brace,
+    has_bad_snippet, keep) as reusable expressions, so composed operators
+    (curation_funnel) can ride them on an existing projection instead of
+    joining a second evaluation of the source subtree."""
     low = F.lower(c)
     sents = split_sentences(c)
     n_sent = F.size(sents)
@@ -581,15 +592,14 @@ def c4_doc_stats(df, text_col: str = "text", id_col: str = "doc_id",
     has_bad = (low.contains(C4_BAD_SNIPPETS[0])
                | low.contains(C4_BAD_SNIPPETS[1])
                | low.contains(C4_BAD_SNIPPETS[2]))
-    return df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+    return [
         n_sent.cast("long").alias("n_sentences"),
         n_term.cast("long").alias("n_terminal"),
         has_brace.alias("has_brace"),
         has_bad.alias("has_bad_snippet"),
         ((n_sent >= min_sentences) & ~has_brace & ~has_bad
          & (2 * n_term >= n_sent)).alias("keep"),
-    )
+    ]
 
 
 def readability_stats(df, text_col: str = "text",

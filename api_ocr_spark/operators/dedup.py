@@ -13,6 +13,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -113,9 +114,26 @@ def doc_shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
     cheaper per shingle). Two deliberate plan choices, each worth ~3-6x:
     the words array is materialized behind a projection so the split isn't
     re-evaluated per shingle, and the exploded column is a bigint, not a
-    string (nothing row-size-heavy crosses the explode)."""
-    return doc_shingle_sets(documents, n).select(
-        "doc_id", F.explode("ts").alias("shingle"))
+    string (nothing row-size-heavy crosses the explode).
+
+    DELIBERATELY NOT expressed as doc_shingle_sets(...) + explode: with the
+    array behind a second projection, the minhash plan (localCheckpoint +
+    5-subtree reuse) regressed ~10x at sf1.0 — the Generate no longer
+    fuses with the gram computation. Keep the direct explode-of-expression
+    form; doc_shingle_sets exists for callers that need the ARRAY
+    (prefix-filter joins)."""
+    documents = _fan_out(documents)
+    words = F.split(normalize_ws(F.lower(F.col("text"))), " ")
+    staged = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("ws") - (n - 1), F.lit(1)))
+    grams = F.transform(
+        starts,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("ws", i, n))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    return staged.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -343,45 +361,75 @@ def simhash64_table(documents: DataFrame) -> DataFrame:
     ).repartition(parts, "doc_id")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     counted = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
-    hashed = counted.select("doc_id", "cnt", F.md5("tok").alias("mh"))
-    # 16 references to mh keep the md5 projection from collapsing into the
-    # digit expressions (Catalyst inlines single-use aliases)
-    digs = hashed.select(
-        "doc_id", "cnt",
-        *[F.conv(F.substring("mh", d + 1, 1), 16, 10).cast("long").alias(f"d{d}")
-          for d in range(16)],
-    )
+    return _simhash64_arrow(counted)
 
-    def spread(d: str, word: int):
-        """Packed counter word for digit `d`: bits 2·word and 2·word+1 of
-        the digit, times cnt, in 32-bit lanes at offsets 0 and 32."""
-        c = F.col(d)
-        v = F.lit(0).cast("long")
-        for i in (0, 1):
-            bit = F.shiftright(c, 2 * word + i).bitwiseAND(F.lit(1))
-            v = v + F.shiftleft(bit * F.col("cnt"), 32 * i)
-        return v
 
-    packed = digs.select(
-        "doc_id", "cnt",
-        *[spread(f"d{d}", w).alias(f"p{d}_{w}") for d in range(16) for w in (0, 1)],
-    )
-    sums = packed.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n"),
-        *[F.sum(f"p{d}_{w}").alias(f"S{d}_{w}") for d in range(16) for w in (0, 1)],
-    )
+def _simhash64_arrow(counted: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) from the distinct-token count relation via ONE
+    Arrow stage (guide §4.2): md5 runs in C (hashlib) once per distinct
+    (doc, token); the nibble→bit spread, cnt-weighted lane sums and the
+    2·lane−n>0 votes are all vectorized numpy integer math — bit-identical
+    to the 33-codegen-SUM packed-lane aggregate this replaces (same votes
+    over the same md5-over-UTF-8 hex digits; hexdigest char d is exactly
+    Spark's conv(substring(md5(tok), d+1, 1), 16, 10)).
 
-    def band(b: int):
-        v = F.lit(0)
-        for k in range(16):
-            # overall bit j = 16b + k = bit r of digit d
-            d, r = 4 * b + k // 4, k % 4
-            word, i = divmod(r, 2)
-            lane = F.shiftright(F.col(f"S{d}_{word}"), 32 * i).bitwiseAND(F.lit(0xFFFFFFFF))
-            v = v + F.when(2 * lane - F.col("n") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        return v.cast("int").alias(f"b{b}")
+    `counted`'s partitions are doc-complete — the groupBy(doc_id, tok)
+    rides the explicit doc_id repartition, so its final aggregate adds no
+    exchange and keeps doc_id clustering — which lets the per-task
+    accumulator emit each signature exactly once, with no post-stage
+    groupBy. Lane sums are plain int64 (no packing), so overflow needs a
+    2^63-token document: structurally unreachable."""
+    import pyarrow as pa
 
-    return sums.select("doc_id", *[band(b) for b in range(4)])
+    def fn(batches):
+        import hashlib
+
+        acc: dict[int, list] = {}
+        r4 = np.arange(4, dtype=np.uint8)[None, None, :]
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            cnts = batch.column("cnt").to_numpy(zero_copy_only=False)
+            toks_l = batch.column("tok").to_pylist()
+            dig = b"".join(
+                hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks_l)
+            dd = np.frombuffer(dig, np.uint8).reshape(n_rows, 8)
+            digits = np.empty((n_rows, 16), np.uint8)
+            digits[:, 0::2] = dd >> 4
+            digits[:, 1::2] = dd & 15
+            bits = ((digits[:, :, None] >> r4) & 1).reshape(n_rows, 64)
+            w = bits.astype(np.int64) * cnts[:, None]
+            order = np.argsort(doc_ids, kind="stable")
+            sd = doc_ids[order]
+            starts = np.nonzero(
+                np.concatenate(([True], sd[1:] != sd[:-1])))[0]
+            sums = np.add.reduceat(w[order], starts, axis=0)
+            nsum = np.add.reduceat(cnts[order], starts)
+            for i, d in enumerate(sd[starts]):
+                a = acc.get(int(d))
+                if a is None:
+                    acc[int(d)] = [sums[i].copy(), int(nsum[i])]
+                else:
+                    a[0] += sums[i]
+                    a[1] += int(nsum[i])
+        if not acc:
+            return
+        ids = np.fromiter(acc.keys(), np.int64, len(acc))
+        lane = np.stack([v[0] for v in acc.values()])
+        n = np.fromiter((v[1] for v in acc.values()), np.int64, len(acc))
+        votes = ((2 * lane - n[:, None]) > 0).astype(np.int64)
+        pows = 1 << np.arange(16, dtype=np.int64)
+        cols = [pa.array(ids, pa.int64())] + [
+            pa.array((votes[:, 16 * b:16 * (b + 1)] @ pows).astype(np.int32),
+                     pa.int32())
+            for b in range(4)
+        ]
+        yield pa.record_batch(cols, names=["doc_id", "b0", "b1", "b2", "b3"])
+
+    return counted.mapInArrow(
+        fn, "doc_id long, b0 int, b1 int, b2 int, b3 int")
 
 
 def simhash64_neardup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -14,11 +14,15 @@ first layout):
   3. c4_quality  — functions/text.c4_doc_stats keep == false
   4. kept
 
-Shape at 100 TB: ONE fingerprint-keyed shuffle (map-side partial min —
-a billion-copy boilerplate page sends one row per map task) plus the
-doc-keyed joins back; every quality signal is a zero-shuffle codegen map
-(c4_doc_stats, token_count). The funnel costs the dedup shuffle you were
-already paying, not a pass per stage.
+Shape at 100 TB: every quality signal rides ONE projection over the
+corpus (fingerprint, token count, c4 stats are all per-row codegen), and
+the keeper resolution is a min-over-fingerprint window on that single
+relation — one fingerprint-keyed exchange total. (The earlier
+groupBy-keepers + two joins shape re-evaluated the source subtree per
+branch — with a synthesized fixture corpus that meant re-running the
+whole fixture expression chain — and paid three exchanges for the same
+answer.) The funnel costs the dedup shuffle you were already paying, not
+a pass per stage.
 """
 
 from __future__ import annotations
@@ -36,28 +40,38 @@ def curation_funnel(documents: DataFrame, min_tokens: int = 12,
     """Per-document funnel verdict:
     (doc_id, stage, n_tokens, n_sentences), stage in
     {exact_dup, too_short, c4_quality, kept}."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import c4_stat_cols
+
     base = documents.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
     )
-    fp = base.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"),
-                     token_count(F.col("text")).cast("long")
-                     .alias("n_tokens"))
-    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    stats = c4_doc_stats(base).select("doc_id", "n_sentences", "keep")
-    flags = (
-        fp.join(keepers, "fp")
-        .join(stats, "doc_id")
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") != F.col("keeper"), "exact_dup")
-            .when(F.col("n_tokens") < min_tokens, "too_short")
-            .when(~F.col("keep"), "c4_quality")
-            .otherwise("kept").alias("stage"),
-            "n_tokens", "n_sentences",
-        )
+    # ONE projection computes every per-row signal (fingerprint, token
+    # count, c4 stats — all pure maps of the same row), then one
+    # min-over-fingerprint window resolves keepers: single evaluation of
+    # the source subtree, single exchange. (The previous groupBy-keepers +
+    # two joins evaluated the source per branch and shuffled three times.)
+    # c4_stat_cols order: n_sentences, n_terminal, has_brace,
+    # has_bad_snippet, keep
+    stats = c4_stat_cols(F.col("text"))
+    per = base.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        stats[0],
+        stats[4],
     )
-    return flags
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    return per.select(
+        "doc_id",
+        F.when(F.col("doc_id") != keeper, "exact_dup")
+        .when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(~F.col("keep"), "c4_quality")
+        .otherwise("kept").alias("stage"),
+        "n_tokens", "n_sentences",
+    )
 
 
 def corpus_datasheet(documents: DataFrame, text_col: str = "text",
