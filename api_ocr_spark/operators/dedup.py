@@ -1070,11 +1070,25 @@ def setsim_join(documents: DataFrame, t_num: int = 3, t_den: int = 5,
     sets = _prefix_filter_sets(documents)
     prefix = _prefix_postings(_sorted_postings(sets), t_num, t_den)
     tsum = t_num + t_den
+    # Per-MATCH positional filter, applied before anything shuffles to the
+    # pair groupBy: the minimum shared term w0 of a qualifying pair bounds
+    # |A∩B| <= 1 + min(n_a-pa0, n_b-pb0) (every other shared term sits at
+    # higher positions in both sorted arrays), and w0's own match row
+    # always satisfies the row test when the pair does — so dropping rows
+    # that fail it can never lose a qualifying pair, only shrink cnt for
+    # pairs whose w0 bound then decides (which is why the grouped filter
+    # below uses the MIN-struct w0 bound, sound under partial counts,
+    # rather than the cnt+max bound, which is not).
+    row_ok = ((F.lit(1) + F.least(F.col("x.n") - F.col("x.pos"),
+                                  F.col("y.n") - F.col("y.pos")))
+              * F.lit(tsum)
+              >= F.lit(t_num) * (F.col("x.n") + F.col("y.n")))
     raw = (
         prefix.alias("x").join(prefix.alias("y"), "term")
         .where((F.col("x.doc_id") < F.col("y.doc_id"))
                & (F.lit(t_num) * F.greatest("x.n", "y.n")
-                  <= F.lit(t_den) * F.least("x.n", "y.n")))
+                  <= F.lit(t_den) * F.least("x.n", "y.n"))
+               & row_ok)
         .select(F.col("x.doc_id").alias("doc_a"),
                 F.col("y.doc_id").alias("doc_b"),
                 "term", F.col("x.pos").alias("pa"),
@@ -1083,11 +1097,10 @@ def setsim_join(documents: DataFrame, t_num: int = 3, t_den: int = 5,
     )
     cand = (
         raw.groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("cnt"),
-             F.max(F.struct("term", "pa", "pb")).alias("w1"))
-        .where((F.col("cnt")
-                + F.least(F.col("n_a") - F.col("w1.pa"),
-                          F.col("n_b") - F.col("w1.pb"))) * F.lit(tsum)
+        .agg(F.min(F.struct("term", "pa", "pb")).alias("w0"))
+        .where((F.lit(1)
+                + F.least(F.col("n_a") - F.col("w0.pa"),
+                          F.col("n_b") - F.col("w0.pb"))) * F.lit(tsum)
                >= F.lit(t_num) * (F.col("n_a") + F.col("n_b")))
         .select("doc_a", "doc_b", "n_a", "n_b")
     )
@@ -1149,10 +1162,19 @@ def containment_join(documents: DataFrame, t_num: int = 4, t_den: int = 5,
     sets = _prefix_filter_sets(documents)
     postings = _sorted_postings(sets)
     prefix = _prefix_postings(postings, t_num, t_den)
+    # per-match w0 bound (see setsim_join): |A∩B| <= 1 + min(n_a-pa,
+    # n_b-pb) at the minimum shared term; rows failing it for the
+    # containment requirement ceil(t*n_a) can be dropped pre-shuffle, and
+    # the grouped filter re-applies the bound at the surviving minimum.
+    row_ok = ((F.lit(1) + F.least(F.col("x.n") - F.col("x.pos"),
+                                  F.col("y.n") - F.col("y.pos")))
+              * F.lit(t_den)
+              >= F.lit(t_num) * F.col("x.n"))
     raw = (
         prefix.alias("x").join(postings.alias("y"), "term")
         .where((F.col("x.doc_id") != F.col("y.doc_id"))
-               & (F.lit(t_num) * F.col("x.n") <= F.lit(t_den) * F.col("y.n")))
+               & (F.lit(t_num) * F.col("x.n") <= F.lit(t_den) * F.col("y.n"))
+               & row_ok)
         .select(F.col("x.doc_id").alias("doc_a"),
                 F.col("y.doc_id").alias("doc_b"),
                 "term", F.col("x.pos").alias("pa"),
@@ -1161,11 +1183,10 @@ def containment_join(documents: DataFrame, t_num: int = 4, t_den: int = 5,
     )
     cand = (
         raw.groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("cnt"),
-             F.max(F.struct("term", "pa", "pb")).alias("w1"))
-        .where((F.col("cnt")
-                + F.least(F.col("n_a") - F.col("w1.pa"),
-                          F.col("n_b") - F.col("w1.pb"))) * F.lit(t_den)
+        .agg(F.min(F.struct("term", "pa", "pb")).alias("w0"))
+        .where((F.lit(1)
+                + F.least(F.col("n_a") - F.col("w0.pa"),
+                          F.col("n_b") - F.col("w0.pb"))) * F.lit(t_den)
                >= F.lit(t_num) * F.col("n_a"))
         .select("doc_a", "doc_b", "n_a")
     )
