@@ -217,7 +217,10 @@ def _extract_words(ink: np.ndarray, binary: np.ndarray) -> list[dict]:
                 chars.append(ch)
                 confs.append(conf)
             text = "".join(chars)
-            conf = float(np.mean(confs)) if confs else 0.0
+            # sum/len, not np.mean: identical IEEE result for these sizes
+            # (sequential float64 adds; numpy pairwise summation starts at
+            # 128 elements) without the per-word array allocation
+            conf = (sum(confs) / len(confs)) if confs else 0.0
             if conf <= CONF_FLOOR or not text.strip():
                 continue
             x0 = word[0][0]
@@ -264,7 +267,7 @@ def group_words_into_lines(words: list[dict]) -> list[dict]:
             "text": ln["text"],
             "bbox": (ln["x0"], ln["y0"], ln["x1"] - ln["x0"], ln["y1"] - ln["y0"]),
             "words": ln["words"],
-            "conf": round(float(np.mean(ln["confs"])), 2),
+            "conf": round(sum(ln["confs"]) / len(ln["confs"]), 2),
         }
         for ln in lines.values()
     ]
@@ -284,7 +287,8 @@ def ocr_image_stats(
     per-partition metrics table without a second recognition pass."""
     words = get_text_data(gray, preprocess=preprocess, binary=binary)
     text = "\n".join(ln["text"] for ln in group_words_into_lines(words))
-    mean_conf = round(float(np.mean([w["conf"] for w in words])), 2) if words else 0.0
+    mean_conf = (round(sum(w["conf"] for w in words) / len(words), 2)
+                 if words else 0.0)
     return {"text": text, "n_words": len(words), "mean_conf": mean_conf}
 
 
