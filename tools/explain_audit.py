@@ -158,7 +158,10 @@ CHECKS = {
          ("absent", r"CartesianProduct|BroadcastNestedLoop")),
         ("all-Catalyst (no python)",
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
-        ("prefix-position window", r"Window"),
+        # round-6: prefix positions come from an in-row sorted-array slice
+        # (one ObjectHashAggregate collect_list), not a doc-keyed window
+        ("sorted-array prefix aggregation",
+         r"ObjectHashAggregate|SortAggregate"),
     ],
     "host_trustrank": [
         ("edge frame materialized once (localCheckpoint feeds all rounds)",
@@ -173,7 +176,10 @@ CHECKS = {
         # corpus x k-row codebook and corpus x broadcast-query scoring are
         # BNLJ by design (ann brute-force pattern); the corpus itself must
         # never CartesianProduct
-        ("query side broadcast", r"Broadcast"),
+        # round-6: the query matrix ships inside the Arrow GEMM stage's
+        # closure; the old broadcast theta-join (interpreted fold per pair)
+        # is gone
+        ("Arrow GEMM scoring stage", r"MapInArrow|PythonMapInArrow"),
         ("per-query top-k window", r"Window"),
         ("no per-row python", ("absent", r"BatchEvalPython")),
         ("no cartesian product", ("absent", r"CartesianProduct")),
@@ -212,8 +218,12 @@ CHECKS = {
         # by design (as in ivf_ann_topk); the PAIR MEET must be an equi-join
         # on centroid_id — quadratic only inside one inverted list
         ("pair meet is not a cartesian", ("absent", r"CartesianProduct")),
-        ("within-cluster equi-join on centroid_id",
-         r"Left keys \[1\]: \[centroid_id"),
+        # round-6: the within-cluster meet is a per-cluster gram matrix in
+        # an applyInPandas stage GROUPED BY centroid_id (quadratic only
+        # inside one inverted list, as before); the exact rounded-cosine
+        # verify stays JVM-side
+        ("per-cluster gram stage keyed by centroid_id",
+         r"FlatMapGroupsInPandas|FlatMapGroupsIn"),
         ("no per-row python", ("absent", r"BatchEvalPython")),
     ],
     "html_main_content": [
@@ -290,8 +300,9 @@ CHECKS = {
          ("absent", r"BatchEvalPython|MapInPandas|ArrowEvalPython")),
     ],
     "curation_funnel": [
-        ("one fingerprint shuffle with map-side partial min",
-         r"HashAggregate"),
+        # round-6: keepers resolve via min-over-fingerprint window on ONE
+        # projection (no groupBy+join re-evaluation of the fixture subtree)
+        ("single-pass keeper window on fp", r"Window"),
         ("no cartesian / nested-loop anywhere",
          ("absent", r"CartesianProduct|BroadcastNestedLoop")),
         ("no python in the loop",
