@@ -961,11 +961,19 @@ def _sorted_postings(sets: DataFrame) -> DataFrame:
     sort of the per-doc (df, term) struct array (one groupBy; the
     row_number-window form this replaces re-shuffled the full relation).
     `pos` carries the PPJoin positional information the candidate filters
-    need; the prefix relation is just `pos <= L`."""
+    need; the prefix relation is just `pos <= L`.
+
+    PERSISTED (like the sets relation): both prefix-join sides derive from
+    this frame, and without the persist each side re-ran the census join +
+    sorted-array groupBy — a fixed cost that dominated at small SF."""
+    from pyspark import StorageLevel
+
+    from .pipeline import _PERSISTED
+
     toks = sets.select("doc_id", F.explode("ts").alias("term"))
     df_census = toks.groupBy("term").agg(
         F.count("*").cast("long").alias("df"))
-    return (
+    postings = (
         toks.join(df_census, "term")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "term"))).alias("dts"))
@@ -976,7 +984,10 @@ def _sorted_postings(sets: DataFrame) -> DataFrame:
         )
         .select("doc_id", "term",
                 (F.col("p0") + 1).cast("long").alias("pos"), "n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(postings)
+    return postings
 
 
 def _prefix_postings(postings: DataFrame, t_num: int, t_den: int) -> DataFrame:
